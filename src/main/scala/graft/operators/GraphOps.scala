@@ -1,0 +1,286 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Graph analytics (SURVEY.md §2.9 G2–G6): similarity-graph construction,
+  * degrees, connected components, Brandes edge betweenness, modularity and
+  * Girvan–Newman community detection.
+  *
+  * The graph: customers are vertices; an undirected edge (u, v) exists iff u
+  * and v purchased ≥ `minShared` distinct parts in common (the reference's
+  * co-rating graph: users sharing ≥ 3 movies,
+  * `3-Graph Community Detection/Betweenness.scala:24-32`).
+  *
+  * Spark-first deviations (same semantics, scalable plans):
+  *  - Edge construction is an equi-join on partkey + groupBy-count ≥ k, NOT
+  *    the reference's O(n²) constant-key self-join (`Betweenness.scala:27-29`).
+  *  - Connected components is an iterative DataFrame min-label propagation
+  *    (large-graph path), not a driver adjacency walk.
+  *  - Betweenness distributes one Brandes BFS per source over executors with
+  *    the adjacency list as a real broadcast (the reference collects the
+  *    adjacency to the driver and re-ships it in a closure,
+  *    `Betweenness.scala:53,89,133`). O(V·E) total; for graphs whose
+  *    adjacency exceeds broadcast budget the scale path is Pregel-style
+  *    `aggregateMessages` (flagged, not needed at fixture scale).
+  *  - Modularity uses the closed form per community
+  *    Σ_c [E_c − (D_c² − S_c)/(4m)] / (2m)   (D_c = Σ degree, S_c = Σ degree²)
+  *    which equals the reference's pairwise sum over unordered within-
+  *    community pairs (`Community.scala:16-48`, including its ½-of-textbook-Q
+  *    quirk) without enumerating V² pairs.
+  */
+object GraphOps {
+
+  /** Undirected co-purchase edges (u < v, with shared-part count). */
+  def coPurchaseEdges(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val o = Tables(spark, dir, "orders")
+    val cp = l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val a = cp.as("a"); val b = cp.as("b")
+    a.join(b, col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+  }
+
+  /** Sorted edge list query (oracle-able). */
+  def edgesQuery(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseEdges(spark, dir).orderBy("u", "v")
+
+  /** Vertex degrees over the co-purchase graph (oracle-able). */
+  def degrees(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir)
+    e.select(col("u").as("vertex"))
+      .unionAll(e.select(col("v").as("vertex")))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+      .orderBy("vertex")
+  }
+
+  /** Connected components via iterative min-label propagation on DataFrames
+    * (the scalable stand-in for GraphX `connectedComponents()`,
+    * `Community.scala:22`). Each iteration: label(v) ← min(label(v),
+    * min over neighbors' labels); converges in O(diameter) joins. AQE
+    * coalesces the shrinking shuffles. Output: (vertex, component) where
+    * component = min vertex id in the component (deterministic).
+    */
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir).select("u", "v").cache()
+    // Symmetric neighbor relation.
+    val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).cache()
+    var labels = nbrs.select(col("u").as("vertex")).distinct()
+      .withColumn("component", col("vertex"))
+    var changed = 1L
+    while (changed > 0) {
+      val viaNbr = nbrs.join(labels, nbrs("v") === labels("vertex"))
+        .select(nbrs("u").as("vertex"), col("component"))
+      val next = labels.select("vertex", "component").unionAll(viaNbr)
+        .groupBy("vertex").agg(min("component").as("component"))
+        .cache()
+      changed = next.join(labels.withColumnRenamed("component", "old"), "vertex")
+        .where(col("component") =!= col("old")).count()
+      labels = next
+    }
+    labels.orderBy("vertex")
+  }
+
+  // ---------------------------------------------------------------- Brandes
+
+  /** One Brandes BFS from `s`: returns per-edge dependency credit (the
+    * Girvan–Newman credit rule on unweighted graphs,
+    * `Betweenness.scala:56-116`). Edges keyed canonically (min, max). */
+  private[operators] def brandesOneSource(
+      adj: Map[Long, Array[Long]], s: Long): Iterator[((Long, Long), Double)] = {
+    val dist = mutable.HashMap.empty[Long, Int]
+    val sigma = mutable.HashMap.empty[Long, Double]
+    val order = mutable.ArrayBuffer.empty[Long]
+    val queue = mutable.Queue.empty[Long]
+    dist(s) = 0; sigma(s) = 1.0; queue.enqueue(s)
+    while (queue.nonEmpty) {
+      val v = queue.dequeue()
+      order += v
+      val dv = dist(v)
+      adj.getOrElse(v, Array.empty).foreach { w =>
+        if (!dist.contains(w)) { dist(w) = dv + 1; queue.enqueue(w) }
+        if (dist(w) == dv + 1) sigma(w) = sigma.getOrElse(w, 0.0) + sigma(v)
+      }
+    }
+    val delta = mutable.HashMap.empty[Long, Double]
+    val credit = mutable.ArrayBuffer.empty[((Long, Long), Double)]
+    order.reverseIterator.foreach { w =>
+      val dw = dist(w)
+      adj.getOrElse(w, Array.empty).foreach { v =>
+        if (dist.getOrElse(v, Int.MaxValue) == dw - 1) {
+          val c = sigma(v) / sigma(w) * (1.0 + delta.getOrElse(w, 0.0))
+          delta(v) = delta.getOrElse(v, 0.0) + c
+          credit += (((math.min(v, w), math.max(v, w)), c))
+        }
+      }
+    }
+    credit.iterator
+  }
+
+  /** Edge betweenness: one BFS per source distributed over executors, summed
+    * per canonical edge, halved (both directions counted,
+    * `Betweenness.scala:133-138`). Adjacency ships as a broadcast. */
+  def betweenness(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, dir, minShared)
+      .select("u", "v").as[(Long, Long)].collect()
+    val adj = buildAdjacency(edges)
+    val bcAdj = spark.sparkContext.broadcast(adj)
+    val vertices = adj.keys.toSeq.sorted
+    spark.createDataset(vertices)
+      .repartition(32)
+      .flatMap(s => brandesOneSource(bcAdj.value, s))
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .reduceGroups(_ + _)
+      .map { case ((u, v), b) => (u, v, b / 2.0) }
+      .toDF("u", "v", "btw")
+      .orderBy(col("btw").desc, col("u"), col("v"))
+  }
+
+  private def buildAdjacency(edges: Array[(Long, Long)]): Map[Long, Array[Long]] = {
+    val m = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
+    edges.foreach { case (u, v) =>
+      m.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
+      m.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += u
+    }
+    m.iterator.map { case (k, vs) => (k, vs.toArray.sorted) }.toMap
+  }
+
+  // ------------------------------------------------- modularity + GN search
+
+  /** Driver-side union–find (path compression): components of the residual
+    * graph inside the GN loop. The loop is inherently driver-coordinated
+    * (the reference collects everything too, `Community.scala:67-148`); at
+    * fixture scale the edge list is tiny. 100 TB path: re-run the
+    * distributed `connectedComponents` per step instead. */
+  private def unionFind(vertices: Array[Long], edges: Iterable[(Long, Long)]): Map[Long, Long] = {
+    val parent = mutable.HashMap.empty[Long, Long]
+    vertices.foreach(v => parent(v) = v)
+    def find(x: Long): Long = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    edges.foreach { case (u, v) =>
+      val (ru, rv) = (find(u), find(v))
+      if (ru != rv) parent(math.max(ru, rv)) = math.min(ru, rv)
+    }
+    vertices.iterator.map(v => (v, find(v))).toMap
+  }
+
+  /** Reference modularity (½-of-textbook quirk preserved): for communities C,
+    * Q = Σ_c [E_c − (D_c² − S_c)/(4m)] / (2m), degrees from the ORIGINAL
+    * graph (`Community.scala:16-48` — A_ij and d_i both refer to the full
+    * graph; only the community assignment comes from the residual graph). */
+  private def modularityOf(comp: Map[Long, Long], degree: Map[Long, Int],
+      origEdges: Array[(Long, Long)], m2: Double): Double = {
+    val ec = mutable.HashMap.empty[Long, Double]
+    origEdges.foreach { case (u, v) =>
+      if (comp(u) == comp(v)) ec.update(comp(u), ec.getOrElse(comp(u), 0.0) + 1.0)
+    }
+    val dSum = mutable.HashMap.empty[Long, Double]
+    val dSq = mutable.HashMap.empty[Long, Double]
+    comp.foreach { case (v, c) =>
+      val d = degree.getOrElse(v, 0).toDouble
+      dSum.update(c, dSum.getOrElse(c, 0.0) + d)
+      dSq.update(c, dSq.getOrElse(c, 0.0) + d * d)
+    }
+    val total = dSum.keys.iterator.map { c =>
+      ec.getOrElse(c, 0.0) - (dSum(c) * dSum(c) - dSq(c)) / (2.0 * m2)
+    }.sum
+    total / m2
+  }
+
+  /** Girvan–Newman with the reference's two quirks preserved as spec
+    * (`3-Graph Community Detection/README:9`, `Community.scala:56-148`):
+    * betweenness is computed ONCE on the original graph and never
+    * recomputed, and the modularity peak is located coarse-to-fine
+    * (coarse step ≈ E/14 — the reference's 2500 on its ~35k-edge graph —
+    * then zoom ÷5, stopping when the community-count jump ≤ 1).
+    * Output: one row per community at the modularity peak:
+    * (community = min member id, size, members csv sorted).
+    */
+  def communities(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ranked = betweenness(spark, dir, minShared)
+      .select("u", "v").as[(Long, Long)].collect() // already sorted btw desc
+    val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val degree = {
+      val d = mutable.HashMap.empty[Long, Int]
+      ranked.foreach { case (u, v) =>
+        d.update(u, d.getOrElse(u, 0) + 1); d.update(v, d.getOrElse(v, 0) + 1)
+      }
+      d.toMap
+    }
+    val m2 = 2.0 * ranked.length // 2m
+    def qAfterRemoving(k: Int): (Double, Map[Long, Long]) = {
+      val comp = unionFind(vertices, ranked.drop(k))
+      (modularityOf(comp, degree, ranked, m2), comp)
+    }
+    // Coarse pass: step until modularity drops (Community.scala:67-109).
+    val step = math.max(1, ranked.length / 14)
+    var k = 0
+    var best = qAfterRemoving(0)
+    var bestK = 0
+    var continue = true
+    while (continue && k + step <= ranked.length) {
+      val cand = qAfterRemoving(k + step)
+      if (cand._1 >= best._1) { best = cand; bestK = k + step; k += step }
+      else continue = false
+    }
+    // Refine: zoom the search window ÷5 around the running peak until the
+    // stride reaches 1 (the reference stops once the community-count jump
+    // between strides is ≤ 1, Community.scala:111-148 — stride 1 is that
+    // condition's fixed point, so the peak found is identical).
+    var span = step
+    while (span > 1) {
+      val stride = math.max(1, span / 5)
+      var kk = math.max(0, bestK - span)
+      val hiK = math.min(ranked.length, bestK + span)
+      while (kk <= hiK) {
+        val cand = qAfterRemoving(kk)
+        if (cand._1 > best._1) { best = cand; bestK = kk }
+        kk += stride
+      }
+      span = stride
+    }
+    val rows = best._2.groupBy(_._2).map { case (c, members) =>
+      val ms = members.keys.toArray.sorted
+      (c, ms.length, ms.mkString(","))
+    }.toSeq.sortBy(_._1)
+    spark.createDataset(rows).toDF("community", "size", "members")
+  }
+
+  /** Modularity search trace: Q at each coarse removal step — exposes G5 as
+    * a queryable result (deterministic; rows-only check). */
+  def modularityCurve(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+    import spark.implicits._
+    val ranked = betweenness(spark, dir, minShared)
+      .select("u", "v").as[(Long, Long)].collect()
+    val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    val degree = {
+      val d = mutable.HashMap.empty[Long, Int]
+      ranked.foreach { case (u, v) =>
+        d.update(u, d.getOrElse(u, 0) + 1); d.update(v, d.getOrElse(v, 0) + 1)
+      }
+      d.toMap
+    }
+    val m2 = 2.0 * ranked.length
+    val step = math.max(1, ranked.length / 14)
+    val rows = (0 to ranked.length by step).map { k =>
+      val comp = unionFind(vertices, ranked.drop(k))
+      val q = modularityOf(comp, degree, ranked, m2)
+      (k, comp.values.toSet.size, math.rint(q * 1e6) / 1e6)
+    }
+    spark.createDataset(rows).toDF("removed", "n_communities", "modularity")
+  }
+}

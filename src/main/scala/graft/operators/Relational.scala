@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator coverage (SURVEY.md §2.2–2.7): projections, filters,
+  * equi/outer/semi/anti joins, partial+final hash aggregation, HAVING,
+  * distinct, top-k, composite sorts, group-to-collection aggregation and the
+  * scalar-function surface (least/greatest, concat_ws, format, casts).
+  *
+  * Reference semantics being re-expressed (cites into /root/reference/):
+  *  - task1 avg-by-(movie,gender): `1-Group Average Calculation/task1.scala:60-83`
+  *  - task2 avg-by-(genre,gender): `1-Group Average Calculation/task2.scala:15-45`
+  *  - gender equality filter:      `2-Market Basket Analysis/Solutions/SON.scala:55-57`
+  *  - HAVING-style support filter: `SON.scala:263`
+  *
+  * Scale notes: every query here is a declarative plan — Catalyst pushes
+  * filters/projections into the parquet scan, picks broadcast-hash joins for
+  * the small dimension sides (`part`, `customer`), and emits partial/final
+  * HashAggregate pairs (map-side combine) for every groupBy, which is exactly
+  * the hand-rolled `reduceByKey` structure of the reference but codegen'd.
+  * Nothing below collects to the driver.
+  */
+object Relational {
+
+  private def r6(c: Column): Column = round(c, 6)
+
+  /** Flagship (task1 analog): avg(l_extendedprice) by (p_brand, l_returnflag)
+    * over lineitem ⋈ part ⋈ orders. Mirrors ratings⋈users → groupBy(mid,
+    * gender) → avg (`task1.scala:64-76`). `part` is broadcast (25 brands /
+    * 2k–20k rows) so the only shuffle is the final aggregation exchange.
+    */
+  def groupAvgBrandFlag(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val o = Tables(spark, dir, "orders")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("p_brand"), col("l_returnflag"))
+      .agg(
+        r6(avg("l_extendedprice")).as("avg_price"),
+        r6(sum("l_quantity")).as("sum_qty"),
+        count(lit(1)).as("cnt"))
+      .orderBy("p_brand", "l_returnflag")
+  }
+
+  /** task2 analog: avg by (p_type, o_orderstatus) — the "genre string is the
+    * group key" variant (`task2.scala:23,32-38`). */
+  def groupAvgTypeStatus(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    val o = Tables(spark, dir, "orders")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(o, l("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("p_type"), col("o_orderstatus"))
+      .agg(r6(avg("l_extendedprice")).as("avg_price"), count(lit(1)).as("cnt"))
+      .orderBy("p_type", "o_orderstatus")
+  }
+
+  /** Equality filter + projection (P1/P2: `SON.scala:55-57` gender filter). */
+  def filterEq(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .where(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey", "c_name", "c_acctbal")
+      .orderBy("c_custkey")
+
+  /** HAVING-style threshold on a grouped count (P3: `SON.scala:263`). */
+  def havingSupport(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select("l_orderkey", "l_partkey").distinct()
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_orders"))
+      .where(col("n_orders") >= 40)
+      .orderBy("l_partkey")
+
+  /** Left outer join + NULL-side handling (J5: `Community.scala:40-41`):
+    * order count per customer including zero-order customers. */
+  def joinLeftOuter(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_outer")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        r6(coalesce(sum("o_totalprice"), lit(0.0))).as("total_spend"))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi-join membership probe (J6: the reference's leftOuterJoin+nonEmpty
+    * existence test, `Community.scala:40-41`). */
+  def joinSemi(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").where(col("o_orderstatus") === "O")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Anti-join (P5: edge-removal membership test, `Community.scala:81,95`):
+    * customers with no 'F'-status order. */
+  def joinAnti(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders").where(col("o_orderstatus") === "F")
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .select("c_custkey", "c_name")
+      .orderBy("c_custkey")
+  }
+
+  /** Top-k by value with deterministic tie-break (O3: `Community.scala:79`).
+    * `orderBy(...).limit(k)` compiles to TakeOrderedAndProject — a per-
+    * partition heap + driver merge, no global sort at scale. */
+  def topK(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+      .select(col("o_orderkey"), col("o_custkey"), r6(col("o_totalprice")).as("o_totalprice"))
+
+  /** DISTINCT over a projection (A5: `SON.scala:219`). */
+  def distinctPairs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select("l_returnflag", "l_linestatus").distinct()
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** COUNT(DISTINCT) per group (A6: `Community.scala:123,128`). */
+  def countDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(count_distinct(col("l_partkey")).as("n_parts"),
+        count_distinct(col("l_suppkey")).as("n_supps"))
+      .orderBy("l_returnflag")
+
+  /** Scalar-function surface (F6/F7/F4: pair canonicalization via
+    * least/greatest as in `Betweenness.scala:118-121`, concat_ws line
+    * building as in `task1.scala:81`). Pure projection — stays in one
+    * whole-stage-codegen span with the scan. */
+  def scalarFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        least(col("l_partkey"), col("l_suppkey")).as("lo_key"),
+        greatest(col("l_partkey"), col("l_suppkey")).as("hi_key"),
+        concat_ws("|", col("l_returnflag"), col("l_linestatus")).as("tag"),
+        r6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net_price"))
+      .orderBy("l_orderkey", "l_linenumber")
+
+  /** Group-to-collection aggregation (A4: `groupByKey` baskets,
+    * `SON.scala:60`) rendered as a deterministic string: numeric-sort the
+    * collected array THEN stringify (lexicographic sort would diverge). */
+  def groupCollect(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(
+        array_join(transform(sort_array(collect_list(col("l_partkey"))),
+          _.cast("string")), ",").as("basket"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_orderkey")
+
+  /** 11-decimal fixed-point formatting parity (F3: `"%.11f".format`,
+    * `task1.scala:81`). */
+  def fmt11dp(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(avg(col("l_quantity")).as("a"))
+      .select(col("l_returnflag"), format_string("%.11f", col("a")).as("avg_qty_11dp"))
+      .orderBy("l_returnflag")
+
+  /** The SQL surface: the same flagship query through `spark.sql` over
+    * registered views — proves users can run plain SQL against the engine. */
+  def sqlApi(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT p_brand, round(avg(l_extendedprice), 6) AS avg_price, count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
+  }
+}
