@@ -42,6 +42,26 @@ object SparkEntry {
     "q33_betweenness" -> ((s, d) => GraphOps.betweenness(s, d)),
     "q34_communities" -> ((s, d) => GraphOps.communities(s, d)),
     "q35_modularity_curve" -> ((s, d) => GraphOps.modularityCurve(s, d)),
+    // --- dedup (training-data pipeline) ---
+    "q40_dedup_exact" -> (Dedup.exact _),
+    "q41_minhash_sig" -> (Dedup.minhashSignatures _),
+    "q42_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
+    "q43_simhash" -> (Dedup.simhash _),
+    "q44_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
+    "q45_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(s, d)),
+    // --- similarity search ---
+    "q46_ann_brute" -> ((s, d) => Similarity.cosineTopK(s, d)),
+    "q47_ann_lsh" -> ((s, d) => Similarity.cosineTopKLsh(s, d)),
+    "q48_cosine_neardup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
+    // --- text analysis ---
+    "q50_text_stats" -> (TextOps.textStats _),
+    "q51_token_topk" -> ((s, d) => TextOps.tokenTopK(s, d)),
+    "q52_lang_id" -> (TextOps.langId _),
+    "q53_fingerprint" -> (TextOps.fingerprint _),
+    // --- event/window analytics ---
+    "q60_events_hourly" -> (Events.hourly _),
+    "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
+    "q62_sessionize" -> ((s, d) => Events.sessionize(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -146,5 +166,63 @@ object SparkEntry {
         |SELECT vertex, count(*) AS degree
         |FROM (SELECT u AS vertex FROM e UNION ALL SELECT v FROM e)
         |GROUP BY vertex ORDER BY vertex""".stripMargin,
+    "q40_dedup_exact" ->
+      """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    "q46_ann_brute" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |             round(list_cosine_similarity(q.v, e.v), 6) AS cosine
+        |      FROM e q JOIN e ON q.vec_id < 100 AND q.vec_id <> e.vec_id)
+        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY query_id
+        |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
+    "q50_text_stats" ->
+      """WITH t AS (SELECT doc_id, length(text) AS n_chars,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tokens
+        |  FROM documents),
+        |u AS (SELECT doc_id, n_chars, len(tokens) AS n_tokens,
+        |  len(list_distinct(tokens)) AS n_uniq,
+        |  len(list_filter(tokens, x -> x IN ('the','a','of','to','and','in','is'))) AS n_stop
+        |  FROM t)
+        |SELECT doc_id, n_chars, n_tokens, n_uniq,
+        |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
+        |  round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 100, CAST(1 AS DOUBLE)) * 0.4 +
+        |        (CAST(1 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 +
+        |        CAST(n_uniq AS DOUBLE) / n_tokens * 0.3, 6) AS quality
+        |FROM u ORDER BY doc_id""".stripMargin,
+    "q51_token_topk" ->
+      """SELECT token, count(*) AS n FROM (
+        |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0)) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    "q60_events_hourly" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+        |       round(avg(value), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+    "q61_events_ranked" ->
+      """SELECT user_id, rn, event_id, event_type, ts_s FROM (
+        |  SELECT user_id, event_id, event_type,
+        |         epoch_us(ts) // 1000000 AS ts_s,
+        |         row_number() OVER (PARTITION BY user_id
+        |                            ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+    "q62_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, value, event_id,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS session_seq FROM x)
+        |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+        |       count(*) AS n_events,
+        |       min(epoch_us(ts) // 1000000) AS start_s,
+        |       max(epoch_us(ts) // 1000000) AS end_s,
+        |       round(sum(value), 6) AS sum_value
+        |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
   )
 }

@@ -1,0 +1,143 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Document deduplication for large-scale training-data pipelines: exact
+  * (content-hash groupBy), MinHash+LSH near-dup, SimHash near-dup, and exact
+  * n-gram Jaccard. No reference analog (the reference has no text ops) —
+  * these are the north-star extensions from SURVEY.md §7 M5.
+  *
+  * Scale design: everything is native Catalyst higher-order functions
+  * (transform/aggregate/zip_with over arrays) — no UDFs, fully codegen'd,
+  * shuffles only on the LSH band keys and the final candidate join. MinHash
+  * banding is the classic S-curve trade: b=32 bands × r=4 rows ⇒ candidate
+  * threshold ≈ (1/b)^(1/r) ≈ 0.42 Jaccard. At 100 TB the band join is the
+  * only super-linear step and it is bounded by bucket sizes — salt or
+  * increase r if a bucket hot-spots (AQE skew join handles moderate skew).
+  */
+object Dedup {
+
+  private val NumHashes = 128
+  private val Bands = 32
+  private val RowsPerBand = NumHashes / Bands
+
+  /** Whitespace tokens, lowercased, empties dropped. */
+  private[operators] def tokensCol(text: Column): Column =
+    filter(split(lower(text), "\\s+"), t => length(t) > 0)
+
+  /** Word k-shingles as a distinct array of xxhash64 values. */
+  private[operators] def shingleHashes(tokens: Column, k: Int): Column =
+    array_distinct(transform(
+      sequence(lit(0), greatest(size(tokens) - k, lit(0))),
+      i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(k))))))
+
+  /** documents + `sh` (shingle-hash set) column. */
+  private def shingled(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
+      .withColumn("sh", shingleHashes(col("tokens"), 3))
+
+  /** Exact dedup: md5 of the raw text, one row per distinct content with the
+    * keeper (min doc_id) and the duplicate count. Oracle-able. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+
+  /** MinHash signature per document: sig[i] = min over shingles s of
+    * xxhash64(s, i). One pass over the shingle array per hash function; all
+    * codegen'd. Deterministic (rows-only check). */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir)
+      .withColumn("sig", transform(sequence(lit(0), lit(NumHashes - 1)),
+        i => array_min(transform(col("sh"), h => xxhash64(h, i)))))
+      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
+        xxhash64(concat_ws(",", transform(col("sig"), _.cast("string"))))
+          .as("sig_hash"))
+      .orderBy("doc_id")
+
+  /** MinHash+LSH near-duplicate pairs: band the signature, bucket-join on
+    * (band, bandHash), then verify candidates with EXACT Jaccard on the
+    * shingle sets. Output: pairs with jaccard ≥ minJaccard. */
+  def minhashPairs(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sig = shingled(spark, dir)
+      .withColumn("sig", transform(sequence(lit(0), lit(NumHashes - 1)),
+        i => array_min(transform(col("sh"), h => xxhash64(h, i)))))
+      .cache()
+    val bands = sig.select(col("doc_id"),
+        explode(transform(sequence(lit(0), lit(Bands - 1)), j =>
+          struct(j.as("band"), xxhash64(concat_ws(",", transform(
+            slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)),
+            _.cast("string")))).as("bh")))).as("b"))
+      .select(col("doc_id"), col("b.band"), col("b.bh"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = sig.select(col("doc_id"), col("sh"))
+    cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
+      .withColumn("jaccard", round(
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))), 6))
+      .where(col("jaccard") >= minJaccard)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** 64-bit SimHash fingerprint per document: per bit j, sign of
+    * Σ_tokens (±1 by bit j of xxhash64(token)). Single aggregate pass. */
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
+      .withColumn("fp", expr(
+        """aggregate(
+          |  transform(sequence(0, 63), j ->
+          |    if(aggregate(tokens, 0L,
+          |         (acc, t) -> acc + if((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L)) > 0,
+          |       shiftleft(1L, j), 0L)),
+          |  0L, (s, x) -> s | x)""".stripMargin))
+      .select("doc_id", "fp")
+      .orderBy("doc_id")
+
+  /** SimHash near-dup pairs: block on 4×16-bit chunks (two fingerprints at
+    * Hamming distance ≤ 3 share ≥ 1 exact chunk by pigeonhole), verify with
+    * bit_count(xor). */
+  def simhashPairs(spark: SparkSession, dir: String,
+      maxHamming: Int = 3): DataFrame = {
+    val fp = simhash(spark, dir)
+    val chunks = fp.select(col("doc_id"), col("fp"),
+        explode(expr("transform(sequence(0, 3), j -> " +
+          "struct(j AS chunk, (shiftright(fp, j * 16) & 65535) AS cv))")).as("c"))
+      .select(col("doc_id"), col("fp"), col("c.chunk"), col("c.cv"))
+    chunks.as("x").join(chunks.as("y"),
+        col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+      .distinct()
+      .where(col("hamming") <= maxHamming)
+      .orderBy("hamming", "doc_a", "doc_b")
+  }
+
+  /** Exact word-3-gram Jaccard: top-k most similar pairs. Brute pairwise is
+    * capped to doc_id < `cap` on the left side so the pair count stays
+    * bounded at scale (the LSH paths above are the uncapped route). */
+  def ngramJaccardTopK(spark: SparkSession, dir: String, k: Int = 50,
+      cap: Long = 1000): DataFrame = {
+    val sh = shingled(spark, dir).select(col("doc_id"), col("sh"))
+    sh.as("a").where(col("doc_id") < cap)
+      .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
+          size(array_union(col("a.sh"), col("b.sh"))), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(k)
+  }
+}

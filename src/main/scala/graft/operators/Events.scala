@@ -1,0 +1,58 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Event analytics over the `events` table: tumbling-window aggregation,
+  * per-user ranking (window functions) and gap-based sessionization —
+  * the batch faces of the streaming module (graft.streaming runs the same
+  * aggregations under Structured Streaming with watermarks/state).
+  * The reference has none of this (SURVEY.md §2.10) — extension surface.
+  */
+object Events {
+
+  /** Tumbling 1-hour windows per event_type: count/sum/avg. Window start is
+    * exposed as epoch seconds (cross-engine-stable representation). */
+  def hourly(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 6).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("hour_s", "event_type")
+
+  /** Per-user latest-3 events by time (ranking window function). */
+  def ranked(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .orderBy("user_id", "rn")
+  }
+
+  /** Gap-based sessionization (30-min inactivity): classic lag + running
+    * sum of session-boundary markers, then per-session rollup. */
+  def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("is_new").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_seq")
+      .agg(count(lit(1)).as("n_events"),
+        min(unix_timestamp(col("ts"))).as("start_s"),
+        max(unix_timestamp(col("ts"))).as("end_s"),
+        round(sum("value"), 6).as("sum_value"))
+      .orderBy("user_id", "session_seq")
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Text analysis over `documents` (SURVEY.md §7 M5): per-document stats +
+  * quality score, corpus token frequencies (the reference's own word-count
+  * pattern, `SON.scala:261-262` A2), n-gram language identification, and
+  * winnowing document fingerprints. All native column expressions.
+  */
+object TextOps {
+
+  /** Per-document stats + a composite quality score. SQL-oracle-able: the
+    * token definition (lowercase, split on \s+, drop empties) and the
+    * arithmetic are mirrored exactly in DuckDB. */
+  def textStats(spark: SparkSession, dir: String): DataFrame = {
+    val stop = Seq("the", "a", "of", "to", "and", "in", "is")
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        Dedup.tokensCol(col("text")).as("tokens"))
+      .withColumn("n_tokens", size(col("tokens")))
+      .withColumn("n_uniq", size(array_distinct(col("tokens"))))
+      .withColumn("n_stop", size(filter(col("tokens"),
+        t => t.isin(stop.map(lit(_)): _*))))
+      .select(col("doc_id"), col("n_chars"), col("n_tokens"), col("n_uniq"),
+        round(col("n_stop").cast("double") / col("n_tokens"), 6).as("stop_ratio"),
+        round(col("n_uniq").cast("double") / col("n_tokens"), 6).as("uniq_ratio"),
+        round(
+          least(col("n_tokens").cast("double") / 100.0, lit(1.0)) * 0.4 +
+            (lit(1.0) - col("n_stop").cast("double") / col("n_tokens")) * 0.3 +
+            col("n_uniq").cast("double") / col("n_tokens") * 0.3, 6).as("quality"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus token frequency top-k (word count = reference A2 pattern). */
+  def tokenTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(Dedup.tokensCol(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
+  /** Language-ID heuristic: score each language by marker-token hit rate
+    * (top stopwords per language) plus a CJK-codepoint ratio for zh.
+    * Deterministic; rows-only (the marker lists are engine-internal). */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val markers: Map[String, Seq[String]] = Map(
+      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+      "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+      "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text"), Dedup.tokensCol(col("text")).as("tokens"))
+      .withColumn("n_tokens", greatest(size(col("tokens")), lit(1)))
+    val scored = markers.foldLeft(base) { case (df, (lang, ws)) =>
+      df.withColumn(s"score_$lang",
+        size(filter(col("tokens"), t => t.isin(ws.map(lit(_)): _*)))
+          .cast("double") / col("n_tokens"))
+    }.withColumn("score_zh",
+      (length(col("text")) - length(regexp_replace(col("text"), "[\\u4e00-\\u9fff]", "")))
+        .cast("double") / greatest(length(col("text")), lit(1)))
+    val langs = markers.keys.toSeq.sorted :+ "zh"
+    // argmax over the per-language scores, ties broken alphabetically
+    val best = langs.map(l => struct(col(s"score_$l").as("s"), lit(l).as("l")))
+      .reduce((a, b) => when(b("s") > a("s"), b).otherwise(a))
+    scored.select(col("doc_id"), best.getField("l").as("lang_pred"),
+        round(best.getField("s"), 6).as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Winnowing fingerprints (Schleimer et al.): rolling xxhash64 over word
+    * 5-grams, keep the min of each 4-window, distinct. Output per doc:
+    * fingerprint count + xor-fold (deterministic content signature). */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
+      .withColumn("grams", expr(
+        "transform(sequence(0, greatest(size(tokens) - 5, 0)), i -> " +
+          "xxhash64(concat_ws(' ', slice(tokens, i + 1, 5))))"))
+      .withColumn("fps", expr(
+        "array_distinct(transform(sequence(0, greatest(size(grams) - 4, 0)), i -> " +
+          "array_min(slice(grams, i + 1, 4))))"))
+      .select(col("doc_id"), size(col("fps")).as("n_fp"),
+        expr("aggregate(fps, 0L, (a, x) -> a ^ x)").as("fp_xor"))
+      .orderBy("doc_id")
+}
