@@ -35,6 +35,7 @@ object SparkEntry {
     "q20_freq_items" -> ((s, d) => Baskets.freqItems(s, d)),
     "q21_freq_pairs" -> ((s, d) => Baskets.freqPairs(s, d)),
     "q22_son" -> ((s, d) => Baskets.son(s, d)),
+    "q23_freq_pairs_generator" -> ((s, d) => Baskets.freqPairsViaGenerator(s, d)),
     // --- graph (§2.9 G2–G6) ---
     "q30_cograph_edges" -> (GraphOps.edgesQuery _),
     "q31_degrees" -> (GraphOps.degrees _),
@@ -53,6 +54,7 @@ object SparkEntry {
     "q46_ann_brute" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q47_ann_lsh" -> ((s, d) => Similarity.cosineTopKLsh(s, d)),
     "q48_cosine_neardup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
+    "q49_ann_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
     // --- text analysis ---
     "q50_text_stats" -> (TextOps.textStats _),
     "q51_token_topk" -> ((s, d) => TextOps.tokenTopK(s, d)),
@@ -62,11 +64,21 @@ object SparkEntry {
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
     "q62_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    // --- multimodal plumbing (stubbed decode; real batching/schema) ---
+    "q70_media_features" -> (graft.multimodal.MediaOps.mediaFeatureQuery _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
     * Table names resolve against the same parquet fixtures. */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = {
+    val m = baseOracleSql
+    // custom-expression variants produce byte-identical results to their
+    // built-in twins and share the oracle
+    m + ("q23_freq_pairs_generator" -> m("q21_freq_pairs")) +
+      ("q49_ann_native" -> m("q46_ann_brute"))
+  }
+
+  private def baseOracleSql: Map[String, String] = Map(
     "q01_groupavg_brand_flag" ->
       """SELECT p_brand, l_returnflag, round(avg(l_extendedprice), 6) AS avg_price,
         |       round(sum(l_quantity), 6) AS sum_qty, count(*) AS cnt

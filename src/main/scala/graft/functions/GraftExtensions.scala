@@ -1,0 +1,34 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Engine function registration. Two routes:
+  *  - `spark.sql.extensions=graft.functions.GraftExtensions` at session
+  *    build (the SparkSessionExtensions contract), or
+  *  - `GraftFunctions.register(spark)` on a live session.
+  * Registered: `array_dot(a, b)` and `combinations(arr, k)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftFunctions.all.foreach(ext.injectFunction)
+}
+
+object GraftFunctions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val all: Seq[FunctionDescription] = Seq(
+    (FunctionIdentifier("array_dot"),
+      new ExpressionInfo(classOf[ArrayDotProduct].getName, "array_dot"),
+      (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))),
+    (FunctionIdentifier("combinations"),
+      new ExpressionInfo(classOf[Combinations].getName, "combinations"),
+      (es: Seq[Expression]) => Combinations(es(0), es(1))))
+
+  def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+  }
+}

@@ -1,0 +1,99 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions (SURVEY.md §7: the only places the built-in
+  * surface genuinely runs out).
+  *
+  * `ArrayDotProduct` is the ANN hot inner loop as a natively codegen'd
+  * binary expression: a tight primitive `double` loop over the two
+  * ArrayData buffers — no lambda-function call per element like the
+  * `aggregate(zip_with(...))` formulation, no boxing, stays inside
+  * whole-stage codegen.
+  *
+  * `Combinations` is a Generator producing all size-k subsets of an array
+  * (reference F9: Scala's `combinations(n)` used for A-priori candidate
+  * generation `SON.scala:87` and per-component pair enumeration
+  * `Community.scala:33`). Lateral-view shape, so itemset enumeration is a
+  * first-class relational operator instead of a typed closure.
+  */
+case class ArrayDotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "array_dot"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) => TypeCheckSuccess
+      case _ => TypeCheckFailure("array_dot(array<double>, array<double>)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double ${ev.value}Acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${ev.value}Acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = ${ev.value}Acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): ArrayDotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** All size-k combinations of an array<bigint>, emitted in the canonical
+  * order of the (sorted) input — one row per combination. */
+case class Combinations(child: Expression, kExpr: Expression)
+    extends Generator with CodegenFallback {
+
+  override def children: Seq[Expression] = Seq(child, kExpr)
+  override def elementSchema: StructType =
+    StructType(StructField("combo", ArrayType(LongType, containsNull = false)) :: Nil)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) if kExpr.foldable && kExpr.dataType == IntegerType =>
+        TypeCheckSuccess
+      case _ => TypeCheckFailure("combinations(array<bigint>, k literal int)")
+    }
+  }
+
+  override def eval(input: InternalRow): IterableOnce[InternalRow] = {
+    val arr = child.eval(input).asInstanceOf[ArrayData]
+    if (arr == null) return Iterator.empty
+    val k = kExpr.eval(input).asInstanceOf[Int]
+    val items = arr.toLongArray()
+    if (k <= 0 || k > items.length) return Iterator.empty
+    items.toSeq.combinations(k).map(c =>
+      InternalRow(new GenericArrayData(c.toArray)))
+  }
+
+  override protected def withNewChildrenInternal(
+      newChildren: IndexedSeq[Expression]): Combinations =
+    copy(child = newChildren(0), kExpr = newChildren(1))
+}

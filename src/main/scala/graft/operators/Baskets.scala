@@ -54,6 +54,24 @@ object Baskets {
       .orderBy("item1", "item2")
   }
 
+  /** Frequent pairs via the custom `combinations` Catalyst Generator
+    * (graft.functions.Combinations — lateral-view subset enumeration, the
+    * relational form of the reference's `basket.combinations(2)`,
+    * `SON.scala:87`). Same result as [[freqPairs]]; shares its oracle. */
+  def freqPairsViaGenerator(spark: SparkSession, dir: String,
+      support: Int = 3): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    orderParts(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_list(col("l_partkey"))).as("items"))
+      .select(expr("combinations(items, 2)").as("combo"))
+      .groupBy(col("combo").getItem(0).as("item1"),
+        col("combo").getItem(1).as("item2"))
+      .agg(count(lit(1)).as("support"))
+      .where(col("support") >= support)
+      .orderBy("item1", "item2")
+  }
+
   /** Levelwise A-priori over an in-memory chunk of baskets. Counts k-subsets
     * of each basket restricted to frequent items, pruning candidates whose
     * (k-1)-subsets are not all frequent (monotonicity, `SON.scala:77-108`).

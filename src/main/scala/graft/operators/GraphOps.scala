@@ -67,8 +67,12 @@ object GraphOps {
     * coalesces the shrinking shuffles. Output: (vertex, component) where
     * component = min vertex id in the component (deterministic).
     */
-  def connectedComponents(spark: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(spark, dir).select("u", "v").cache()
+  def connectedComponents(spark: SparkSession, dir: String): DataFrame =
+    componentsOfEdges(coPurchaseEdges(spark, dir).select("u", "v"))
+
+  /** Min-label propagation over an arbitrary (u, v) edge DataFrame. */
+  def componentsOfEdges(edgeDf: DataFrame): DataFrame = {
+    val e = edgeDf.select("u", "v").cache()
     // Symmetric neighbor relation.
     val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).cache()
     var labels = nbrs.select(col("u").as("vertex")).distinct()
@@ -128,8 +132,13 @@ object GraphOps {
     * `Betweenness.scala:133-138`). Adjacency ships as a broadcast. */
   def betweenness(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
     import spark.implicits._
-    val edges = coPurchaseEdges(spark, dir, minShared)
-      .select("u", "v").as[(Long, Long)].collect()
+    betweennessOfEdges(spark,
+      coPurchaseEdges(spark, dir, minShared).select("u", "v").as[(Long, Long)].collect())
+  }
+
+  /** Distributed Brandes over an explicit undirected edge list. */
+  def betweennessOfEdges(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
     val adj = buildAdjacency(edges)
     val bcAdj = spark.sparkContext.broadcast(adj)
     val vertices = adj.keys.toSeq.sorted
@@ -160,7 +169,7 @@ object GraphOps {
     * (the reference collects everything too, `Community.scala:67-148`); at
     * fixture scale the edge list is tiny. 100 TB path: re-run the
     * distributed `connectedComponents` per step instead. */
-  private def unionFind(vertices: Array[Long], edges: Iterable[(Long, Long)]): Map[Long, Long] = {
+  private[operators] def unionFind(vertices: Array[Long], edges: Iterable[(Long, Long)]): Map[Long, Long] = {
     val parent = mutable.HashMap.empty[Long, Long]
     vertices.foreach(v => parent(v) = v)
     def find(x: Long): Long = {
@@ -181,7 +190,7 @@ object GraphOps {
     * Q = Σ_c [E_c − (D_c² − S_c)/(4m)] / (2m), degrees from the ORIGINAL
     * graph (`Community.scala:16-48` — A_ij and d_i both refer to the full
     * graph; only the community assignment comes from the residual graph). */
-  private def modularityOf(comp: Map[Long, Long], degree: Map[Long, Int],
+  private[operators] def modularityOf(comp: Map[Long, Long], degree: Map[Long, Int],
       origEdges: Array[(Long, Long)], m2: Double): Double = {
     val ec = mutable.HashMap.empty[Long, Double]
     origEdges.foreach { case (u, v) =>

@@ -48,6 +48,31 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Exact cosine top-k through the natively codegen'd
+    * `graft.functions.ArrayDotProduct` expression (tight primitive loop, no
+    * per-element lambda dispatch). Same results as [[cosineTopK]]; shares
+    * its oracle — the DuckDB compare doubles as the expression's
+    * correctness proof. */
+  def cosineTopKNative(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Long = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    def ndot(a: Column, b: Column) = call_function("array_dot", a, b)
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm", sqrt(ndot(col("v"), col("v"))))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val sims = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(ndot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** Random-hyperplane LSH with OR-amplification: `nTables` independent
     * hash tables of `nBits` sign bits each. Bit b of table t is the sign of
     * v · h_{t,b}, where h_{t,b} is a deterministic ±1 hyperplane derived

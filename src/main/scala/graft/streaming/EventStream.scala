@@ -1,0 +1,80 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming faces of the event analytics (SURVEY.md §7 M5 —
+  * extension surface; the reference has no streaming, §2.10). The same
+  * logical plans run batch or streaming: `hourlyCounts` is the streaming
+  * twin of `operators.Events.hourly`, `sessionize` the stateful twin of the
+  * window-function sessionization.
+  *
+  * Scale notes: the windowed aggregation is watermark-bounded state (1 hour
+  * + window size per key group); the sessionizer holds one open session per
+  * user and emits on gap-timeout — state size O(active users), the standard
+  * shape for million-user clickstreams.
+  */
+object EventStream {
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class Session(user_id: Long, start_s: Long, end_s: Long,
+      n_events: Int, sum_value: Double)
+  /** Internal sessionizer state (public: encoder codegen needs access). */
+  final case class Open(start: Long, last: Long, n: Int, total: Double)
+
+  /** Tumbling 1-hour counts per event_type; identical results to the batch
+    * `Events.hourly` once the stream is drained. Works on batch frames too
+    * (withWatermark is a no-op there). */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("hour_s"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Gap-based sessionization with explicit state: one open session per
+    * user; events extend it while gaps stay ≤ `gapSec`; a longer gap (or an
+    * event-time timeout once the watermark passes last + gap) closes and
+    * emits the session. Append-mode `flatMapGroupsWithState`. */
+  def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[Session] = {
+    import events.sparkSession.implicits._
+
+    def touch(userId: Long, it: Iterator[Ev],
+        state: GroupState[Open]): Iterator[Session] = {
+      val gapMs = gapSec * 1000L
+      def close(o: Open) =
+        Session(userId, o.start / 1000, o.last / 1000, o.n, math.rint(o.total * 1e6) / 1e6)
+      if (state.hasTimedOut) {
+        val out = state.getOption.map(close).iterator
+        state.remove()
+        return out
+      }
+      val evs = it.toArray.sortBy(_.ts.getTime)
+      val (open, closed) = evs.foldLeft((state.getOption, Vector.empty[Session])) {
+        case ((cur, out), e) =>
+          val t = e.ts.getTime
+          cur match {
+            case Some(o) if t - o.last <= gapMs =>
+              (Some(Open(o.start, t, o.n + 1, o.total + e.value)), out)
+            case Some(o) =>
+              (Some(Open(t, t, 1, e.value)), out :+ close(o))
+            case None =>
+              (Some(Open(t, t, 1, e.value)), out)
+          }
+      }
+      open.foreach { o =>
+        state.update(o)
+        state.setTimeoutTimestamp(o.last + gapMs + 1)
+      }
+      closed.iterator
+    }
+
+    events
+      .withWatermark("ts", "1 hour")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(touch)
+  }
+}

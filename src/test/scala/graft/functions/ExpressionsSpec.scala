@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class ExpressionsSpec extends AnyFunSuite with SparkSuite {
+
+  test("array_dot matches the HOF formulation and survives codegen") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq((Array(1.0, 2.0, 3.0), Array(4.0, 5.0, 6.0)),
+      (Array(0.0, 0.0), Array(1.0, 1.0))).toDF("a", "b")
+    val rows = df.select(
+      call_function("array_dot", col("a"), col("b")).as("native"),
+      aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x).as("hof")).collect()
+    rows.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+    assert(rows.head.getDouble(0) == 32.0)
+  }
+
+  test("array_dot agrees with HOF on real embeddings (whole fixture)") {
+    GraftFunctions.register(spark)
+    val e = graft.Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val n = e.select((call_function("array_dot", col("v"), col("v")) -
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0), (acc, x) => acc + x)).as("diff"))
+      .where(abs(col("diff")) > 1e-12).count()
+    assert(n == 0)
+  }
+
+  test("combinations generator enumerates sorted k-subsets") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val df = Seq(Seq(1L, 2L, 3L, 4L)).toDF("items")
+    val combos = df.select(expr("combinations(items, 2)").as("c"))
+      .collect().map(_.getSeq[Long](0).toList)
+    assert(combos.toList == List(List(1L, 2L), List(1L, 3L), List(1L, 4L),
+      List(2L, 3L), List(2L, 4L), List(3L, 4L)))
+    val empty = df.select(expr("combinations(items, 5)")).count()
+    assert(empty == 0)
+  }
+
+  test("SQL surface can use the injected functions directly") {
+    // session built with spark.sql.extensions=GraftExtensions
+    val r = spark.sql("SELECT array_dot(array(1D, 2D), array(3D, 4D)) AS d").head
+    assert(r.getDouble(0) == 11.0)
+  }
+}

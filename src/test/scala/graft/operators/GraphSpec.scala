@@ -1,0 +1,79 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+class GraphSpec extends AnyFunSuite with SparkSuite {
+
+  private def btwMap(edges: Array[(Long, Long)]): Map[(Long, Long), Double] =
+    GraphOps.betweennessOfEdges(spark, edges).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+
+  test("edge betweenness on a path graph 1-2-3") {
+    // pairs: (1,2) uses e12; (1,3) uses both; (2,3) uses e23 → each edge 2.0
+    assert(btwMap(Array((1L, 2L), (2L, 3L))) ==
+      Map((1L, 2L) -> 2.0, (2L, 3L) -> 2.0))
+  }
+
+  test("edge betweenness on a star K1,3") {
+    // leaf i: pairs (i,0),(i,j),(i,k) all cross edge (0,i) → 3.0 each
+    val m = btwMap(Array((0L, 1L), (0L, 2L), (0L, 3L)))
+    assert(m == Map((0L, 1L) -> 3.0, (0L, 2L) -> 3.0, (0L, 3L) -> 3.0))
+  }
+
+  test("edge betweenness splits shortest-path credit on a 4-cycle") {
+    // 1-2, 1-3, 2-4, 3-4: by symmetry each edge carries 1 (adjacent pair)
+    // + 0.5 (split from (1,4)) + 0.5 (split from (2,3)) = 2.0
+    val m = btwMap(Array((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L)))
+    assert(m.values.forall(v => math.abs(v - 2.0) < 1e-9))
+  }
+
+  test("distributed connected components equals driver union-find on fixture") {
+    import spark.implicits._
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir)
+      .select("u", "v").as[(Long, Long)].collect()
+    val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val uf = GraphOps.unionFind(vertices, edges)
+    val dist = GraphOps.connectedComponents(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(dist == uf)
+  }
+
+  test("modularity closed form equals the reference pairwise formula") {
+    val edges = Array((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val degree = vertices.map(v =>
+      v -> edges.count(e => e._1 == v || e._2 == v)).toMap
+    val comp = Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L)
+    val m2 = 2.0 * edges.length
+    // reference formula: sum over unordered same-community pairs of
+    // (A_ij - d_i*d_j/2m), normalized by 2m (Community.scala:16-48)
+    val edgeSet = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val pairwise = (for {
+      i <- vertices; j <- vertices if i < j && comp(i) == comp(j)
+      a = if (edgeSet((i, j))) 1.0 else 0.0
+    } yield a - degree(i) * degree(j) / m2).sum / m2
+    val closed = GraphOps.modularityOf(comp, degree, edges, m2)
+    assert(math.abs(closed - pairwise) < 1e-12)
+  }
+
+  test("communities are a partition of the graph vertices") {
+    import spark.implicits._
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir)
+      .select("u", "v").as[(Long, Long)].collect()
+    val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct.toSet
+    val rows = GraphOps.communities(spark, sfDir).collect()
+    val members = rows.flatMap(_.getAs[String]("members").split(",").map(_.toLong))
+    assert(members.length == members.distinct.length, "overlapping communities")
+    assert(members.toSet == vertices, "communities must cover all vertices")
+    rows.foreach(r => assert(r.getAs[String]("members").split(",").length == r.getAs[Int]("size")))
+  }
+
+  test("betweenness total equals sum of pairwise distances-through-edges invariant") {
+    // Σ_e btw(e) = Σ_{s<t reachable} (#edges on shortest s-t paths weighted)
+    // = Σ_{s<t} d(s,t) for unit-weight BFS credit — check on the path graph
+    val m = btwMap(Array((1L, 2L), (2L, 3L), (3L, 4L)))
+    // d(1,2)+d(1,3)+d(1,4)+d(2,3)+d(2,4)+d(3,4) = 1+2+3+1+2+1 = 10
+    assert(math.abs(m.values.sum - 10.0) < 1e-9)
+  }
+}

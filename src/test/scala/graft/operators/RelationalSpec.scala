@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSuite, Tables}
+
+class RelationalSpec extends AnyFunSuite with SparkSuite {
+
+  test("groupavg counts roll up to the joined row count") {
+    val df = Relational.groupAvgBrandFlag(spark, sfDir)
+    val total = df.agg(sum("cnt")).head.getLong(0)
+    val expected = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .join(Tables(spark, sfDir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .count()
+    assert(total == expected)
+  }
+
+  test("avg is bounded by min/max of the measure") {
+    val row = Relational.groupAvgBrandFlag(spark, sfDir)
+      .agg(min("avg_price"), max("avg_price")).head
+    val b = Tables(spark, sfDir, "lineitem")
+      .agg(min("l_extendedprice"), max("l_extendedprice")).head
+    assert(row.getDouble(0) >= b.getDouble(0) && row.getDouble(1) <= b.getDouble(1))
+  }
+
+  test("semi and anti joins partition customers with F-orders correctly") {
+    val c = Tables(spark, sfDir, "customer")
+    val withF = c.join(
+      Tables(spark, sfDir, "orders").where(col("o_orderstatus") === "F"),
+      col("c_custkey") === col("o_custkey"), "left_semi").count()
+    val anti = Relational.joinAnti(spark, sfDir).count()
+    assert(withF + anti == c.count())
+  }
+
+  test("top-k is ordered desc and k-sized") {
+    val rows = Relational.topK(spark, sfDir).collect()
+    assert(rows.length == 10)
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.zip(prices.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("left outer join keeps all customers") {
+    assert(Relational.joinLeftOuter(spark, sfDir).count() ==
+      Tables(spark, sfDir, "customer").count())
+  }
+
+  test("group collect basket is sorted numerically") {
+    val r = Relational.groupCollect(spark, sfDir)
+      .where(col("n_items") >= 3).head
+    val items = r.getAs[String]("basket").split(",").map(_.toLong)
+    assert(items.sorted.sameElements(items))
+  }
+
+  test("11dp format matches String.format semantics") {
+    val r = Relational.fmt11dp(spark, sfDir).head
+    assert(r.getAs[String]("avg_qty_11dp").matches("""\d+\.\d{11}"""))
+  }
+
+  test("sql surface answers the same as the DataFrame surface") {
+    val viaSql = Relational.sqlApi(spark, sfDir).collect().map(_.toSeq)
+    val viaDf = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part"), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(round(avg("l_extendedprice"), 6).as("avg_price"), count(lit(1)).as("cnt"))
+      .orderBy("p_brand").collect().map(_.toSeq)
+    assert(viaSql.sameElements(viaDf))
+  }
+}

@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSuite, Tables}
+
+class SimilaritySpec extends AnyFunSuite with SparkSuite {
+
+  private def cosine(a: Array[Double], b: Array[Double]): Double = {
+    var d = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+    d / math.sqrt(na * nb)
+  }
+
+  test("brute-force top-1 matches a driver-side argmax for sample queries") {
+    val vecs = Tables(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray)).toMap
+    val top1 = Similarity.cosineTopK(spark, sfDir).where("rank = 1").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    Seq(0L, 1L, 2L).filter(top1.contains).foreach { q =>
+      val truth = vecs.iterator.filter(_._1 != q)
+        .maxBy { case (_, v) => cosine(vecs(q), v) }._1
+      assert(top1(q) == truth, s"query $q: engine=${top1(q)} truth=$truth")
+    }
+  }
+
+  test("LSH top-5 recall vs brute force is usable") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = Similarity.cosineTopKLsh(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(lsh).size.toDouble / brute.size
+    assert(recall >= 0.3, s"LSH recall $recall below floor")
+  }
+
+  test("near-dup top pair equals the global max-cosine pair") {
+    val vecs = Tables(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    val globalBest = (for {
+      (a, va) <- vecs; (b, vb) <- vecs if a < b
+    } yield ((a, b), cosine(va, vb))).maxBy(_._2)
+    val top = Similarity.cosineNearDups(spark, sfDir).head
+    // LSH candidates may miss the global best; it must at least be close
+    assert(top.getDouble(2) >= globalBest._2 - 0.05,
+      s"top candidate ${top.getDouble(2)} far below global ${globalBest._2}")
+  }
+}

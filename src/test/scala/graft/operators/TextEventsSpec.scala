@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSuite, Tables}
+
+class TextEventsSpec extends AnyFunSuite with SparkSuite {
+
+  test("text stats match a driver-side recomputation for sample docs") {
+    val stats = Tables(spark, sfDir, "documents").limit(5).collect().map { r =>
+      val tokens = r.getAs[String]("text").toLowerCase.split("\\s+").filter(_.nonEmpty)
+      (r.getAs[Long]("doc_id"), tokens.length, tokens.distinct.length)
+    }
+    val engine = TextOps.textStats(spark, sfDir).collect()
+      .map(r => (r.getLong(0), (r.getInt(2), r.getInt(3)))).toMap
+    stats.foreach { case (id, nTok, nUniq) =>
+      assert(engine(id) == ((nTok, nUniq)), s"doc $id")
+    }
+  }
+
+  test("quality score stays in [0, 1]") {
+    val mm = TextOps.textStats(spark, sfDir).agg(min("quality"), max("quality")).head
+    assert(mm.getDouble(0) >= 0.0 && mm.getDouble(1) <= 1.0)
+  }
+
+  test("token top-k total equals corpus token occurrences for covered tokens") {
+    val top = TextOps.tokenTopK(spark, sfDir, 1000).collect()
+    val total = top.map(_.getLong(1)).sum
+    val expected = Tables(spark, sfDir, "documents").collect()
+      .map(_.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty)).sum
+    assert(total == expected) // vocabulary is tiny; 1000 covers everything
+  }
+
+  test("lang id emits one deterministic prediction per doc") {
+    val a = TextOps.langId(spark, sfDir).collect().map(r => (r.getLong(0), r.getString(1)))
+    val b = TextOps.langId(spark, sfDir).collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(a.sameElements(b))
+    assert(a.length == Tables(spark, sfDir, "documents").count())
+  }
+
+  test("fingerprints are deterministic and non-degenerate") {
+    val a = TextOps.fingerprint(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(2)))
+    val b = TextOps.fingerprint(spark, sfDir).collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(a.sameElements(b))
+    assert(a.map(_._2).distinct.length > a.length / 2, "fingerprints should mostly differ")
+  }
+
+  test("sessions partition events and respect the gap") {
+    val sess = Events.sessionize(spark, sfDir)
+    val nEvents = sess.agg(sum("n_events")).head.getLong(0)
+    assert(nEvents == Tables(spark, sfDir, "events").count())
+    // within a user, sessions are ordered and separated by > gap
+    val rows = sess.where(col("user_id") === sess.select("user_id").head.getLong(0))
+      .orderBy("session_seq").collect()
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Long]("start_s") - a.getAs[Long]("end_s") > 1800)
+      case _ =>
+    }
+  }
+
+  test("ranked returns at most 3 strictly time-descending events per user") {
+    val byUser = Events.ranked(spark, sfDir).collect().groupBy(_.getLong(0))
+    byUser.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val ts = rs.sortBy(_.getInt(1)).map(_.getAs[Long]("ts_s"))
+      assert(ts.zip(ts.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("hourly aggregation reconciles with raw event count") {
+    val n = Events.hourly(spark, sfDir).agg(sum("n")).head.getLong(0)
+    assert(n == Tables(spark, sfDir, "events").count())
+  }
+}
