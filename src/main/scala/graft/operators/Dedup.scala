@@ -92,17 +92,23 @@ object Dedup {
   }
 
   /** 64-bit SimHash fingerprint per document: per bit j, sign of
-    * Σ_tokens (±1 by bit j of xxhash64(token)). Single aggregate pass. */
+    * Σ_tokens (±1 by bit j of xxhash64(token)). Each token is hashed ONCE
+    * (`th`), then one zip_with accumulates all 64 bit-counters — hashing
+    * inside the bit loop would cost 64× the hash work. */
   def simhash(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
+      .withColumn("th", expr("transform(tokens, t -> xxhash64(t))"))
       .withColumn("fp", expr(
         """aggregate(
-          |  transform(sequence(0, 63), j ->
-          |    if(aggregate(tokens, 0L,
-          |         (acc, t) -> acc + if((shiftright(xxhash64(t), j) & 1) = 1, 1L, -1L)) > 0,
-          |       shiftleft(1L, j), 0L)),
-          |  0L, (s, x) -> s | x)""".stripMargin))
+          |  aggregate(th, array_repeat(0L, 64),
+          |    (acc, h) -> zip_with(acc,
+          |      transform(sequence(0, 63), j -> if((shiftright(h, j) & 1) = 1, 1L, -1L)),
+          |      (a, b) -> a + b)),
+          |  named_struct('j', 0, 'fp', 0L),
+          |  (s, cnt) -> named_struct('j', s.j + 1,
+          |    'fp', if(cnt > 0, s.fp | shiftleft(1L, s.j), s.fp)),
+          |  s -> s.fp)""".stripMargin))
       .select("doc_id", "fp")
       .orderBy("doc_id")
 
@@ -111,7 +117,7 @@ object Dedup {
     * bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(spark, dir)
+    val fp = simhash(spark, dir).cache() // self-joined: don't evaluate twice
     val chunks = fp.select(col("doc_id"), col("fp"),
         explode(expr("transform(sequence(0, 3), j -> " +
           "struct(j AS chunk, (shiftright(fp, j * 16) & 65535) AS cv))")).as("c"))
@@ -130,13 +136,17 @@ object Dedup {
     * capped to doc_id < `cap` on the left side so the pair count stays
     * bounded at scale (the LSH paths above are the uncapped route). */
   def ngramJaccardTopK(spark: SparkSession, dir: String, k: Int = 50,
-      cap: Long = 1000): DataFrame = {
-    val sh = shingled(spark, dir).select(col("doc_id"), col("sh"))
-    sh.as("a").where(col("doc_id") < cap)
+      cap: Long = 500): DataFrame = {
+    val sh = shingled(spark, dir).select(col("doc_id"), col("sh"),
+      size(col("sh")).as("n"))
+    // |A∪B| = |A|+|B|-|A∩B| — sizes are precomputed, so only the intersect
+    // materializes per pair (array_union would allocate a merged array each)
+    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    broadcast(sh.as("a").where(col("doc_id") < cap))
       .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        round(size(array_intersect(col("a.sh"), col("b.sh"))).cast("double") /
-          size(array_union(col("a.sh"), col("b.sh"))), 6).as("jaccard"))
+        round(inter.cast("double") / (col("a.n") + col("b.n") - inter), 6)
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(k)
   }

@@ -70,66 +70,123 @@ object GraphOps {
   def connectedComponents(spark: SparkSession, dir: String): DataFrame =
     componentsOfEdges(coPurchaseEdges(spark, dir).select("u", "v"))
 
-  /** Min-label propagation over an arbitrary (u, v) edge DataFrame. */
+  /** Min-label propagation with pointer jumping over an arbitrary (u, v)
+    * edge DataFrame. Plain neighbor-min propagation needs O(diameter)
+    * rounds — fatal on near-critical sparse graphs (avg degree ~2 ⇒ long
+    * chains). Each round here additionally shortcuts label(v) ←
+    * label(label(v)) (every label is itself a vertex id), giving O(log
+    * diameter) rounds. `localCheckpoint` truncates the per-round lineage so
+    * round N+1 doesn't re-execute rounds 1..N. */
   def componentsOfEdges(edgeDf: DataFrame): DataFrame = {
     val e = edgeDf.select("u", "v").cache()
-    // Symmetric neighbor relation.
     val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).cache()
     var labels = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("component", col("vertex"))
+      .localCheckpoint()
     var changed = 1L
     while (changed > 0) {
-      val viaNbr = nbrs.join(labels, nbrs("v") === labels("vertex"))
-        .select(nbrs("u").as("vertex"), col("component"))
-      val next = labels.select("vertex", "component").unionAll(viaNbr)
-        .groupBy("vertex").agg(min("component").as("component"))
-        .cache()
-      changed = next.join(labels.withColumnRenamed("component", "old"), "vertex")
+      // label(v) ← min(label(v), min over neighbors w of label(w))
+      val nmin = nbrs.join(labels, nbrs("v") === labels("vertex"))
+        .groupBy(nbrs("u").as("vertex")).agg(min("component").as("nl"))
+      val l1 = labels.as("l").join(nmin.as("n"), Seq("vertex"), "left_outer")
+        .select(col("vertex"),
+          least(col("component"), coalesce(col("nl"), col("component"))).as("component"))
+      // pointer jump: label(v) ← label(label(v))
+      val l2 = l1.as("a").join(l1.as("b"), col("a.component") === col("b.vertex"))
+        .select(col("a.vertex").as("vertex"), col("b.component").as("component"))
+        .localCheckpoint()
+      changed = l2.join(labels.withColumnRenamed("component", "old"), "vertex")
         .where(col("component") =!= col("old")).count()
-      labels = next
+      labels = l2
     }
     labels.orderBy("vertex")
   }
 
   // ---------------------------------------------------------------- Brandes
 
-  /** One Brandes BFS from `s`: returns per-edge dependency credit (the
-    * Girvan–Newman credit rule on unweighted graphs,
-    * `Betweenness.scala:56-116`). Edges keyed canonically (min, max). */
-  private[operators] def brandesOneSource(
-      adj: Map[Long, Array[Long]], s: Long): Iterator[((Long, Long), Double)] = {
-    val dist = mutable.HashMap.empty[Long, Int]
-    val sigma = mutable.HashMap.empty[Long, Double]
-    val order = mutable.ArrayBuffer.empty[Long]
-    val queue = mutable.Queue.empty[Long]
-    dist(s) = 0; sigma(s) = 1.0; queue.enqueue(s)
-    while (queue.nonEmpty) {
-      val v = queue.dequeue()
-      order += v
+  /** Immutable CSR adjacency with parallel canonical-edge-id arrays;
+    * vertices remapped to dense ints so the BFS runs on primitive arrays. */
+  private[operators] final case class Csr(verts: Array[Long], offsets: Array[Int],
+      nbr: Array[Int], eid: Array[Int], edges: Array[(Long, Long)])
+
+  private[operators] def buildCsr(edges: Array[(Long, Long)]): Csr = {
+    val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct.sorted
+    val idx = verts.zipWithIndex.toMap
+    val n = verts.length
+    val deg = new Array[Int](n)
+    edges.foreach { case (u, v) => deg(idx(u)) += 1; deg(idx(v)) += 1 }
+    val offsets = new Array[Int](n + 1)
+    var i = 0
+    while (i < n) { offsets(i + 1) = offsets(i) + deg(i); i += 1 }
+    val nbr = new Array[Int](2 * edges.length)
+    val eid = new Array[Int](2 * edges.length)
+    val cursor = offsets.clone()
+    var e = 0
+    while (e < edges.length) {
+      val u = idx(edges(e)._1); val v = idx(edges(e)._2)
+      nbr(cursor(u)) = v; eid(cursor(u)) = e; cursor(u) += 1
+      nbr(cursor(v)) = u; eid(cursor(v)) = e; cursor(v) += 1
+      e += 1
+    }
+    Csr(verts, offsets, nbr, eid, edges)
+  }
+
+  /** One Brandes BFS from source index `s`, accumulating edge credit into
+    * `acc` (the Girvan–Newman credit rule on unweighted graphs,
+    * `Betweenness.scala:56-116`). Scratch arrays are caller-provided and
+    * reused across sources; only vertices touched by this BFS are reset. */
+  private[operators] def brandesOneSource(g: Csr, s: Int, acc: Array[Double],
+      dist: Array[Int], sigma: Array[Double], delta: Array[Double],
+      order: Array[Int]): Unit = {
+    var head = 0; var tail = 0
+    dist(s) = 0; sigma(s) = 1.0
+    order(tail) = s; tail += 1
+    while (head < tail) {
+      val v = order(head); head += 1
       val dv = dist(v)
-      adj.getOrElse(v, Array.empty).foreach { w =>
-        if (!dist.contains(w)) { dist(w) = dv + 1; queue.enqueue(w) }
-        if (dist(w) == dv + 1) sigma(w) = sigma.getOrElse(w, 0.0) + sigma(v)
+      var j = g.offsets(v)
+      while (j < g.offsets(v + 1)) {
+        val w = g.nbr(j)
+        if (dist(w) < 0) { dist(w) = dv + 1; order(tail) = w; tail += 1 }
+        if (dist(w) == dv + 1) sigma(w) += sigma(v)
+        j += 1
       }
     }
-    val delta = mutable.HashMap.empty[Long, Double]
-    val credit = mutable.ArrayBuffer.empty[((Long, Long), Double)]
-    order.reverseIterator.foreach { w =>
+    var k = tail - 1
+    while (k >= 0) {
+      val w = order(k)
       val dw = dist(w)
-      adj.getOrElse(w, Array.empty).foreach { v =>
-        if (dist.getOrElse(v, Int.MaxValue) == dw - 1) {
-          val c = sigma(v) / sigma(w) * (1.0 + delta.getOrElse(w, 0.0))
-          delta(v) = delta.getOrElse(v, 0.0) + c
-          credit += (((math.min(v, w), math.max(v, w)), c))
+      var j = g.offsets(w)
+      while (j < g.offsets(w + 1)) {
+        val v = g.nbr(j)
+        if (dist(v) == dw - 1) {
+          val c = sigma(v) / sigma(w) * (1.0 + delta(w))
+          delta(v) += c
+          acc(g.eid(j)) += c
         }
+        j += 1
       }
+      k -= 1
     }
-    credit.iterator
+    // reset only what this BFS touched
+    k = 0
+    while (k < tail) {
+      val v = order(k)
+      dist(v) = -1; sigma(v) = 0.0; delta(v) = 0.0
+      k += 1
+    }
   }
 
   /** Edge betweenness: one BFS per source distributed over executors, summed
     * per canonical edge, halved (both directions counted,
-    * `Betweenness.scala:133-138`). Adjacency ships as a broadcast. */
+    * `Betweenness.scala:133-138`).
+    *
+    * Shuffle shape: each partition accumulates credits into ONE dense
+    * double[E] and emits that single array — a 32-array reduce instead of
+    * shuffling V·E credit tuples (≈220M at sf0.1). Scale path for graphs
+    * where double[E] outgrows a task (E ≳ 10⁸): emit per-partition sparse
+    * (edgeId, credit) chunks and shuffle-sum, or move to Pregel
+    * `aggregateMessages`. */
   def betweenness(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
     import spark.implicits._
     betweennessOfEdges(spark,
@@ -139,27 +196,31 @@ object GraphOps {
   /** Distributed Brandes over an explicit undirected edge list. */
   def betweennessOfEdges(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._
-    val adj = buildAdjacency(edges)
-    val bcAdj = spark.sparkContext.broadcast(adj)
-    val vertices = adj.keys.toSeq.sorted
-    spark.createDataset(vertices)
-      .repartition(32)
-      .flatMap(s => brandesOneSource(bcAdj.value, s))
-      .groupByKey(_._1)
-      .mapValues(_._2)
-      .reduceGroups(_ + _)
-      .map { case ((u, v), b) => (u, v, b / 2.0) }
+    val g = buildCsr(edges)
+    val bc = spark.sparkContext.broadcast(g)
+    val n = g.verts.length
+    val credits = spark.sparkContext.parallelize(0 until n, 32)
+      .mapPartitions { sources =>
+        val csr = bc.value
+        val m = csr.edges.length
+        val nn = csr.verts.length
+        val acc = new Array[Double](m)
+        val dist = Array.fill(nn)(-1)
+        val sigma = new Array[Double](nn)
+        val delta = new Array[Double](nn)
+        val order = new Array[Int](nn)
+        sources.foreach(s => brandesOneSource(csr, s, acc, dist, sigma, delta, order))
+        Iterator.single(acc)
+      }
+      .treeReduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    spark.createDataset(
+        g.edges.indices.map(e => (g.edges(e)._1, g.edges(e)._2, credits(e) / 2.0)))
       .toDF("u", "v", "btw")
       .orderBy(col("btw").desc, col("u"), col("v"))
-  }
-
-  private def buildAdjacency(edges: Array[(Long, Long)]): Map[Long, Array[Long]] = {
-    val m = mutable.HashMap.empty[Long, mutable.ArrayBuffer[Long]]
-    edges.foreach { case (u, v) =>
-      m.getOrElseUpdate(u, mutable.ArrayBuffer.empty) += v
-      m.getOrElseUpdate(v, mutable.ArrayBuffer.empty) += u
-    }
-    m.iterator.map { case (k, vs) => (k, vs.toArray.sorted) }.toMap
   }
 
   // ------------------------------------------------- modularity + GN search

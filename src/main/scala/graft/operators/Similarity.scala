@@ -127,7 +127,7 @@ object Similarity {
     * dedup pipeline the `where(cosine >= threshold)` replaces the top-k. */
   def cosineNearDups(spark: SparkSession, dir: String, k: Int = 20,
       nBits: Int = 4, nTables: Int = 4): DataFrame = {
-    val e = lshBuckets(normalized(spark, dir), nBits, nTables)
+    val e = lshBuckets(normalized(spark, dir), nBits, nTables).cache()
     e.as("a").join(e.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
