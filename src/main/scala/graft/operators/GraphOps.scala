@@ -247,20 +247,32 @@ object GraphOps {
     vertices.iterator.map(v => (v, find(v))).toMap
   }
 
-  /** Reference modularity (½-of-textbook quirk preserved): for communities C,
-    * Q = Σ_c [E_c − (D_c² − S_c)/(4m)] / (2m), degrees from the ORIGINAL
-    * graph (`Community.scala:16-48` — A_ij and d_i both refer to the full
-    * graph; only the community assignment comes from the residual graph). */
-  private[operators] def modularityOf(comp: Map[Long, Long], degree: Map[Long, Int],
-      origEdges: Array[(Long, Long)], m2: Double): Double = {
+  /** Reference modularity (`Community.scala:16-48`), ½-of-textbook quirk
+    * preserved: EVERYTHING — A_ij, degrees, m — comes from the RESIDUAL
+    * graph passed to `graphModularity` (the reference passes the
+    * post-removal subgraph), and pairs are counted unordered once.
+    * Closed form per community: Q = Σ_c [E_c − (D_c² − S_c)/(4m)] / (2m)
+    * with D_c = Σ degree, S_c = Σ degree² — identical to the reference's
+    * pairwise sum without enumerating V² pairs. NaN on an edgeless graph
+    * (the reference would divide by zero; NaN stops the `>=` search the
+    * same way). */
+  private[operators] def modularityOf(comp: Map[Long, Long],
+      residEdges: Iterable[(Long, Long)]): Double = {
+    val deg = mutable.HashMap.empty[Long, Double]
     val ec = mutable.HashMap.empty[Long, Double]
-    origEdges.foreach { case (u, v) =>
+    var m = 0L
+    residEdges.foreach { case (u, v) =>
+      m += 1
+      deg.update(u, deg.getOrElse(u, 0.0) + 1.0)
+      deg.update(v, deg.getOrElse(v, 0.0) + 1.0)
       if (comp(u) == comp(v)) ec.update(comp(u), ec.getOrElse(comp(u), 0.0) + 1.0)
     }
+    if (m == 0L) return Double.NaN
+    val m2 = 2.0 * m
     val dSum = mutable.HashMap.empty[Long, Double]
     val dSq = mutable.HashMap.empty[Long, Double]
     comp.foreach { case (v, c) =>
-      val d = degree.getOrElse(v, 0).toDouble
+      val d = deg.getOrElse(v, 0.0)
       dSum.update(c, dSum.getOrElse(c, 0.0) + d)
       dSq.update(c, dSq.getOrElse(c, 0.0) + d * d)
     }
@@ -284,17 +296,10 @@ object GraphOps {
     val ranked = betweenness(spark, dir, minShared)
       .select("u", "v").as[(Long, Long)].collect() // already sorted btw desc
     val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-    val degree = {
-      val d = mutable.HashMap.empty[Long, Int]
-      ranked.foreach { case (u, v) =>
-        d.update(u, d.getOrElse(u, 0) + 1); d.update(v, d.getOrElse(v, 0) + 1)
-      }
-      d.toMap
-    }
-    val m2 = 2.0 * ranked.length // 2m
     def qAfterRemoving(k: Int): (Double, Map[Long, Long]) = {
-      val comp = unionFind(vertices, ranked.drop(k))
-      (modularityOf(comp, degree, ranked, m2), comp)
+      val resid = ranked.drop(k)
+      val comp = unionFind(vertices, resid)
+      (modularityOf(comp, resid), comp)
     }
     // Coarse pass: step until modularity drops (Community.scala:67-109).
     val step = math.max(1, ranked.length / 14)
@@ -330,6 +335,57 @@ object GraphOps {
     spark.createDataset(rows).toDF("community", "size", "members")
   }
 
+  /** Girvan–Newman with the reference's EXACT search procedure
+    * (`Community.scala:67-148`), for golden-parity against the committed
+    * `communities.txt`: `maximumSearch` removes edges `step` at a time from
+    * the once-computed betweenness ranking until modularity first DECREASES
+    * (ties continue), returning the overshoot point; the outer loop accepts
+    * when the community-count jump across the final step is ≤ 1 and outputs
+    * the communities at `count - step` (the last point before the drop),
+    * else restarts from there with step ÷ 5. */
+  def referenceCommunities(spark: SparkSession, edges: Array[(Long, Long)],
+      step0: Int = 2500, zoom: Int = 5): Seq[Array[Long]] = {
+    import spark.implicits._
+    val ranked = betweennessOfEdges(spark, edges)
+      .select("u", "v").as[(Long, Long)].collect()
+    val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+    def compAt(k: Int): Map[Long, Long] =
+      unionFind(vertices, ranked.drop(math.min(k, ranked.length)))
+    def modAt(k: Int): Double =
+      modularityOf(compAt(k), ranked.drop(math.min(k, ranked.length)))
+    def nCommsAt(k: Int): Int = compAt(k).values.toSet.size
+
+    def maximumSearch(start: Int, step: Int): Int = {
+      var count = start
+      var mod = modAt(count)
+      var out = -1
+      while (out < 0) {
+        count += step
+        val nm = modAt(count)
+        if (nm >= mod) mod = nm else out = count
+        if (count >= ranked.length && out < 0) out = count // exhausted
+      }
+      out
+    }
+
+    var step = step0
+    var count = maximumSearch(0, step)
+    var result: Seq[Array[Long]] = null
+    while (result == null) {
+      val lower = nCommsAt(count - step)
+      val higher = nCommsAt(count)
+      if (higher - lower <= 1 || step <= 1) {
+        result = compAt(count - step).groupBy(_._2).values
+          .map(_.keys.toArray.sorted).toSeq.sortBy(_.head)
+      } else {
+        val start = count - step
+        step = math.max(1, step / zoom)
+        count = maximumSearch(start, step)
+      }
+    }
+    result
+  }
+
   /** Modularity search trace: Q at each coarse removal step — exposes G5 as
     * a queryable result (deterministic; rows-only check). */
   def modularityCurve(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
@@ -337,19 +393,13 @@ object GraphOps {
     val ranked = betweenness(spark, dir, minShared)
       .select("u", "v").as[(Long, Long)].collect()
     val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-    val degree = {
-      val d = mutable.HashMap.empty[Long, Int]
-      ranked.foreach { case (u, v) =>
-        d.update(u, d.getOrElse(u, 0) + 1); d.update(v, d.getOrElse(v, 0) + 1)
-      }
-      d.toMap
-    }
-    val m2 = 2.0 * ranked.length
     val step = math.max(1, ranked.length / 14)
     val rows = (0 to ranked.length by step).map { k =>
-      val comp = unionFind(vertices, ranked.drop(k))
-      val q = modularityOf(comp, degree, ranked, m2)
-      (k, comp.values.toSet.size, math.rint(q * 1e6) / 1e6)
+      val resid = ranked.drop(k)
+      val comp = unionFind(vertices, resid)
+      val q = modularityOf(comp, resid)
+      (k, comp.values.toSet.size,
+        if (q.isNaN) 0.0 else math.rint(q * 1e6) / 1e6)
     }
     spark.createDataset(rows).toDF("removed", "n_communities", "modularity")
   }

@@ -40,6 +40,8 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("modularity closed form equals the reference pairwise formula") {
+    // residual graph = whatever edge set is passed in (reference computes
+    // A_ij, degrees AND m from the post-removal subgraph)
     val edges = Array((1L, 2L), (2L, 3L), (1L, 3L), (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
     val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val degree = vertices.map(v =>
@@ -53,8 +55,9 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       i <- vertices; j <- vertices if i < j && comp(i) == comp(j)
       a = if (edgeSet((i, j))) 1.0 else 0.0
     } yield a - degree(i) * degree(j) / m2).sum / m2
-    val closed = GraphOps.modularityOf(comp, degree, edges, m2)
+    val closed = GraphOps.modularityOf(comp, edges)
     assert(math.abs(closed - pairwise) < 1e-12)
+    assert(GraphOps.modularityOf(comp, Nil).isNaN)
   }
 
   test("communities are a partition of the graph vertices") {
