@@ -31,6 +31,7 @@ object SparkEntry {
     "q12_group_collect" -> (Relational.groupCollect _),
     "q13_fmt_11dp" -> (Relational.fmt11dp _),
     "q14_sql_api" -> (Relational.sqlApi _),
+    "q15_global_agg" -> (Relational.globalAgg _),
     // --- basket analytics (§2.9 G1) ---
     "q20_freq_items" -> ((s, d) => Baskets.freqItems(s, d)),
     "q21_freq_pairs" -> ((s, d) => Baskets.freqPairs(s, d)),
@@ -141,6 +142,11 @@ object SparkEntry {
       """SELECT p_brand, round(avg(l_extendedprice), 6) AS avg_price, count(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q15_global_agg" ->
+      """SELECT count(*) AS n_rows, round(sum(l_extendedprice), 6) AS total_price,
+        |       round(avg(l_discount), 6) AS avg_discount,
+        |       count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
     "q20_freq_items" ->
       """SELECT l_partkey, count(*) AS support
         |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

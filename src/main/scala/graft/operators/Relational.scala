@@ -164,6 +164,16 @@ object Relational {
       .select(col("l_returnflag"), format_string("%.11f", col("a")).as("avg_qty_11dp"))
       .orderBy("l_returnflag")
 
+  /** Global scalar aggregates, no grouping (A7: `Community.scala:25,43-44`
+    * numEdges / driver-side sum — here a single partial+final agg, no
+    * driver loop). */
+  def globalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .agg(count(lit(1)).as("n_rows"),
+        r6(sum("l_extendedprice")).as("total_price"),
+        r6(avg("l_discount")).as("avg_discount"),
+        count_distinct(col("l_orderkey")).as("n_orders"))
+
   /** The SQL surface: the same flagship query through `spark.sql` over
     * registered views — proves users can run plain SQL against the engine. */
   def sqlApi(spark: SparkSession, dir: String): DataFrame = {
