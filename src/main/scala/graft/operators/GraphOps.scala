@@ -83,8 +83,14 @@ object GraphOps {
     var labels = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("component", col("vertex"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Labels only ever decrease under min-propagation, so Σ labels strictly
+    // decreases until the fixpoint — convergence is one cheap aggregate per
+    // round instead of a change-detection join.
+    def labelSum(df: DataFrame): java.math.BigDecimal = // decimal: no overflow on huge ids
+      df.agg(sum(col("component").cast("decimal(38,0)"))).head.getDecimal(0)
+    var prevSum: java.math.BigDecimal = null
+    var curSum = labelSum(labels)
+    while (curSum != prevSum) {
       // label(v) ← min(label(v), min over neighbors w of label(w))
       val nmin = nbrs.join(labels, nbrs("v") === labels("vertex"))
         .groupBy(nbrs("u").as("vertex")).agg(min("component").as("nl"))
@@ -95,8 +101,8 @@ object GraphOps {
       val l2 = l1.as("a").join(l1.as("b"), col("a.component") === col("b.vertex"))
         .select(col("a.vertex").as("vertex"), col("b.component").as("component"))
         .localCheckpoint()
-      changed = l2.join(labels.withColumnRenamed("component", "old"), "vertex")
-        .where(col("component") =!= col("old")).count()
+      prevSum = curSum
+      curSum = labelSum(l2)
       labels = l2
     }
     labels.orderBy("vertex")

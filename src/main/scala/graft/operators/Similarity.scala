@@ -56,9 +56,12 @@ object Similarity {
   def cosineTopKNative(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Long = 100): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    def ndot(a: Column, b: Column) = call_function("array_dot", a, b)
+    // casts stay INLINE inside array_dot so FloatDotRewrite (optimizer rule)
+    // can collapse cast+dot into float_array_dot over the raw float buffers
+    def ndot(a: Column, b: Column) =
+      call_function("array_dot", a.cast("array<double>"), b.cast("array<double>"))
     val e = Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("embedding").as("v"))
       .withColumn("norm", sqrt(ndot(col("v"), col("v"))))
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))

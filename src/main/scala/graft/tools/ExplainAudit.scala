@@ -16,7 +16,7 @@ object ExplainAudit {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Seq("q01_groupavg_brand_flag", "q03_filter_eq", "q21_freq_pairs",
-      "q46_ann_brute", "q60_events_hourly").foreach { name =>
+      "q46_ann_brute", "q49_ann_native", "q60_events_hourly").foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -42,6 +42,18 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(empty == 0)
   }
 
+  test("FloatDotRewrite collapses cast+array_dot into float_array_dot") {
+    val q = graft.operators.Similarity.cosineTopKNative(spark, sfDir)
+    val optimized = q.queryExecution.optimizedPlan.toString()
+    assert(optimized.contains("float_array_dot"),
+      s"rule did not fire; plan:\n${optimized.take(2000)}")
+    assert(!optimized.contains("array_dot(cast"), "cast+dot survived the rewrite")
+    // bit-identical to the un-rewritten double path
+    val viaDouble = graft.operators.Similarity.cosineTopK(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(q.collect().map(_.toSeq).sameElements(viaDouble))
+  }
+
   test("SQL surface can use the injected functions directly") {
     // session built with spark.sql.extensions=GraftExtensions
     val r = spark.sql("SELECT array_dot(array(1D, 2D), array(3D, 4D)) AS d").head

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.scalacheck.{Gen, Properties}
+import org.scalacheck.Prop.forAll
+import scala.collection.mutable
+
+/** ScalaCheck properties (SURVEY.md §5): the algorithmic kernels checked
+  * against independent naive implementations on generated inputs. These are
+  * driver-side kernels (localApriori, union–find, modularity, Brandes via
+  * CSR) — no SparkSession needed, so thousands of cases stay fast. */
+object GraftProperties extends Properties("graft") {
+
+  private val genBaskets: Gen[Array[Seq[Long]]] = for {
+    n <- Gen.choose(1, 30)
+    baskets <- Gen.listOfN(n, Gen.nonEmptyListOf(Gen.choose(1L, 12L)).map(_.distinct.sorted.toSeq))
+  } yield baskets.toArray
+
+  private def bruteFrequent(baskets: Array[Seq[Long]], minSup: Int): Set[Seq[Long]] = {
+    val counts = mutable.Map.empty[Seq[Long], Int]
+    baskets.foreach { b =>
+      (1 to b.size).foreach(k => b.combinations(k).foreach(c =>
+        counts.update(c, counts.getOrElse(c, 0) + 1)))
+    }
+    counts.filter(_._2 >= minSup).keySet.toSet
+  }
+
+  property("localApriori == brute-force frequent itemsets") =
+    forAll(genBaskets, Gen.choose(1, 5)) { (baskets, minSup) =>
+      Baskets.localApriori(baskets, minSup).toSet == bruteFrequent(baskets, minSup)
+    }
+
+  property("A-priori monotonicity: subsets of frequent sets are frequent") =
+    forAll(genBaskets, Gen.choose(1, 4)) { (baskets, minSup) =>
+      val freq = Baskets.localApriori(baskets, minSup).toSet
+      freq.forall(is => is.size <= 1 ||
+        is.combinations(is.size - 1).forall(freq.contains))
+    }
+
+  private val genEdges: Gen[Array[(Long, Long)]] = for {
+    n <- Gen.choose(2, 9)
+    pairs = (1L to n.toLong).flatMap(u => ((u + 1) to n.toLong).map(v => (u, v)))
+    chosen <- Gen.someOf(pairs)
+  } yield chosen.toArray
+
+  /** Naive betweenness: enumerate EVERY shortest path of every ordered pair
+    * via DFS over the BFS DAG; each path adds 1/σ(s,t) to its edges; halve
+    * at the end (both directions). Exponential, fine at ≤9 vertices. */
+  private def naiveBetweenness(edges: Array[(Long, Long)]): Map[(Long, Long), Double] = {
+    val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val adj = vs.map(v => v -> edges.collect {
+      case (a, b) if a == v => b
+      case (a, b) if b == v => a
+    }.toSeq).toMap
+    val acc = mutable.Map.empty[(Long, Long), Double].withDefaultValue(0.0)
+    for (s <- vs; t <- vs if s != t) {
+      val dist = mutable.Map(s -> 0)
+      val q = mutable.Queue(s)
+      while (q.nonEmpty) {
+        val v = q.dequeue()
+        adj(v).foreach(w => if (!dist.contains(w)) { dist(w) = dist(v) + 1; q.enqueue(w) })
+      }
+      if (dist.contains(t)) {
+        def paths(v: Long): Seq[List[Long]] =
+          if (v == s) Seq(List(s))
+          else adj(v).filter(p => dist.get(p).contains(dist(v) - 1))
+            .flatMap(p => paths(p).map(v :: _))
+        val all = paths(t)
+        all.foreach(_.sliding(2).foreach { case Seq(a, b) =>
+          val k = (math.min(a, b), math.max(a, b))
+          acc(k) = acc(k) + 1.0 / all.size
+        })
+      }
+    }
+    acc.map { case (k, v) => (k, v / 2.0) }.toMap
+  }
+
+  property("CSR Brandes == naive all-shortest-paths betweenness") =
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val g = GraphOps.buildCsr(edges)
+        val acc = new Array[Double](edges.length)
+        val n = g.verts.length
+        val dist = Array.fill(n)(-1)
+        val sigma = new Array[Double](n); val delta = new Array[Double](n)
+        val order = new Array[Int](n)
+        (0 until n).foreach(s => GraphOps.brandesOneSource(g, s, acc, dist, sigma, delta, order))
+        val naive = naiveBetweenness(edges)
+        edges.indices.forall { e =>
+          val k = (math.min(edges(e)._1, edges(e)._2), math.max(edges(e)._1, edges(e)._2))
+          math.abs(acc(e) / 2.0 - naive.getOrElse(k, 0.0)) < 1e-9
+        }
+      }
+    }
+
+  property("union-find components agree with BFS reachability") =
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val uf = GraphOps.unionFind(vs, edges)
+        edges.forall { case (u, v) => uf(u) == uf(v) } &&
+          vs.forall(v => uf(uf(v)) == uf(v)) &&
+          vs.forall(v => uf(v) <= v) // component label is a minimum
+      }
+    }
+
+  property("modularity closed form == pairwise formula, and |Q| bounded") =
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        val vs = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val comp = GraphOps.unionFind(vs, edges.take(edges.length / 2 + 1))
+        val degree = vs.map(v => v -> edges.count(e => e._1 == v || e._2 == v)).toMap
+        val m2 = 2.0 * edges.length
+        val edgeSet = edges.map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+        val pairwise = (for {
+          i <- vs; j <- vs if i < j && comp(i) == comp(j)
+          a = if (edgeSet((i, j))) 1.0 else 0.0
+        } yield a - degree(i) * degree(j) / m2).sum / m2
+        val closed = GraphOps.modularityOf(comp, edges)
+        math.abs(closed - pairwise) < 1e-9 && math.abs(closed) <= 1.0
+      }
+    }
+}
