@@ -32,6 +32,9 @@ object SparkEntry {
     "q13_fmt_11dp" -> (Relational.fmt11dp _),
     "q14_sql_api" -> (Relational.sqlApi _),
     "q15_global_agg" -> (Relational.globalAgg _),
+    "q16_set_ops" -> (Relational.setOps _),
+    "q17_window_running" -> (Relational.windowRunning _),
+    "q18_rollup" -> (Relational.rollupAgg _),
     // --- basket analytics (§2.9 G1) ---
     "q20_freq_items" -> ((s, d) => Baskets.freqItems(s, d)),
     "q21_freq_pairs" -> ((s, d) => Baskets.freqPairs(s, d)),
@@ -65,6 +68,7 @@ object SparkEntry {
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
     "q62_sessionize" -> ((s, d) => Events.sessionize(s, d)),
+    "q63_events_json" -> (Events.jsonProps _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
     "q70_media_features" -> (graft.multimodal.MediaOps.mediaFeatureQuery _),
   )
@@ -147,6 +151,27 @@ object SparkEntry {
         |       round(avg(l_discount), 6) AS avg_discount,
         |       count(DISTINCT l_orderkey) AS n_orders
         |FROM lineitem""".stripMargin,
+    "q16_set_ops" ->
+      """WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+        |open_c AS (SELECT c_custkey FROM customer c
+        |           WHERE EXISTS (SELECT 1 FROM orders o
+        |                         WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'O'))
+        |SELECT c_custkey, rel FROM (
+        |  SELECT c_custkey, 'both' AS rel FROM (SELECT * FROM building INTERSECT SELECT * FROM open_c)
+        |  UNION ALL
+        |  SELECT c_custkey, 'building_only' FROM (SELECT * FROM building EXCEPT SELECT * FROM open_c))
+        |ORDER BY rel, c_custkey""".stripMargin,
+    "q17_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       round(sum(o_totalprice) OVER (PARTITION BY o_custkey
+        |             ORDER BY o_orderdate, o_orderkey
+        |             ROWS UNBOUNDED PRECEDING), 6) AS running_spend
+        |FROM orders WHERE o_custkey <= 100 ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q18_rollup" ->
+      """SELECT coalesce(p_brand, 'ALL') AS brand, count(*) AS cnt,
+        |       round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY ROLLUP(p_brand) ORDER BY brand""".stripMargin,
     "q20_freq_items" ->
       """SELECT l_partkey, count(*) AS support
         |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
@@ -242,5 +267,11 @@ object SparkEntry {
         |       max(epoch_us(ts) // 1000000) AS end_s,
         |       round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    "q63_events_json" ->
+      """SELECT event_type, count(*) AS n,
+        |       round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k
+        |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
+        |      FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -36,6 +36,17 @@ object Events {
       .orderBy("user_id", "rn")
   }
 
+  /** JSON property extraction from the `props` column ({"k": <int>}):
+    * per-type stats over the parsed value. */
+  def jsonProps(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), round(avg("k"), 6).as("avg_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+      .orderBy("event_type")
+
   /** Gap-based sessionization (30-min inactivity): classic lag + running
     * sum of session-boundary markers, then per-session rollup. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {

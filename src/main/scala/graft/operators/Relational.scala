@@ -174,6 +174,43 @@ object Relational {
         r6(avg("l_discount")).as("avg_discount"),
         count_distinct(col("l_orderkey")).as("n_orders"))
 
+  /** Relational set operations (absent from the reference, §2.10 — engine
+    * completeness): customers in BUILDING vs customers with open orders. */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+    val o = Tables(spark, dir, "orders")
+    val building = c.where(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val withOpen = c.join(o.where(col("o_orderstatus") === "O"),
+      c("c_custkey") === o("o_custkey"), "left_semi").select("c_custkey")
+    building.intersect(withOpen).withColumn("rel", lit("both"))
+      .unionAll(building.except(withOpen).withColumn("rel", lit("building_only")))
+      .orderBy("rel", "c_custkey")
+  }
+
+  /** Running-total window frame (ROWS UNBOUNDED PRECEDING): cumulative
+    * spend per customer over order time. */
+  def windowRunning(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .where(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        r6(sum("o_totalprice").over(w)).as("running_spend"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** ROLLUP hierarchy totals (brand → grand total); null group keys
+    * coalesced to 'ALL' so the cross-engine compare is null-free. */
+  def rollupAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .rollup(col("p_brand"))
+      .agg(count(lit(1)).as("cnt"), r6(sum("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("p_brand"), lit("ALL")).as("brand"), col("cnt"), col("sum_qty"))
+      .orderBy("brand")
+  }
+
   /** The SQL surface: the same flagship query through `spark.sql` over
     * registered views — proves users can run plain SQL against the engine. */
   def sqlApi(spark: SparkSession, dir: String): DataFrame = {

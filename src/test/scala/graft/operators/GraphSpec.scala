@@ -30,13 +30,22 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
 
   test("distributed connected components equals driver union-find on fixture") {
     import spark.implicits._
-    val edges = GraphOps.coPurchaseEdges(spark, sfDir)
-      .select("u", "v").as[(Long, Long)].collect()
+    val edgeDf = GraphOps.coPurchaseEdges(spark, sfDir).select("u", "v")
+    val edges = edgeDf.as[(Long, Long)].collect()
     val vertices = edges.flatMap(e => Seq(e._1, e._2)).distinct
     val uf = GraphOps.unionFind(vertices, edges)
-    val dist = GraphOps.connectedComponents(spark, sfDir).collect()
+    // force the DISTRIBUTED path (the auto path would pick driver here)
+    val dist = GraphOps.componentsOfEdges(edgeDf).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     assert(dist == uf)
+    // and the auto path (driver tier at this size) agrees too
+    val auto = GraphOps.componentsAuto(spark, edgeDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(auto == uf)
+    // auto with limit 0 must route to the distributed tier
+    val forced = GraphOps.componentsAuto(spark, edgeDf, driverEdgeLimit = 0L)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(forced == uf)
   }
 
   test("modularity closed form equals the reference pairwise formula") {
