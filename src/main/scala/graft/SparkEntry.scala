@@ -59,6 +59,7 @@ object SparkEntry {
     "q47_ann_lsh" -> ((s, d) => Similarity.cosineTopKLsh(s, d)),
     "q48_cosine_neardup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
     "q49_ann_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
+    "q4a_ann_ivf" -> ((s, d) => Similarity.cosineTopKIvf(s, d)),
     // --- text analysis ---
     "q50_text_stats" -> (TextOps.textStats _),
     "q51_token_topk" -> ((s, d) => TextOps.tokenTopK(s, d)),
@@ -71,6 +72,11 @@ object SparkEntry {
     "q63_events_json" -> (Events.jsonProps _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
     "q70_media_features" -> (graft.multimodal.MediaOps.mediaFeatureQuery _),
+    "q71_media_nearest" -> ((s, d) => graft.multimodal.MediaOps.mediaNearest(s, d)),
+    // the streaming-capable plan (watermark + window()) run as batch
+    "q64_events_hourly_streamplan" -> ((s, d) =>
+      graft.streaming.EventStream.hourlyCounts(Tables(s, d, "events"))
+        .orderBy("hour_s", "event_type")),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -267,6 +273,11 @@ object SparkEntry {
         |       max(epoch_us(ts) // 1000000) AS end_s,
         |       round(sum(value), 6) AS sum_value
         |FROM s GROUP BY user_id, session_seq ORDER BY user_id, session_seq""".stripMargin,
+    // same aggregation as q60 through the streaming-capable window() plan
+    "q64_events_hourly_streamplan" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
     "q63_events_json" ->
       """SELECT event_type, count(*) AS n,
         |       round(avg(k), 6) AS avg_k, min(k) AS min_k, max(k) AS max_k

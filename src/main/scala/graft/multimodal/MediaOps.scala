@@ -98,6 +98,31 @@ object MediaOps {
       .withColumnRenamed("pos", "frame_no")
       .withColumnRenamed("col", "frame")
 
+  /** Media features → similarity search: nearest media by cosine over the
+    * (stub-)decoded feature vectors — the decode→embed→ANN pipeline shape,
+    * demonstrating the multimodal output feeding graft.operators.Similarity
+    * conventions (dense array column + norm + top-k). */
+  def mediaNearest(spark: SparkSession, dir: String, k: Int = 3,
+      nQueries: Long = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = extractFeatures(mediaTable(spark, dir)).toDF()
+      .select(col("media_id"), col("features").as("v"))
+      .withColumn("norm", sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
+      .where(col("norm") > 0)
+    val q = f.where(col("media_id") < nQueries)
+      .select(col("media_id").as("query_id"), col("v").as("qv"), col("norm").as("qn"))
+    val dotCol = expr("aggregate(zip_with(qv, v, (x, y) -> x * y), 0D, (a, x) -> a + x)")
+    val sims = broadcast(q).join(f, col("query_id") =!= col("media_id"))
+      .select(col("query_id"), col("media_id").as("neighbor_id"),
+        round(dotCol / (col("qn") * col("norm")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** Query face: per-media feature summary (deterministic; rows-only). */
   def mediaFeatureQuery(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._

@@ -124,6 +124,51 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** IVF (inverted-file) ANN: deterministic coarse quantizer — centroids
+    * are a fixed stride-sample of the corpus (a k-means fit would slot in
+    * here unchanged); every vector is assigned to its nearest centroid
+    * (one broadcast join — this is the "partition by centroid" layout at
+    * cluster scale), and each query probes only its `nprobe` nearest
+    * cells. The third point on the exact↔approx spectrum after brute and
+    * LSH: cell-local scans, recall tunable via nprobe. */
+  def cosineTopKIvf(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Long = 100, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
+    val e = normalized(spark, dir).cache()
+    val n = e.count()
+    val stride = math.max(1, n / nCells)
+    val centroids = e.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .limit(nCells)
+      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
+    // cell assignment: argmax cosine to centroid (rank-1 window)
+    val simToCell = e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("v"), col("norm"), col("cell"),
+        (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("csim"))
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell"))
+    val assigned = simToCell.withColumn("r", row_number().over(assignW))
+      .where(col("r") === 1).select("vec_id", "v", "norm", "cell")
+      .cache()
+    // queries probe their nprobe closest cells
+    val probes = simToCell.where(col("vec_id") < nQueries)
+      .withColumn("r", row_number().over(assignW))
+      .where(col("r") <= nprobe)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("norm").as("qn"), col("cell"))
+    val sims = probes.join(assigned, Seq("cell"))
+      .where(col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"),
+        col("v"), col("qn"), col("norm"))
+      .dropDuplicates("query_id", "neighbor_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** Embedding-cosine near-duplicate pairs: the top-k most similar pairs
     * among LSH-bucket collisions (the scalable near-dup shape — candidates
     * come from the bucket equijoin, never the full cross product). In a

@@ -46,6 +46,18 @@ class MediaOpsSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(frames.count() - full / 4.0) <= full * 0.1)
   }
 
+  test("media nearest-neighbor search runs over decoded features") {
+    val nn = MediaOps.mediaNearest(spark, sfDir).collect()
+    assert(nn.nonEmpty)
+    val byQuery = nn.groupBy(_.getLong(0))
+    byQuery.values.foreach { rs =>
+      assert(rs.length <= 3)
+      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
+    }
+  }
+
   test("feature query face is deterministic and complete") {
     val q1 = MediaOps.mediaFeatureQuery(spark, sfDir).collect()
     assert(q1.length == Tables(spark, sfDir, "documents").count())

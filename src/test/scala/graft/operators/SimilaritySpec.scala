@@ -34,6 +34,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.3, s"LSH recall $recall below floor")
   }
 
+  test("IVF top-5 recall vs brute force is usable and beats its probe ratio") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Similarity.cosineTopKIvf(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(ivf).size.toDouble / brute.size
+    assert(recall >= 0.3, s"IVF recall $recall below floor")
+  }
+
   test("near-dup top pair equals the global max-cosine pair") {
     val vecs = Tables(spark, sfDir, "embeddings").collect()
       .map(r => (r.getAs[Long]("vec_id"),
