@@ -1,0 +1,61 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale techniques the 100 TB deployment leans on, exposed as library
+  * operations with plan-shape tests (ScaleOpsSpec):
+  *
+  *  - Bucketing: co-located joins. Both fact tables written bucketed+sorted
+  *    by the join key ⇒ the join plans WITHOUT a shuffle Exchange on either
+  *    side. At cluster scale this is the difference between a join that
+  *    moves 100 TB and one that moves nothing.
+  *  - Salting: skew spreading. A hot key that would pin one reducer is
+  *    split across `saltFactor` sub-keys; the small side is replicated per
+  *    salt. AQE's skew-join handles moderate skew automatically — salting
+  *    is for the pathological keys AQE can't split (single-key hotspots).
+  */
+object ScaleOps {
+
+  /** Write `df` bucketed (and sorted) by `keys` into the session catalog as
+    * `table`. Readers joining bucketed tables on the bucket keys get
+    * shuffle-free joins. */
+  def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
+      keys: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(nBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed catalog tables on their bucket keys. Broadcast
+    * is suppressed for the call so the plan demonstrates the bucket
+    * property itself (bucketed SortMergeJoin with NO shuffle on either
+    * side) — with broadcast allowed, Catalyst would happily broadcast a
+    * small side and skip bucketed reading entirely, which hides the
+    * behavior this operator exists to provide at 100 TB (where neither
+    * side broadcasts). */
+  def bucketedJoin(spark: SparkSession, left: String, right: String,
+      keys: Seq[String]): DataFrame = {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = spark.table(left).join(spark.table(right), keys)
+      df.queryExecution.executedPlan // force planning while the conf is set
+      df
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  /** Skew-safe equi-join: the big side's key is salted with a uniform
+    * random-free deterministic salt (hash of a row-unique column), the
+    * small side is exploded once per salt value. Results identical to the
+    * plain join; the hot key's rows land on `saltFactor` reducers. */
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String,
+      uniqueCol: String, saltFactor: Int = 8): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(col(uniqueCol)), lit(saltFactor)).cast("int"))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

@@ -21,6 +21,18 @@ object ExplainAudit {
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // scale technique: bucketed co-located join plans without any shuffle
+    println("\n===== bucketed_join (ScaleOps) =====")
+    import org.apache.spark.sql.functions.col
+    spark.sql("DROP TABLE IF EXISTS audit_l"); spark.sql("DROP TABLE IF EXISTS audit_p")
+    graft.operators.ScaleOps.writeBucketed(
+      graft.Tables(spark, dir, "lineitem").select("l_partkey", "l_quantity"),
+      "audit_l", 8, Seq("l_partkey"))
+    graft.operators.ScaleOps.writeBucketed(
+      graft.Tables(spark, dir, "part").select(col("p_partkey").as("l_partkey"), col("p_brand")),
+      "audit_p", 8, Seq("l_partkey"))
+    println(graft.operators.ScaleOps.bucketedJoin(spark, "audit_l", "audit_p", Seq("l_partkey"))
+      .queryExecution.executedPlan.toString().take(2500))
     spark.stop()
   }
 }
