@@ -223,7 +223,7 @@ object SparkEntry {
         |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
         |             round(list_cosine_similarity(q.v, e.v), 6) AS cosine
         |      FROM e q JOIN e ON q.vec_id < 100 AND q.vec_id <> e.vec_id)
-        |SELECT query_id, rank, neighbor_id, cosine FROM (
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
         |  SELECT *, row_number() OVER (PARTITION BY query_id
         |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin,
@@ -235,7 +235,8 @@ object SparkEntry {
         |  len(list_distinct(tokens)) AS n_uniq,
         |  len(list_filter(tokens, x -> x IN ('the','a','of','to','and','in','is'))) AS n_stop
         |  FROM t)
-        |SELECT doc_id, n_chars, n_tokens, n_uniq,
+        |SELECT doc_id, CAST(n_chars AS INT) AS n_chars,
+        |  CAST(n_tokens AS INT) AS n_tokens, CAST(n_uniq AS INT) AS n_uniq,
         |  round(CAST(n_stop AS DOUBLE) / n_tokens, 6) AS stop_ratio,
         |  round(CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS uniq_ratio,
         |  round(least(CAST(n_tokens AS DOUBLE) / 100, CAST(1 AS DOUBLE)) * 0.4 +
@@ -253,7 +254,7 @@ object SparkEntry {
         |       round(avg(value), 6) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
     "q61_events_ranked" ->
-      """SELECT user_id, rn, event_id, event_type, ts_s FROM (
+      """SELECT user_id, CAST(rn AS INT) AS rn, event_id, event_type, ts_s FROM (
         |  SELECT user_id, event_id, event_type,
         |         epoch_us(ts) // 1000000 AS ts_s,
         |         row_number() OVER (PARTITION BY user_id

@@ -51,6 +51,12 @@ def main(sf_dir, out_dir):
             print(f"  [FAIL-schema] {name}: spark={got_cols} oracle={exp_cols}")
             failures += 1
             continue
+        got_types = dict(zip(got_rel.columns, [str(t) for t in got_rel.types]))
+        exp_types = dict(zip(exp_rel.columns, [str(t) for t in exp_rel.types]))
+        tdiff = {c: (got_types[c], exp_types[c]) for c in got_types
+                 if got_types[c] != exp_types[c]}
+        if tdiff:
+            print(f"  [WARN-types] {name}: {tdiff}")
         exp = normalize(con.sql(
             f"SELECT {', '.join(exp_cols)} FROM exp_rel").fetchall())
         if len(exp) != len(got):
