@@ -187,19 +187,29 @@ object SparkEntry {
         |SELECT a.l_partkey AS item1, c.l_partkey AS item2, count(*) AS support
         |FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY item1, item2""".stripMargin,
-    // SON at sf0.01 resolves to support=3 where the frequent itemsets are
-    // exactly the size-1/size-2 sets (verified: no triple reaches support 3),
-    // so the oracle is the union of the singleton and pair queries.
+    // The oracle recomputes the engine's adaptive support — max(3, 0.02% of
+    // baskets) — in SQL, so it tracks any scale factor. Sizes 1–3 are
+    // enumerated; at fixture densities no size-4 set can reach support
+    // (sf0.01: even no size-3 does), and A-priori monotonicity means a
+    // size-4 survivor would first show up as a size-3 count mismatch.
     "q22_son" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |ones AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1 HAVING count(*) >= 3),
+        |sup AS (SELECT greatest(3, CAST(round(0.0002 * count(DISTINCT l_orderkey)) AS BIGINT)) AS s FROM b),
+        |ones AS (SELECT l_partkey, count(*) AS n FROM b GROUP BY 1
+        |         HAVING count(*) >= (SELECT s FROM sup)),
         |twos AS (SELECT a.l_partkey AS x, c.l_partkey AS y, count(*) AS n
         |         FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
-        |         GROUP BY 1, 2 HAVING count(*) >= 3)
+        |         GROUP BY 1, 2 HAVING count(*) >= (SELECT s FROM sup)),
+        |threes AS (SELECT a.l_partkey AS x, c.l_partkey AS y, e.l_partkey AS z, count(*) AS n
+        |           FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |                    JOIN b e ON c.l_orderkey = e.l_orderkey AND c.l_partkey < e.l_partkey
+        |           GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT s FROM sup))
         |SELECT itemset, size, support FROM (
         |  SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS size, n AS support FROM ones
         |  UNION ALL
-        |  SELECT CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR), 2, n FROM twos)
+        |  SELECT CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR), 2, n FROM twos
+        |  UNION ALL
+        |  SELECT CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR) || ',' || CAST(z AS VARCHAR), 3, n FROM threes)
         |ORDER BY size, itemset""".stripMargin,
     "q30_cograph_edges" ->
       """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
@@ -230,7 +240,8 @@ object SparkEntry {
     "q50_text_stats" ->
       """WITH t AS (SELECT doc_id, length(text) AS n_chars,
         |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tokens
-        |  FROM documents),
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
         |u AS (SELECT doc_id, n_chars, len(tokens) AS n_tokens,
         |  len(list_distinct(tokens)) AS n_uniq,
         |  len(list_filter(tokens, x -> x IN ('the','a','of','to','and','in','is'))) AS n_stop

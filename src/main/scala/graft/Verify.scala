@@ -16,11 +16,20 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    def deleteRec(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(deleteRec)
+      f.delete(): Unit
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
+      // pre-delete so a failure can never leave a stale (older-run) result
+      // behind for the driver's compare to misread as current
+      val target = new java.io.File(s"$outDir/$name")
+      if (target.exists()) deleteRec(target)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        if (target.exists()) deleteRec(target)
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

@@ -104,7 +104,6 @@ object MediaOps {
     * conventions (dense array column + norm + top-k). */
   def mediaNearest(spark: SparkSession, dir: String, k: Int = 3,
       nQueries: Long = 50): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val f = extractFeatures(mediaTable(spark, dir)).toDF()
       .select(col("media_id"), col("features").as("v"))
       .withColumn("norm", sqrt(expr("aggregate(zip_with(v, v, (x, y) -> x * y), 0D, (a, x) -> a + x)")))
@@ -115,12 +114,7 @@ object MediaOps {
     val sims = broadcast(q).join(f, col("query_id") =!= col("media_id"))
       .select(col("query_id"), col("media_id").as("neighbor_id"),
         round(dotCol / (col("qn") * col("norm")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
+    graft.operators.Similarity.topKByCosine(sims, k)
   }
 
   /** Query face: per-media feature summary (deterministic; rows-only). */

@@ -156,7 +156,9 @@ object Baskets {
       .map { case (s, n) => (s.mkString(","), s.size, n) }
       .toDF("itemset", "size", "support")
       .where(col("support") >= support)
-    baskets.unpersist()
+    // NOTE: do not unpersist here — the returned frame is lazy, and phase 2
+    // re-reads the cached baskets when the caller finally executes it; the
+    // cache dies with the session
     counted.orderBy("size", "itemset")
   }
 }

@@ -23,6 +23,18 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
+  /** Shared rank shape for every ANN tier: keep the k best neighbors per
+    * query, deterministic tie-break on neighbor id over the 6-dp-rounded
+    * similarity. Input columns: (query_id, neighbor_id, cosine). */
+  private[graft] def topKByCosine(sims: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "rank", "neighbor_id", "cosine")
+      .orderBy("query_id", "rank")
+  }
+
   /** embeddings as (vec_id, v: array<double>, norm). */
   private def normalized(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
@@ -40,12 +52,7 @@ object Similarity {
     val sims = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
+    topKByCosine(sims, k)
   }
 
   /** Exact cosine top-k through the natively codegen'd
@@ -68,12 +75,7 @@ object Similarity {
     val sims = broadcast(q).join(e, col("query_id") =!= col("vec_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(ndot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
+    topKByCosine(sims, k)
   }
 
   /** Random-hyperplane LSH with OR-amplification: `nTables` independent
@@ -116,12 +118,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id") // collide in several tables — score once
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
+    topKByCosine(sims, k)
   }
 
   /** IVF (inverted-file) ANN: deterministic coarse quantizer — centroids
@@ -137,6 +134,7 @@ object Similarity {
     val n = e.count()
     val stride = math.max(1, n / nCells)
     val centroids = e.where(pmod(col("vec_id"), lit(stride)) === 0)
+      .orderBy("vec_id") // limit on an unordered frame is partition-order-dependent
       .limit(nCells)
       .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
     // cell assignment: argmax cosine to centroid (rank-1 window)
@@ -161,12 +159,7 @@ object Similarity {
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cosine").desc, col("neighbor_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
-      .orderBy("query_id", "rank")
+    topKByCosine(sims, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: the top-k most similar pairs

@@ -20,6 +20,9 @@ object TextOps {
       .select(col("doc_id"), length(col("text")).as("n_chars"),
         Dedup.tokensCol(col("text")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
+      // token-less docs would divide by zero (NULL in Spark, inf in
+      // DuckDB — engines disagree); stats are undefined for them anyway
+      .where(col("n_tokens") > 0)
       .withColumn("n_uniq", size(array_distinct(col("tokens"))))
       .withColumn("n_stop", size(filter(col("tokens"),
         t => t.isin(stop.map(lit(_)): _*))))

@@ -38,9 +38,12 @@ object DelimitedText {
     schema.fold(r.option("inferSchema", "true"))(r.schema).csv(path)
   }
 
-  /** Single-file delimited text sink (reference's coalesce(1) output). */
+  /** Single-file delimited text sink (reference's coalesce(1) output).
+    * Nulls become empty fields (concat_ws SKIPS null arguments, which would
+    * silently drop the field and shift every later column on re-parse). */
   def writeSingleFile(df: DataFrame, path: String, delim: String): Unit =
-    df.select(concat_ws(delim, df.columns.map(c => col(c).cast("string")).toIndexedSeq: _*)
+    df.select(concat_ws(delim,
+        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))).toIndexedSeq: _*)
         .as("value"))
       .coalesce(1).write.mode("overwrite").text(path)
 }

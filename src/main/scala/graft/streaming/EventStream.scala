@@ -6,10 +6,13 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming faces of the event analytics (SURVEY.md §7 M5 —
-  * extension surface; the reference has no streaming, §2.10). The same
-  * logical plans run batch or streaming: `hourlyCounts` is the streaming
-  * twin of `operators.Events.hourly`, `sessionize` the stateful twin of the
-  * window-function sessionization.
+  * extension surface; the reference has no streaming, §2.10).
+  * `hourlyCounts` is plan-identical batch or streaming (q64 runs it batch
+  * against q60's oracle). `sessionize` is STREAMING-ONLY: it relies on
+  * event-time timeouts to flush each user's open session, and batch
+  * execution never fires timeouts — the batch equivalent is
+  * `operators.Events.sessionize` (window functions), which the streaming
+  * spec asserts agreement with once the stream is drained.
   *
   * Scale notes: the windowed aggregation is watermark-bounded state (1 hour
   * + window size per key group); the sessionizer holds one open session per
