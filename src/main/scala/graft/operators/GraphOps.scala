@@ -132,7 +132,13 @@ object GraphOps {
   private[operators] final case class Csr(verts: Array[Long], offsets: Array[Int],
       nbr: Array[Int], eid: Array[Int], edges: Array[(Long, Long)])
 
-  private[operators] def buildCsr(edges: Array[(Long, Long)]): Csr = {
+  private[operators] def buildCsr(rawEdges: Array[(Long, Long)]): Csr = {
+    // canonicalize + dedupe defensively: a reversed or duplicated input
+    // edge would otherwise double-count every credit through it
+    val edges = rawEdges.iterator
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2)))
+      .filter(e => e._1 != e._2)
+      .toArray.distinct
     val verts = edges.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct.sorted
     val idx = verts.zipWithIndex.toMap
     val n = verts.length
@@ -372,10 +378,16 @@ object GraphOps {
     val ranked = betweennessOfEdges(spark, edges)
       .select("u", "v").as[(Long, Long)].collect()
     val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
-    def compAt(k: Int): Map[Long, Long] =
-      unionFind(vertices, ranked.drop(math.min(k, ranked.length)))
-    def modAt(k: Int): Double =
-      modularityOf(compAt(k), ranked.drop(math.min(k, ranked.length)))
+    // one union-find + modularity per distinct k — the search revisits
+    // points (modAt, then nCommsAt at k and k-step, then compAt again)
+    val memo = mutable.HashMap.empty[Int, (Map[Long, Long], Double)]
+    def at(k: Int): (Map[Long, Long], Double) = memo.getOrElseUpdate(k, {
+      val resid = ranked.drop(math.min(k, ranked.length))
+      val comp = unionFind(vertices, resid)
+      (comp, modularityOf(comp, resid))
+    })
+    def compAt(k: Int): Map[Long, Long] = at(k)._1
+    def modAt(k: Int): Double = at(k)._2
     def nCommsAt(k: Int): Int = compAt(k).values.toSet.size
 
     def maximumSearch(start: Int, step: Int): Int = {

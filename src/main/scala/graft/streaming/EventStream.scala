@@ -45,23 +45,33 @@ object EventStream {
   def sessionize(events: Dataset[Ev], gapSec: Long = 1800): Dataset[Session] = {
     import events.sparkSession.implicits._
 
+    // microsecond precision to match the batch twin's unix_micros gap math
+    // (Timestamp.getTime truncates to millis — a gap in (gapSec, gapSec+1ms)
+    // would sessionize differently between the two faces)
+    def micros(ts: Timestamp): Long =
+      math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000L
+
     def touch(userId: Long, it: Iterator[Ev],
         state: GroupState[Open]): Iterator[Session] = {
-      val gapMs = gapSec * 1000L
-      def close(o: Open) =
-        Session(userId, o.start / 1000, o.last / 1000, o.n, math.rint(o.total * 1e6) / 1e6)
+      val gapUs = gapSec * 1000000L
+      def close(o: Open) = Session(userId, o.start / 1000000, o.last / 1000000, o.n,
+        // HALF_UP at 6dp — same rounding as the batch face's round(x, 6)
+        BigDecimal(o.total).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
       if (state.hasTimedOut) {
         val out = state.getOption.map(close).iterator
         state.remove()
         return out
       }
-      val evs = it.toArray.sortBy(_.ts.getTime)
+      val evs = it.toArray.sortBy(e => micros(e.ts))
       val (open, closed) = evs.foldLeft((state.getOption, Vector.empty[Session])) {
         case ((cur, out), e) =>
-          val t = e.ts.getTime
+          val t = micros(e.ts)
           cur match {
-            case Some(o) if t - o.last <= gapMs =>
-              (Some(Open(o.start, t, o.n + 1, o.total + e.value)), out)
+            case Some(o) if t - o.last <= gapUs =>
+              // a late (out-of-order but in-watermark) event must never
+              // rewind the session end or shrink its span
+              (Some(Open(math.min(o.start, t), math.max(o.last, t),
+                o.n + 1, o.total + e.value)), out)
             case Some(o) =>
               (Some(Open(t, t, 1, e.value)), out :+ close(o))
             case None =>
@@ -70,7 +80,7 @@ object EventStream {
       }
       open.foreach { o =>
         state.update(o)
-        state.setTimeoutTimestamp(o.last + gapMs + 1)
+        state.setTimeoutTimestamp(o.last / 1000 + gapSec * 1000L + 1)
       }
       closed.iterator
     }

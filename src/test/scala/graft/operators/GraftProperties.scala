@@ -78,16 +78,17 @@ object GraftProperties extends Properties("graft") {
     forAll(genEdges) { edges =>
       edges.isEmpty || {
         val g = GraphOps.buildCsr(edges)
-        val acc = new Array[Double](edges.length)
+        // index via g.edges, NOT the raw input: buildCsr canonicalizes and
+        // dedupes, so only its own edge array is a valid eid space
+        val acc = new Array[Double](g.edges.length)
         val n = g.verts.length
         val dist = Array.fill(n)(-1)
         val sigma = new Array[Double](n); val delta = new Array[Double](n)
         val order = new Array[Int](n)
         (0 until n).foreach(s => GraphOps.brandesOneSource(g, s, acc, dist, sigma, delta, order))
         val naive = naiveBetweenness(edges)
-        edges.indices.forall { e =>
-          val k = (math.min(edges(e)._1, edges(e)._2), math.max(edges(e)._1, edges(e)._2))
-          math.abs(acc(e) / 2.0 - naive.getOrElse(k, 0.0)) < 1e-9
+        g.edges.indices.forall { e =>
+          math.abs(acc(e) / 2.0 - naive.getOrElse(g.edges(e), 0.0)) < 1e-9
         }
       }
     }

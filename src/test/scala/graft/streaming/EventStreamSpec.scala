@@ -62,6 +62,27 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("late in-watermark events never rewind a session's end") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = EventStream.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sessions_late")
+      .outputMode("append").start()
+    try {
+      input.addData(Ev(1, ts(0), 1.0), Ev(1, ts(10), 2.0))
+      q.processAllAvailable()
+      input.addData(Ev(1, ts(5), 4.0)) // late but within the 1h watermark
+      q.processAllAvailable()
+      input.addData(Ev(2, ts(5000), 1.0)) // advance watermark → flush user 1
+      q.processAllAvailable()
+      val s = spark.table("sessions_late").where(col("user_id") === 1)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getInt(3), r.getDouble(4)))
+      assert(s.toSeq == Seq((Base * 60, Base * 60 + 600, 3, 7.0)),
+        s"late event mishandled: ${s.toSeq}")
+    } finally q.stop()
+  }
+
   test("batch sessionization and streaming sessionizer agree on fixture events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
