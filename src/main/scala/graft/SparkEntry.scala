@@ -35,6 +35,7 @@ object SparkEntry {
     "q16_set_ops" -> (Relational.setOps _),
     "q17_window_running" -> (Relational.windowRunning _),
     "q18_rollup" -> (Relational.rollupAgg _),
+    "q19_sketches" -> (Relational.sketches _),
     // --- basket analytics (§2.9 G1) ---
     "q20_freq_items" -> ((s, d) => Baskets.freqItems(s, d)),
     "q21_freq_pairs" -> ((s, d) => Baskets.freqPairs(s, d)),
@@ -45,6 +46,7 @@ object SparkEntry {
     "q31_degrees" -> (GraphOps.degrees _),
     "q32_conncomp" -> (GraphOps.connectedComponents _),
     "q33_betweenness" -> ((s, d) => GraphOps.betweenness(s, d)),
+    "q36_betweenness_sampled" -> ((s, d) => GraphOps.betweennessSampled(s, d, 0.25)),
     "q34_communities" -> ((s, d) => GraphOps.communities(s, d)),
     "q35_modularity_curve" -> ((s, d) => GraphOps.modularityCurve(s, d)),
     // --- dedup (training-data pipeline) ---

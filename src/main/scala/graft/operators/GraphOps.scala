@@ -222,6 +222,47 @@ object GraphOps {
       coPurchaseEdges(spark, dir, minShared).select("u", "v").as[(Long, Long)].collect())
   }
 
+  /** Approximate betweenness by source sampling (Brandes–Pich): run the
+    * BFS from a deterministic `fraction` of sources and rescale credits by
+    * 1/fraction. THE scale path once exact O(V·E) is unaffordable —
+    * unbiased per edge, variance shrinks with the sample. Sources are
+    * chosen by hash so the estimate is reproducible. */
+  def betweennessSampled(spark: SparkSession, dir: String,
+      fraction: Double, minShared: Int = 3): DataFrame = {
+    import spark.implicits._
+    val edges = coPurchaseEdges(spark, dir, minShared)
+      .select("u", "v").as[(Long, Long)].collect()
+    val g = buildCsr(edges)
+    val bc = spark.sparkContext.broadcast(g)
+    val n = g.verts.length
+    val keep = (s: Int) => (math.abs(scala.util.hashing.MurmurHash3
+      .stringHash(s.toString, 42)) % 1000000) < fraction * 1000000
+    val credits = spark.sparkContext.parallelize(0 until n, 32)
+      .mapPartitions { sources =>
+        val csr = bc.value
+        val m = csr.edges.length
+        val nn = csr.verts.length
+        val acc = new Array[Double](m)
+        val dist = Array.fill(nn)(-1)
+        val sigma = new Array[Double](nn)
+        val delta = new Array[Double](nn)
+        val order = new Array[Int](nn)
+        sources.filter(keep)
+          .foreach(s => brandesOneSource(csr, s, acc, dist, sigma, delta, order))
+        Iterator.single(acc)
+      }
+      .treeReduce { (a, b) =>
+        var i = 0
+        while (i < a.length) { a(i) += b(i); i += 1 }
+        a
+      }
+    spark.createDataset(
+        g.edges.indices.map(e =>
+          (g.edges(e)._1, g.edges(e)._2, credits(e) / 2.0 / fraction)))
+      .toDF("u", "v", "btw_est")
+      .orderBy(col("btw_est").desc, col("u"), col("v"))
+  }
+
   /** Distributed Brandes over an explicit undirected edge list. */
   def betweennessOfEdges(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
     import spark.implicits._

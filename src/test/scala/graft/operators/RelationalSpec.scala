@@ -57,6 +57,21 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert(r.getAs[String]("avg_qty_11dp").matches("""\d+\.\d{11}"""))
   }
 
+  test("sketch aggregates land within tolerance of exact answers") {
+    val exact = Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(countDistinct("l_partkey").as("d"),
+        expr("percentile(l_extendedprice, 0.5)").as("p50"))
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getDouble(2)))).toMap
+    Relational.sketches(spark, sfDir).collect().foreach { r =>
+      val (d, p50) = exact(r.getString(0))
+      assert(math.abs(r.getLong(1) - d).toDouble / d < 0.05,
+        s"HLL distinct off by >5%: ${r.getLong(1)} vs $d")
+      assert(math.abs(r.getDouble(3) - p50) / p50 < 0.05,
+        s"approx p50 off by >5%: ${r.getDouble(3)} vs $p50")
+    }
+  }
+
   test("sql surface answers the same as the DataFrame surface") {
     val viaSql = Relational.sqlApi(spark, sfDir).collect().map(_.toSeq)
     val viaDf = Tables(spark, sfDir, "lineitem")

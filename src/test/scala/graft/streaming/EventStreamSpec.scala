@@ -36,6 +36,33 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("file-source streaming over the events fixture equals batch") {
+    import org.apache.spark.sql.functions.expr
+    // the fixture is TIMESTAMP(NANOS) parquet — same handling as graft.Tables
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file source wants a directory; stage the single fixture file
+    val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sfDir/events.parquet"),
+      stageDir.resolve("events.parquet"))
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    val stream = spark.readStream.schema(schema)
+      .parquet(stageDir.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val q = EventStream.hourlyCounts(stream)
+      .writeStream.format("memory").queryName("hourly_file_src")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("hourly_file_src")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      val batch = EventStream.hourlyCounts(Tables(spark, sfDir, "events"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+      assert(streamed.nonEmpty)
+    } finally q.stop()
+  }
+
   test("stateful sessionizer emits gap-separated sessions") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
