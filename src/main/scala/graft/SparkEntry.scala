@@ -67,6 +67,7 @@ object SparkEntry {
     "q51_token_topk" -> ((s, d) => TextOps.tokenTopK(s, d)),
     "q52_lang_id" -> (TextOps.langId _),
     "q53_fingerprint" -> (TextOps.fingerprint _),
+    "q54_clean_corpus" -> ((s, d) => TextOps.cleanCorpusStats(s, d)),
     // --- event/window analytics ---
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
@@ -261,6 +262,29 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |                x -> len(x) > 0)) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // pipeline composition: dedup keepers ⋈ quality gate → per-lang stats
+    "q54_clean_corpus" ->
+      """WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+        |t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tokens
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) > 0),
+        |u AS (SELECT doc_id, len(tokens) AS n_tokens,
+        |  len(list_distinct(tokens)) AS n_uniq,
+        |  len(list_filter(tokens, x -> x IN ('the','a','of','to','and','in','is'))) AS n_stop
+        |  FROM t),
+        |q AS (SELECT doc_id, n_tokens,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 100, CAST(1 AS DOUBLE)) * 0.4 +
+        |        (CAST(1 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 +
+        |        CAST(n_uniq AS DOUBLE) / n_tokens * 0.3, 6) AS quality
+        |  FROM u)
+        |SELECT d.lang, count(*) AS n_docs,
+        |       CAST(sum(q.n_tokens) AS BIGINT) AS total_tokens,
+        |       round(avg(q.quality), 6) AS avg_quality
+        |FROM documents d JOIN keepers k ON d.doc_id = k.doc_id
+        |                 JOIN q ON d.doc_id = q.doc_id
+        |WHERE q.quality >= 0.64
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin,
     "q60_events_hourly" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
         |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value,

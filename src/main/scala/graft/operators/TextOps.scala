@@ -72,6 +72,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Training-data pipeline composition (the end-to-end shape this engine
+    * exists for): exact-dedup to keeper docs → quality gate → per-language
+    * corpus stats. Each stage is one of the standalone operators; the
+    * composition stays a single declarative plan (no materialization
+    * between stages), so Catalyst fuses the dedup semi-join with the
+    * quality filter scan. */
+  def cleanCorpusStats(spark: SparkSession, dir: String,
+      minQuality: Double = 0.64): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val keepers = docs.groupBy(md5(col("text").cast("binary")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val quality = textStats(spark, dir).where(col("quality") >= minQuality)
+      .select("doc_id", "n_tokens", "quality")
+    docs.join(keepers, "doc_id").join(quality, "doc_id")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("total_tokens"),
+        round(avg("quality"), 6).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   /** Winnowing fingerprints (Schleimer et al.): rolling xxhash64 over word
     * 5-grams, keep the min of each 4-window, distinct. Output per doc:
     * fingerprint count + xor-fold (deterministic content signature). */
