@@ -28,7 +28,10 @@ object GraftFunctions {
       (es: Seq[Expression]) => ArrayDotProduct(es(0), es(1))),
     (FunctionIdentifier("combinations"),
       new ExpressionInfo(classOf[Combinations].getName, "combinations"),
-      (es: Seq[Expression]) => Combinations(es(0), es(1))))
+      (es: Seq[Expression]) => Combinations(es(0), es(1))),
+    (FunctionIdentifier("sorted_intersect_count"),
+      new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -27,11 +27,13 @@ object Dedup {
   private[operators] def tokensCol(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word k-shingles as a distinct array of xxhash64 values. */
+  /** Word k-shingles as a SORTED distinct array of xxhash64 values —
+    * sorted so pairwise intersection runs through the codegen'd two-pointer
+    * `sorted_intersect_count` instead of hash-based array_intersect. */
   private[operators] def shingleHashes(tokens: Column, k: Int): Column =
-    array_distinct(transform(
+    sort_array(array_distinct(transform(
       sequence(lit(0), greatest(size(tokens) - k, lit(0))),
-      i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(k))))))
+      i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(k)))))))
 
   /** documents + `sh` (shingle-hash set) column. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
@@ -80,12 +82,13 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sh = sig.select(col("doc_id"), col("sh"))
+    graft.functions.GraftFunctions.register(spark)
+    val inter = call_function("sorted_intersect_count", col("sa.sh"), col("sb.sh"))
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"), col("doc_b") === col("sb.doc_id"))
-      .withColumn("jaccard", round(
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh"))), 6))
+      .withColumn("jaccard", round(inter.cast("double") /
+          (size(col("sa.sh")) + size(col("sb.sh")) - inter), 6))
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
@@ -137,11 +140,12 @@ object Dedup {
     * bounded at scale (the LSH paths above are the uncapped route). */
   def ngramJaccardTopK(spark: SparkSession, dir: String, k: Int = 50,
       cap: Long = 500): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     val sh = shingled(spark, dir).select(col("doc_id"), col("sh"),
       size(col("sh")).as("n"))
-    // |A∪B| = |A|+|B|-|A∩B| — sizes are precomputed, so only the intersect
-    // materializes per pair (array_union would allocate a merged array each)
-    val inter = size(array_intersect(col("a.sh"), col("b.sh")))
+    // two-pointer merge over the sorted shingle arrays: no hash table, no
+    // allocation per pair (vs array_intersect), |A∪B| from precomputed sizes
+    val inter = call_function("sorted_intersect_count", col("a.sh"), col("b.sh"))
     broadcast(sh.as("a").where(col("doc_id") < cap))
       .join(sh.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),

@@ -54,6 +54,25 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     assert(q.collect().map(_.toSeq).sameElements(viaDouble))
   }
 
+  test("sorted_intersect_count equals size(array_intersect) on sorted arrays") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val rows = Seq.fill(200)((
+      Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted,
+      Seq.fill(rnd.nextInt(50))(rnd.nextInt(40).toLong).distinct.sorted))
+    val df = rows.toDF("a", "b")
+    val bad = df.select(
+        call_function("sorted_intersect_count", col("a"), col("b")).as("fast"),
+        size(array_intersect(col("a"), col("b"))).as("ref"))
+      .where(col("fast") =!= col("ref")).count()
+    assert(bad == 0)
+    // empty arrays
+    val z = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+      .select(call_function("sorted_intersect_count", col("a"), col("b"))).head.getInt(0)
+    assert(z == 0)
+  }
+
   test("SQL surface can use the injected functions directly") {
     // session built with spark.sql.extensions=GraftExtensions
     val r = spark.sql("SELECT array_dot(array(1D, 2D), array(3D, 4D)) AS d").head
