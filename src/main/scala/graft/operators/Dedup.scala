@@ -35,6 +35,15 @@ object Dedup {
       sequence(lit(0), greatest(size(tokens) - k, lit(0))),
       i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(k)))))))
 
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(h, i),
+    * folded with aggregate+least — no intermediate per-(doc, i) hash array
+    * like transform+array_min would allocate (NumHashes allocations per
+    * document adds up at corpus scale). */
+  private def minhashSigCol(sh: Column): Column =
+    transform(sequence(lit(0), lit(NumHashes - 1)),
+      i => aggregate(sh, lit(Long.MaxValue),
+        (acc, h) => least(acc, xxhash64(h, i))))
+
   /** documents + `sh` (shingle-hash set) column. */
   private def shingled(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
@@ -54,8 +63,7 @@ object Dedup {
     * codegen'd. Deterministic (rows-only check). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     shingled(spark, dir)
-      .withColumn("sig", transform(sequence(lit(0), lit(NumHashes - 1)),
-        i => array_min(transform(col("sh"), h => xxhash64(h, i)))))
+      .withColumn("sig", minhashSigCol(col("sh")))
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         xxhash64(concat_ws(",", transform(col("sig"), _.cast("string"))))
           .as("sig_hash"))
@@ -67,8 +75,7 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     val sig = shingled(spark, dir)
-      .withColumn("sig", transform(sequence(lit(0), lit(NumHashes - 1)),
-        i => array_min(transform(col("sh"), h => xxhash64(h, i)))))
+      .withColumn("sig", minhashSigCol(col("sh")))
       .cache()
     val bands = sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)), j =>
