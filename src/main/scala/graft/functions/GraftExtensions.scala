@@ -31,7 +31,19 @@ object GraftFunctions {
       (es: Seq[Expression]) => Combinations(es(0), es(1))),
     (FunctionIdentifier("sorted_intersect_count"),
       new ExpressionInfo(classOf[SortedIntersectCount].getName, "sorted_intersect_count"),
-      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))))
+      (es: Seq[Expression]) => SortedIntersectCount(es(0), es(1))),
+    (FunctionIdentifier("sign_buckets"),
+      new ExpressionInfo(classOf[HyperplaneSignBuckets].getName, "sign_buckets"),
+      (es: Seq[Expression]) => {
+        // planes + nBits are compile-time constants of the query (the
+        // hyperplane matrix is generated driver-side); extract them here so
+        // the expression codegens against a primitive double[]
+        require(es(1).foldable && es(2).foldable,
+          "sign_buckets: planes and nBits must be literals")
+        val planes = es(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        HyperplaneSignBuckets(es(0), planes, es(2).eval().asInstanceOf[Int])
+      }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, Generator, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
@@ -168,6 +168,119 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): SortedIntersectCount =
     copy(left = newLeft, right = newRight)
+}
+
+/** Deterministic ±1 random-hyperplane matrices for sign-LSH, generated
+  * driver-side ONCE and shipped into [[HyperplaneSignBuckets]] as a plain
+  * `double[]` — the round-1 formulation recomputed every entry per ROW via
+  * interpreted `transform/aggregate/zip_with` lambdas (nTables × nBits ×
+  * dim xxhash64 calls per vector; 44 s of the 133 s sf0.1 bench). The
+  * entries reproduce that formulation bit-for-bit: sign of component i of
+  * plane (t, b) = `(xxhash64((t * 64 + b) * 1024 + i) & 1) * 2 - 1` with
+  * xxhash64 over INT input at Spark's default seed 42 — so bucket ids, and
+  * therefore every LSH query result, are unchanged. */
+object Hyperplanes {
+  def signMatrix(nTables: Int, nBits: Int, dim: Int): Array[Double] = {
+    val out = new Array[Double](nTables * nBits * dim)
+    var t = 0
+    while (t < nTables) {
+      var b = 0
+      while (b < nBits) {
+        var i = 0
+        while (i < dim) {
+          val h = XXH64.hashInt((t * 64 + b) * 1024 + i, 42L)
+          out((t * nBits + b) * dim + i) = ((h & 1L) * 2L - 1L).toDouble
+          i += 1
+        }
+        b += 1
+      }
+      t += 1
+    }
+    out
+  }
+}
+
+/** `sign_buckets(v, planes, nBits)`: all `nTables` sign-LSH bucket ids of a
+  * vector in one tight codegen'd loop. `planes` is the flat
+  * [[Hyperplanes.signMatrix]] (length nTables·nBits·dim, foldable literal —
+  * extracted to a constant `double[]` at registration, embedded via
+  * `addReferenceObj` at codegen); output is array<bigint> of length
+  * nTables where bit b of entry t is `sign(v · plane_{t,b}) > 0`.
+  * nTables·nBits·dim multiply-adds per row — ~1.5k flops at the default
+  * 6×4×64 — versus the same count of per-element interpreted xxhash64
+  * lambda dispatches before. */
+case class HyperplaneSignBuckets(child: Expression, planes: Array[Double], nBits: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "sign_buckets"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(DoubleType, _) if nBits >= 1 && nBits <= 63 &&
+        planes.nonEmpty && planes.length % nBits == 0 => TypeCheckSuccess
+      case _ => TypeCheckFailure(
+        "sign_buckets(array<double>, planes array<double> literal, nBits literal in [1,63])")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    require(dim > 0 && planes.length % (nBits * dim) == 0,
+      s"plane matrix (${planes.length}) does not tile nBits=$nBits x dim=$dim")
+    val nTables = planes.length / (nBits * dim)
+    val out = new Array[Long](nTables)
+    var p = 0
+    var t = 0
+    while (t < nTables) {
+      var bucket = 0L
+      var b = 0
+      while (b < nBits) {
+        var s = 0.0
+        var i = 0
+        while (i < dim) { s += v.getDouble(i) * planes(p); p += 1; i += 1 }
+        if (s > 0) bucket |= (1L << b)
+        b += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val planesRef = ctx.addReferenceObj("planes", planes, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim"); val nT = ctx.freshName("nT")
+      val out = ctx.freshName("out"); val p = ctx.freshName("p")
+      val t = ctx.freshName("t"); val b = ctx.freshName("b"); val i = ctx.freshName("i")
+      val s = ctx.freshName("s"); val bucket = ctx.freshName("bucket")
+      s"""
+         |int $dim = $a.numElements();
+         |if ($dim == 0 || $planesRef.length % ($nBits * $dim) != 0) {
+         |  throw new IllegalArgumentException("sign_buckets: plane matrix does not tile");
+         |}
+         |int $nT = $planesRef.length / ($nBits * $dim);
+         |long[] $out = new long[$nT];
+         |int $p = 0;
+         |for (int $t = 0; $t < $nT; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $b = 0; $b < $nBits; $b++) {
+         |    double $s = 0.0;
+         |    for (int $i = 0; $i < $dim; $i++) { $s += $a.getDouble($i) * $planesRef[$p++]; }
+         |    if ($s > 0) $bucket |= (1L << $b);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneSignBuckets =
+    copy(child = newChild)
 }
 
 /** All size-k combinations of an array<bigint>, emitted in the canonical

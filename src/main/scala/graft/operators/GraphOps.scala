@@ -33,8 +33,24 @@ import graft.Tables
   */
 object GraphOps {
 
-  /** Undirected co-purchase edges (u < v, with shared-part count). */
-  def coPurchaseEdges(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+  /** The whole graph family (degrees, components, betweenness, communities,
+    * modularity) consumes the same co-purchase edge relation; a real engine
+    * materializes it once instead of re-running the join+aggregate per
+    * query. Keyed per (session, dir, minShared); `.cache()` is lazy, so the
+    * first consumer pays the build and the rest read the in-memory copy.
+    * The relation is tiny relative to its inputs (edges ≪ lineitem), so
+    * pinning it is safe even at large scale — it's the classic
+    * materialized-view shape. */
+  private val edgeCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  /** Undirected co-purchase edges (u < v, with shared-part count), cached
+    * per (session, dir, minShared) — see [[edgeCache]]. */
+  def coPurchaseEdges(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame =
+    edgeCache.computeIfAbsent((spark, dir, minShared),
+      _ => buildCoPurchaseEdges(spark, dir, minShared).cache())
+
+  private def buildCoPurchaseEdges(spark: SparkSession, dir: String, minShared: Int): DataFrame = {
     val l = Tables(spark, dir, "lineitem")
     val o = Tables(spark, dir, "orders")
     val cp = l.join(o, l("l_orderkey") === o("o_orderkey"))
@@ -51,14 +67,15 @@ object GraphOps {
   def edgesQuery(spark: SparkSession, dir: String): DataFrame =
     coPurchaseEdges(spark, dir).orderBy("u", "v")
 
-  /** Vertex degrees over the co-purchase graph (oracle-able). */
-  def degrees(spark: SparkSession, dir: String): DataFrame = {
-    val e = coPurchaseEdges(spark, dir)
-    e.select(col("u").as("vertex"))
-      .unionAll(e.select(col("v").as("vertex")))
+  /** Vertex degrees over the co-purchase graph (oracle-able). One pass:
+    * each edge explodes to its two endpoints — unlike a unionAll of two
+    * selects, the (expensive, possibly uncached) edge relation is scanned
+    * once, not once per union branch. */
+  def degrees(spark: SparkSession, dir: String): DataFrame =
+    coPurchaseEdges(spark, dir)
+      .select(explode(array(col("u"), col("v"))).as("vertex"))
       .groupBy("vertex").agg(count(lit(1)).as("degree"))
       .orderBy("vertex")
-  }
 
   /** Connected components via iterative min-label propagation on DataFrames
     * (the scalable stand-in for GraphX `connectedComponents()`,
@@ -160,11 +177,25 @@ object GraphOps {
     Csr(verts, offsets, nbr, eid, edges)
   }
 
+  /** Where a BFS deposits per-edge credit. Two tiers: a dense `double[E]`
+    * per task (fastest; one array-reduce shuffle) and a sparse hash map
+    * (when `double[E]` outgrows a task — the SCALE.md promise). Only two
+    * implementations exist, so the call stays bimorphic/inlineable. */
+  private[operators] trait CreditSink { def add(eid: Int, c: Double): Unit }
+  private[operators] final class DenseCredits(val acc: Array[Double]) extends CreditSink {
+    override def add(eid: Int, c: Double): Unit = acc(eid) += c
+  }
+  private[operators] final class SparseCredits extends CreditSink {
+    val acc = new mutable.LongMap[Double]()
+    override def add(eid: Int, c: Double): Unit =
+      acc.update(eid.toLong, acc.getOrElse(eid.toLong, 0.0) + c)
+  }
+
   /** One Brandes BFS from source index `s`, accumulating edge credit into
     * `acc` (the Girvan–Newman credit rule on unweighted graphs,
     * `Betweenness.scala:56-116`). Scratch arrays are caller-provided and
     * reused across sources; only vertices touched by this BFS are reset. */
-  private[operators] def brandesOneSource(g: Csr, s: Int, acc: Array[Double],
+  private[operators] def brandesOneSource(g: Csr, s: Int, acc: CreditSink,
       dist: Array[Int], sigma: Array[Double], delta: Array[Double],
       order: Array[Int]): Unit = {
     var head = 0; var tail = 0
@@ -191,7 +222,7 @@ object GraphOps {
         if (dist(v) == dw - 1) {
           val c = sigma(v) / sigma(w) * (1.0 + delta(w))
           delta(v) += c
-          acc(g.eid(j)) += c
+          acc.add(g.eid(j), c)
         }
         j += 1
       }
@@ -247,8 +278,9 @@ object GraphOps {
         val sigma = new Array[Double](nn)
         val delta = new Array[Double](nn)
         val order = new Array[Int](nn)
+        val sink = new DenseCredits(acc)
         sources.filter(keep)
-          .foreach(s => brandesOneSource(csr, s, acc, dist, sigma, delta, order))
+          .foreach(s => brandesOneSource(csr, s, sink, dist, sigma, delta, order))
         Iterator.single(acc)
       }
       .treeReduce { (a, b) =>
@@ -263,9 +295,17 @@ object GraphOps {
       .orderBy(col("btw_est").desc, col("u"), col("v"))
   }
 
-  /** Distributed Brandes over an explicit undirected edge list. */
-  def betweennessOfEdges(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+  /** Distributed Brandes over an explicit undirected edge list. Tiered:
+    * below `sparseEdgeThreshold` each task accumulates into one dense
+    * `double[E]` and a 32-array treeReduce sums them (fastest; E ≲ 2·10⁷ ⇒
+    * ≤ 160 MB per task); above it, the dense array would blow the task
+    * heap, so [[betweennessOfEdgesSparse]] shuffle-sums (edgeId, credit)
+    * instead. */
+  def betweennessOfEdges(spark: SparkSession, edges: Array[(Long, Long)],
+      sparseEdgeThreshold: Int = 20000000): DataFrame = {
     import spark.implicits._
+    if (edges.length > sparseEdgeThreshold)
+      return betweennessOfEdgesSparse(spark, edges)
     val g = buildCsr(edges)
     val bc = spark.sparkContext.broadcast(g)
     val n = g.verts.length
@@ -279,7 +319,8 @@ object GraphOps {
         val sigma = new Array[Double](nn)
         val delta = new Array[Double](nn)
         val order = new Array[Int](nn)
-        sources.foreach(s => brandesOneSource(csr, s, acc, dist, sigma, delta, order))
+        val sink = new DenseCredits(acc)
+        sources.foreach(s => brandesOneSource(csr, s, sink, dist, sigma, delta, order))
         Iterator.single(acc)
       }
       .treeReduce { (a, b) =>
@@ -290,6 +331,46 @@ object GraphOps {
     spark.createDataset(
         g.edges.indices.map(e => (g.edges(e)._1, g.edges(e)._2, credits(e) / 2.0)))
       .toDF("u", "v", "btw")
+      .orderBy(col("btw").desc, col("u"), col("v"))
+  }
+
+  /** Sparse betweenness tier: each task accumulates only the edges its
+    * sources' BFS trees actually touch (a hash map, size ≤ edges-reached,
+    * not `double[E]`), emits (edgeId, credit) entries, and a reduceByKey
+    * shuffle-sums them — per-task memory is bounded by the partition's
+    * reach instead of the global edge count. The per-vertex scratch stays
+    * dense (that is Brandes' floor — every BFS needs O(V) state); when V
+    * itself breaks the budget the answer is [[betweennessSampled]].
+    * Credits join back to (u, v) through the broadcast CSR, and edges no
+    * shortest path touched surface with credit 0 so the output edge set is
+    * identical to the dense tier's. */
+  def betweennessOfEdgesSparse(spark: SparkSession, edges: Array[(Long, Long)]): DataFrame = {
+    import spark.implicits._
+    val g = buildCsr(edges)
+    val bc = spark.sparkContext.broadcast(g)
+    val n = g.verts.length
+    val summed = spark.sparkContext.parallelize(0 until n, 32)
+      .mapPartitions { sources =>
+        val csr = bc.value
+        val nn = csr.verts.length
+        val dist = Array.fill(nn)(-1)
+        val sigma = new Array[Double](nn)
+        val delta = new Array[Double](nn)
+        val order = new Array[Int](nn)
+        val sink = new SparseCredits
+        sources.foreach(s => brandesOneSource(csr, s, sink, dist, sigma, delta, order))
+        sink.acc.iterator.map { case (eid, c) => (eid.toInt, c) }
+      }
+      .reduceByKey(_ + _)
+    val rows = summed.map { case (eid, c) =>
+      val e = bc.value.edges(eid)
+      (e._1, e._2, c / 2.0)
+    }
+    val present = spark.createDataset(rows).toDF("u", "v", "btw")
+    val zeros = spark.createDataset(g.edges.toIndexedSeq).toDF("u", "v")
+      .join(present.select("u", "v"), Seq("u", "v"), "left_anti")
+      .withColumn("btw", lit(0.0))
+    present.unionByName(zeros)
       .orderBy(col("btw").desc, col("u"), col("v"))
   }
 

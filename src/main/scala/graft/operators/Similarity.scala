@@ -85,22 +85,34 @@ object Similarity {
     * collide in ANY table (p_table = p_bit^nBits, recall = 1-(1-p_table)^L)
     * — a single wide table has near-zero recall for neighbors at 60–70°,
     * which is exactly where cosine top-k lives on high-dim data.
+    *
+    * The hyperplane matrix is generated ONCE driver-side
+    * ([[graft.functions.Hyperplanes.signMatrix]] — bit-identical to the
+    * round-1 per-row lambda formulation) and all nTables bucket ids are
+    * computed by one codegen'd expression
+    * ([[graft.functions.HyperplaneSignBuckets]]); the round-1 shape
+    * re-derived every matrix entry per row through interpreted
+    * higher-order-function lambdas and was 33% of the whole bench.
     * Rows: (vec_id, v, norm, table, bucket). */
-  private def lshBuckets(e: DataFrame, nBits: Int, nTables: Int): DataFrame =
-    e.withColumn("idx", sequence(lit(0), size(col("v")) - 1))
-      .withColumn("tb", expr(
-        s"""transform(sequence(0, ${nTables - 1}), t ->
-           |  named_struct('table', t, 'bucket',
-           |    aggregate(
-           |      transform(sequence(0, ${nBits - 1}), b ->
-           |        if(aggregate(zip_with(v, idx, (x, i) ->
-           |              x * (cast((xxhash64((t * 64 + b) * 1024 + i) & 1) * 2 - 1 AS double))),
-           |            0D, (acc, x) -> acc + x) > 0,
-           |          shiftleft(1L, b), 0L)),
-           |      0L, (s, x) -> s | x)))""".stripMargin))
-      .select(col("vec_id"), col("v"), col("norm"), explode(col("tb")).as("t"))
-      .select(col("vec_id"), col("v"), col("norm"),
-        col("t.table").as("table"), col("t.bucket").as("bucket"))
+  private def lshBuckets(e: DataFrame, nBits: Int, nTables: Int,
+      dim: Int = 64): DataFrame = {
+    graft.functions.GraftFunctions.register(e.sparkSession)
+    val planes = graft.functions.Hyperplanes.signMatrix(nTables, nBits, dim)
+    e.withColumn("tb", call_function("sign_buckets", col("v"), lit(planes), lit(nBits)))
+      .select(col("vec_id"), col("v"), col("norm"), posexplode(col("tb")))
+      .withColumnsRenamed(Map("pos" -> "table", "col" -> "bucket"))
+  }
+
+  /** Bits per LSH table sized to the corpus: expected bucket occupancy
+    * N/2^bits ≤ targetBucket, i.e. the candidate join stays ~linear as N
+    * grows (the 4-bit default is fixture-tuned; at 10^9 vectors it would
+    * put ~6·10^7 vectors in every bucket). Recall lost to narrower buckets
+    * is bought back with more tables (OR-amplification), not wider ones. */
+  def autoBits(n: Long, targetBucket: Int = 64): Int = {
+    var bits = 1
+    while (bits < 24 && (n >> bits) > targetBucket) bits += 1
+    bits
+  }
 
   /** ANN via LSH: candidates share the 8-bit hyperplane bucket; exact cosine
     * + top-k within the candidate set. Approximate by construction —

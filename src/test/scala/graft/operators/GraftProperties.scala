@@ -85,7 +85,8 @@ object GraftProperties extends Properties("graft") {
         val dist = Array.fill(n)(-1)
         val sigma = new Array[Double](n); val delta = new Array[Double](n)
         val order = new Array[Int](n)
-        (0 until n).foreach(s => GraphOps.brandesOneSource(g, s, acc, dist, sigma, delta, order))
+        val sink = new GraphOps.DenseCredits(acc)
+        (0 until n).foreach(s => GraphOps.brandesOneSource(g, s, sink, dist, sigma, delta, order))
         val naive = naiveBetweenness(edges)
         g.edges.indices.forall { e =>
           math.abs(acc(e) / 2.0 - naive.getOrElse(g.edges(e), 0.0)) < 1e-9

@@ -28,6 +28,23 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(m.values.forall(v => math.abs(v - 2.0) < 1e-9))
   }
 
+  test("sparse betweenness tier equals the dense tier") {
+    // hand graph with asymmetric structure (bridge + cycle + pendant)
+    val edges = Array((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (3L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (7L, 8L))
+    val dense = btwMap(edges)
+    val sparse = GraphOps.betweennessOfEdgesSparse(spark, edges).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(sparse.keySet == dense.keySet)
+    dense.foreach { case (k, v) =>
+      assert(math.abs(sparse(k) - v) < 1e-9, s"edge $k: sparse=${sparse(k)} dense=$v")
+    }
+    // and the auto dispatch routes to the sparse tier above the threshold
+    val viaDispatch = GraphOps.betweennessOfEdges(spark, edges, sparseEdgeThreshold = 0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(viaDispatch == sparse)
+  }
+
   test("distributed connected components equals driver union-find on fixture") {
     import spark.implicits._
     val edgeDf = GraphOps.coPurchaseEdges(spark, sfDir).select("u", "v")

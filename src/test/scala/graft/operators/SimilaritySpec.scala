@@ -25,6 +25,45 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("codegen'd sign_buckets equals the round-1 lambda formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    val nBits = 4; val nTables = 6
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    // the round-1 interpreted-lambda formulation, verbatim
+    val legacy = e.withColumn("idx", sequence(lit(0), size(col("v")) - 1))
+      .withColumn("tb", expr(
+        s"""transform(sequence(0, ${nTables - 1}), t ->
+           |  named_struct('table', t, 'bucket',
+           |    aggregate(
+           |      transform(sequence(0, ${nBits - 1}), b ->
+           |        if(aggregate(zip_with(v, idx, (x, i) ->
+           |              x * (cast((xxhash64((t * 64 + b) * 1024 + i) & 1) * 2 - 1 AS double))),
+           |            0D, (acc, x) -> acc + x) > 0,
+           |          shiftleft(1L, b), 0L)),
+           |      0L, (s, x) -> s | x)))""".stripMargin))
+      .select(col("vec_id"), explode(col("tb")).as("t"))
+      .select(col("vec_id"), col("t.table").as("table"), col("t.bucket").as("bucket"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    graft.functions.GraftFunctions.register(spark)
+    val planes = graft.functions.Hyperplanes.signMatrix(nTables, nBits, 64)
+    val native = e
+      .withColumn("tb", call_function("sign_buckets", col("v"), lit(planes), lit(nBits)))
+      .select(col("vec_id"), posexplode(col("tb")))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(native.size == legacy.size && native.size > 0)
+    legacy.foreach { case (k, bucket) =>
+      assert(native(k) == bucket, s"(vec, table)=$k: native=${native(k)} legacy=$bucket")
+    }
+  }
+
+  test("autoBits keeps expected bucket occupancy bounded as N scales") {
+    assert(Similarity.autoBits(500, 64) == 3)
+    assert(Similarity.autoBits(1000000L, 64) == 14)
+    // monotone, capped
+    assert(Similarity.autoBits(Long.MaxValue / 2, 64) == 24)
+  }
+
   test("LSH top-5 recall vs brute force is usable") {
     val brute = Similarity.cosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
