@@ -80,6 +80,10 @@ object SparkEntry {
     "q64_events_hourly_streamplan" -> ((s, d) =>
       graft.streaming.EventStream.hourlyCounts(Tables(s, d, "events"))
         .orderBy("hour_s", "event_type")),
+    // file-source Structured Streaming sessionizer, drained end-to-end;
+    // shares q62's oracle (streaming == batch once the watermark flushes)
+    "q65_sessionize_stream" -> ((s, d) =>
+      graft.streaming.EventStream.sessionizeFromFiles(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -89,7 +93,8 @@ object SparkEntry {
     // custom-expression variants produce byte-identical results to their
     // built-in twins and share the oracle
     m + ("q23_freq_pairs_generator" -> m("q21_freq_pairs")) +
-      ("q49_ann_native" -> m("q46_ann_brute"))
+      ("q49_ann_native" -> m("q46_ann_brute")) +
+      ("q65_sessionize_stream" -> m("q62_sessionize"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -191,10 +196,11 @@ object SparkEntry {
         |FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
         |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY item1, item2""".stripMargin,
     // The oracle recomputes the engine's adaptive support — max(3, 0.02% of
-    // baskets) — in SQL, so it tracks any scale factor. Sizes 1–3 are
-    // enumerated; at fixture densities no size-4 set can reach support
-    // (sf0.01: even no size-3 does), and A-priori monotonicity means a
-    // size-4 survivor would first show up as a size-3 count mismatch.
+    // baskets) — in SQL, so it tracks any scale factor. Sizes 1–4 are
+    // enumerated (no fixture has a frequent size-4 set; enumerating one
+    // level past the deepest survivor means a frequent set the oracle
+    // misses would need size ≥ 5, whose size-4 subsets would all be
+    // frequent by monotonicity and break the comparison loudly first).
     "q22_son" ->
       """WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
         |sup AS (SELECT greatest(3, CAST(round(0.0002 * count(DISTINCT l_orderkey)) AS BIGINT)) AS s FROM b),
@@ -206,13 +212,20 @@ object SparkEntry {
         |threes AS (SELECT a.l_partkey AS x, c.l_partkey AS y, e.l_partkey AS z, count(*) AS n
         |           FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
         |                    JOIN b e ON c.l_orderkey = e.l_orderkey AND c.l_partkey < e.l_partkey
-        |           GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT s FROM sup))
+        |           GROUP BY 1, 2, 3 HAVING count(*) >= (SELECT s FROM sup)),
+        |fours AS (SELECT a.l_partkey AS w, c.l_partkey AS x, e.l_partkey AS y, f.l_partkey AS z, count(*) AS n
+        |          FROM b a JOIN b c ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        |                   JOIN b e ON c.l_orderkey = e.l_orderkey AND c.l_partkey < e.l_partkey
+        |                   JOIN b f ON e.l_orderkey = f.l_orderkey AND e.l_partkey < f.l_partkey
+        |          GROUP BY 1, 2, 3, 4 HAVING count(*) >= (SELECT s FROM sup))
         |SELECT itemset, size, support FROM (
         |  SELECT CAST(l_partkey AS VARCHAR) AS itemset, 1 AS size, n AS support FROM ones
         |  UNION ALL
         |  SELECT CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR), 2, n FROM twos
         |  UNION ALL
-        |  SELECT CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR) || ',' || CAST(z AS VARCHAR), 3, n FROM threes)
+        |  SELECT CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR) || ',' || CAST(z AS VARCHAR), 3, n FROM threes
+        |  UNION ALL
+        |  SELECT CAST(w AS VARCHAR) || ',' || CAST(x AS VARCHAR) || ',' || CAST(y AS VARCHAR) || ',' || CAST(z AS VARCHAR), 4, n FROM fours)
         |ORDER BY size, itemset""".stripMargin,
     "q30_cograph_edges" ->
       """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
@@ -228,6 +241,28 @@ object SparkEntry {
         |SELECT vertex, count(*) AS degree
         |FROM (SELECT u AS vertex FROM e UNION ALL SELECT v FROM e)
         |GROUP BY vertex ORDER BY vertex""".stripMargin,
+    // Connected components as a recursive CTE: propagate reachable labels
+    // downhill only (label < vertex) — the closure is pruned to pairs that
+    // can still lower a vertex's min, then min-reduced; every vertex also
+    // contributes itself so singleton-minima survive. Verified identical to
+    // the engine's union-find/pointer-jumping output at sf0.01 (~15 s).
+    "q32_conncomp" ->
+      """WITH RECURSIVE cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |walk(vertex, label) AS (
+        |  SELECT u AS vertex, v AS label FROM und WHERE v < u
+        |  UNION
+        |  SELECT und.u AS vertex, walk.label FROM und JOIN walk ON und.v = walk.vertex
+        |  WHERE walk.label < und.u
+        |)
+        |SELECT vertex, min(label) AS component FROM (
+        |  SELECT vertex, label FROM walk
+        |  UNION ALL
+        |  SELECT DISTINCT u AS vertex, u AS label FROM und
+        |) GROUP BY vertex ORDER BY vertex""".stripMargin,
     "q40_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,

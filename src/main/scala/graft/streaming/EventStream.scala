@@ -1,7 +1,7 @@
 package graft.streaming
 
 import java.sql.Timestamp
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -89,5 +89,62 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(touch)
+  }
+
+  /** End-to-end FILE-SOURCE streaming sessionization over the events
+    * fixture, returning the same shape as the batch `Events.sessionize`
+    * (q62) so the driver's DuckDB oracle covers the streaming path too.
+    *
+    * The fixture is one static parquet file, so the run is staged: copy the
+    * file into a watch directory, drain it, then drop in a sentinel file
+    * (one far-future event for user −1) — advancing the watermark past
+    * every open session's `last + gap` timeout flushes them, which is
+    * exactly how a production stream's tail sessions close. `session_seq`
+    * is a presentation step on the emitted sessions (row_number by start
+    * time), matching the batch face's chronological numbering. The memory
+    * sink bounds this harness to driver-collectable results; a deployment
+    * would `writeStream` to a real sink and skip the sentinel dance. */
+  def sessionizeFromFiles(spark: SparkSession, dir: String,
+      gapSec: Long = 1800): DataFrame = {
+    import spark.implicits._
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val stage = Files.createTempDirectory("graft-q65-src")
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long (nanos)
+    val stream = spark.readStream.schema(raw.schema).parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .select(col("user_id"), col("ts"), col("value")).as[Ev]
+
+    val sink = "q65_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val q = sessionize(stream, gapSec).writeStream
+      .format("memory").queryName(sink).outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      // sentinel: same physical schema as the staged file, ts 30 days past
+      // the fixture max — watermark sails past every open timeout
+      val maxNs = raw.agg(max("ts")).head.getLong(0)
+      val sentinelDir = Files.createTempDirectory("graft-q65-sentinel")
+      raw.limit(1)
+        .withColumn("user_id", lit(-1L))
+        .withColumn("ts", lit(maxNs + 30L * 24 * 3600 * 1000000000L))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+      val part = Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, stage.resolve("zz_sentinel.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("start_s", "end_s")
+    spark.table(sink)
+      .where(col("user_id") =!= -1L)
+      .withColumn("session_seq", row_number().over(w).cast("long"))
+      .select(col("user_id"), col("session_seq"),
+        col("n_events").cast("long").as("n_events"),
+        col("start_s"), col("end_s"), col("sum_value"))
+      .orderBy("user_id", "session_seq")
   }
 }
