@@ -133,22 +133,97 @@ object Similarity {
     topKByCosine(sims, k)
   }
 
-  /** IVF (inverted-file) ANN: deterministic coarse quantizer — centroids
-    * are a fixed stride-sample of the corpus (a k-means fit would slot in
-    * here unchanged); every vector is assigned to its nearest centroid
-    * (one broadcast join — this is the "partition by centroid" layout at
-    * cluster scale), and each query probes only its `nprobe` nearest
-    * cells. The third point on the exact↔approx spectrum after brute and
-    * LSH: cell-local scans, recall tunable via nprobe. */
-  def cosineTopKIvf(spark: SparkSession, dir: String, k: Int = 5,
-      nQueries: Long = 100, nCells: Int = 16, nprobe: Int = 4): DataFrame = {
-    val e = normalized(spark, dir).cache()
+  /** Deterministic spherical k-means for the IVF coarse quantizer.
+    * Init = the stride-sample (unit-normalized); each Lloyd iteration
+    * assigns every vector to its max-cosine centroid and recenters each
+    * cell on the normalized mean. The per-iteration pass is a
+    * `treeAggregate` with dense per-partition (sum, count) accumulators —
+    * map-side combined, nothing but k·dim doubles crosses the wire, the
+    * MLlib shape that holds at any corpus size (k·dim stays driver-tiny).
+    * No randomness anywhere: stride init, lowest-index tie-breaks, fixed
+    * iteration count — reruns are bit-stable. Empty cells keep their
+    * previous centroid. Returns unit-length centroids. */
+  private[operators] def sphericalKMeans(e: DataFrame, nCells: Int,
+      iters: Int): Array[Array[Double]] = {
+    val spark = e.sparkSession
     val n = e.count()
     val stride = math.max(1, n / nCells)
-    val centroids = e.where(pmod(col("vec_id"), lit(stride)) === 0)
-      .orderBy("vec_id") // limit on an unordered frame is partition-order-dependent
-      .limit(nCells)
-      .select(col("vec_id").as("cell"), col("v").as("cv"), col("norm").as("cn"))
+    var centroids: Array[Array[Double]] =
+      e.where(pmod(col("vec_id"), lit(stride)) === 0)
+        .orderBy("vec_id").limit(nCells)
+        .select(col("v"), col("norm")).collect()
+        .map { r =>
+          val norm = r.getDouble(1)
+          r.getSeq[Double](0).map(_ / norm).toArray
+        }
+    if (iters == 0) return centroids
+    val unit = e.select(col("v"), col("norm")).rdd
+      .map { r =>
+        val norm = r.getDouble(1)
+        r.getSeq[Double](0).map(_ / norm).toArray
+      }.cache()
+    val k = centroids.length
+    val dim = centroids(0).length
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(centroids)
+      val (sums, counts) = unit.treeAggregate(
+          (Array.ofDim[Double](k, dim), new Array[Long](k)))(
+        { case ((s, c), v) =>
+          val cs = bc.value
+          var best = 0; var bestDot = Double.NegativeInfinity
+          var j = 0
+          while (j < k) {
+            var d = 0.0; var i = 0
+            while (i < dim) { d += v(i) * cs(j)(i); i += 1 }
+            if (d > bestDot) { bestDot = d; best = j }
+            j += 1
+          }
+          var i = 0
+          while (i < dim) { s(best)(i) += v(i); i += 1 }
+          c(best) += 1
+          (s, c)
+        },
+        { case ((s1, c1), (s2, c2)) =>
+          var j = 0
+          while (j < k) {
+            var i = 0
+            while (i < dim) { s1(j)(i) += s2(j)(i); i += 1 }
+            c1(j) += c2(j); j += 1
+          }
+          (s1, c1)
+        })
+      centroids = centroids.indices.map { j =>
+        if (counts(j) == 0) centroids(j)
+        else {
+          val m = sums(j)
+          val norm = math.sqrt(m.map(x => x * x).sum)
+          if (norm == 0) centroids(j) else m.map(_ / norm)
+        }
+      }.toArray
+      bc.destroy()
+    }
+    unit.unpersist()
+    centroids
+  }
+
+  /** IVF (inverted-file) ANN: spherical-k-means coarse quantizer
+    * ([[sphericalKMeans]]; `kmeansIters = 0` degrades to the raw
+    * stride-sample, kept as the recall baseline in SimilaritySpec); every
+    * vector is assigned to its nearest centroid (one broadcast join — this
+    * is the "partition by centroid" layout at cluster scale), and each
+    * query probes only its `nprobe` nearest cells. The third point on the
+    * exact↔approx spectrum after brute and LSH: cell-local scans, recall
+    * tunable via nprobe. */
+  def cosineTopKIvf(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Long = 100, nCells: Int = 16, nprobe: Int = 4,
+      kmeansIters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = normalized(spark, dir).cache()
+    val cents = sphericalKMeans(e, nCells, kmeansIters)
+    val centroids = spark.createDataset(
+        cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("cell", "cv")
+      .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit length
     // cell assignment: argmax cosine to centroid (rank-1 window)
     val simToCell = e.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"),

@@ -82,6 +82,21 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall below floor")
   }
 
+  test("k-means quantizer beats the stride-sample baseline at the same nprobe") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    def recall(iters: Int): Double = {
+      val ivf = Similarity.cosineTopKIvf(spark, sfDir, kmeansIters = iters)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      brute.intersect(ivf).size.toDouble / brute.size
+    }
+    val stride = recall(0)
+    val kmeans = recall(5)
+    info(s"IVF recall: stride-sample=$stride, k-means=$kmeans")
+    assert(kmeans > stride,
+      s"k-means recall $kmeans not above stride-sample baseline $stride")
+  }
+
   test("near-dup top pair equals the global max-cosine pair") {
     val vecs = Tables(spark, sfDir, "embeddings").collect()
       .map(r => (r.getAs[Long]("vec_id"),
