@@ -43,7 +43,16 @@ object GraftFunctions {
         val planes = es(1).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
         HyperplaneSignBuckets(es(0), planes, es(2).eval().asInstanceOf[Int])
-      }))
+      }),
+    (FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sigs"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable, "minhash_sigs: numHashes must be a literal")
+        MinHashSignature(es(0), es(1).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("simhash64"),
+      new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
+      (es: Seq[Expression]) => SimHash64(es(0))))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)

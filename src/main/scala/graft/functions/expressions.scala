@@ -283,6 +283,137 @@ case class HyperplaneSignBuckets(child: Expression, planes: Array[Double], nBits
     copy(child = newChild)
 }
 
+/** `minhash_sigs(sh, numHashes)`: the full MinHash signature of a (hashed)
+  * shingle set in one tight codegen'd loop — sig[i] = min over shingles h
+  * of xxhash64(h, i) at Spark's default seed 42, exactly the fold the
+  * `transform(sequence(...), i -> aggregate(sh, MaxValue, least(...)))`
+  * formulation computes (bit-identity spec-asserted), but ~numHashes × |sh|
+  * hash calls in generated Java instead of that many interpreted lambda
+  * dispatches. The outer xxhash64(h, i) is split: the h-part
+  * (hashLong(h, 42)) is computed once per shingle and reused as the seed
+  * for all numHashes hashInt(i, ·) calls — Spark's multi-child XxHash64
+  * chains children exactly this way. Empty input ⇒ all-MaxValue signature,
+  * matching aggregate's zero value. */
+case class MinHashSignature(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) if numHashes >= 1 => TypeCheckSuccess
+      case _ => TypeCheckFailure("minhash_sigs(array<bigint>, numHashes literal >= 1)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val sh = a.asInstanceOf[ArrayData]
+    val out = Array.fill(numHashes)(Long.MaxValue)
+    val n = sh.numElements()
+    var k = 0
+    while (k < n) {
+      val seed = XXH64.hashLong(sh.getLong(k), 42L)
+      var i = 0
+      while (i < numHashes) {
+        val v = XXH64.hashInt(i, seed)
+        if (v < out(i)) out(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val out = ctx.freshName("out"); val n = ctx.freshName("n")
+      val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val seed = ctx.freshName("seed"); val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, Long.MAX_VALUE);
+         |int $n = $a.numElements();
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $seed = $xxh.hashLong($a.getLong($k), 42L);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = $xxh.hashInt($i, $seed);
+         |    if ($v < $out[$i]) $out[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+/** `simhash64(th)`: 64-bit SimHash fingerprint from pre-hashed tokens —
+  * per bit j, count +1/−1 by bit j of each token hash, set bit j of the
+  * output when the counter is positive. Bit-identical to the nested
+  * `aggregate(...zip_with...)` SQL formulation (integer arithmetic
+  * throughout), but one |th|·64 loop of generated Java instead of 64
+  * interpreted array allocations per document. */
+case class SimHash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case _ => TypeCheckFailure("simhash64(array<bigint>)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val th = a.asInstanceOf[ArrayData]
+    val cnt = new Array[Int](64)
+    val n = th.numElements()
+    var k = 0
+    while (k < n) {
+      val h = th.getLong(k)
+      var j = 0
+      while (j < 64) {
+        if (((h >>> j) & 1L) == 1L) cnt(j) += 1 else cnt(j) -= 1
+        j += 1
+      }
+      k += 1
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 64) { if (cnt(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cnt = ctx.freshName("cnt"); val n = ctx.freshName("n")
+      val k = ctx.freshName("k"); val j = ctx.freshName("j")
+      val h = ctx.freshName("h"); val fp = ctx.freshName("fp")
+      s"""
+         |int[] $cnt = new int[64];
+         |int $n = $a.numElements();
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $a.getLong($k);
+         |  for (int $j = 0; $j < 64; $j++) {
+         |    if ((($h >>> $j) & 1L) == 1L) $cnt[$j]++; else $cnt[$j]--;
+         |  }
+         |}
+         |long $fp = 0L;
+         |for (int $j = 0; $j < 64; $j++) { if ($cnt[$j] > 0) $fp |= (1L << $j); }
+         |${ev.value} = $fp;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
 /** All size-k combinations of an array<bigint>, emitted in the canonical
   * order of the (sorted) input — one row per combination. */
 case class Combinations(child: Expression, kExpr: Expression)

@@ -35,20 +35,29 @@ object Dedup {
       sequence(lit(0), greatest(size(tokens) - k, lit(0))),
       i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(k)))))))
 
-  /** MinHash signature: sig[i] = min over shingles of xxhash64(h, i),
-    * folded with aggregate+least — no intermediate per-(doc, i) hash array
-    * like transform+array_min would allocate (NumHashes allocations per
-    * document adds up at corpus scale). */
+  /** MinHash signature: sig[i] = min over shingles of xxhash64(h, i), as
+    * one codegen'd loop ([[graft.functions.MinHashSignature]]). The
+    * aggregate+least HOF fold it replaces computed the identical values
+    * (DedupSpec asserts bit-parity) through NumHashes × |sh| interpreted
+    * lambda dispatches per document — the dominant cost of the LSH pair
+    * path at sf0.1. */
   private def minhashSigCol(sh: Column): Column =
+    call_function("minhash_sigs", sh, lit(NumHashes))
+
+  /** The pre-codegen HOF formulation of [[minhashSigCol]] — kept as the
+    * bit-parity witness for the spec, never on the query path. */
+  private[operators] def minhashSigColLambda(sh: Column): Column =
     transform(sequence(lit(0), lit(NumHashes - 1)),
       i => aggregate(sh, lit(Long.MaxValue),
         (acc, h) => least(acc, xxhash64(h, i))))
 
   /** documents + `sh` (shingle-hash set) column. */
-  private def shingled(spark: SparkSession, dir: String): DataFrame =
+  private def shingled(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
       .withColumn("sh", shingleHashes(col("tokens"), 3))
+  }
 
   /** Exact dedup: md5 of the raw text, one row per distinct content with the
     * keeper (min doc_id) and the duplicate count. Oracle-able. */
@@ -103,24 +112,18 @@ object Dedup {
 
   /** 64-bit SimHash fingerprint per document: per bit j, sign of
     * Σ_tokens (±1 by bit j of xxhash64(token)). Each token is hashed ONCE
-    * (`th`), then one zip_with accumulates all 64 bit-counters — hashing
-    * inside the bit loop would cost 64× the hash work. */
-  def simhash(spark: SparkSession, dir: String): DataFrame =
+    * (`th`), then [[graft.functions.SimHash64]] folds all 64 bit-counters
+    * in a single codegen'd loop (bit-parity with the nested
+    * aggregate/zip_with HOF formulation asserted in DedupSpec). */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
       .withColumn("th", expr("transform(tokens, t -> xxhash64(t))"))
-      .withColumn("fp", expr(
-        """aggregate(
-          |  aggregate(th, array_repeat(0L, 64),
-          |    (acc, h) -> zip_with(acc,
-          |      transform(sequence(0, 63), j -> if((shiftright(h, j) & 1) = 1, 1L, -1L)),
-          |      (a, b) -> a + b)),
-          |  named_struct('j', 0, 'fp', 0L),
-          |  (s, cnt) -> named_struct('j', s.j + 1,
-          |    'fp', if(cnt > 0, s.fp | shiftleft(1L, s.j), s.fp)),
-          |  s -> s.fp)""".stripMargin))
+      .withColumn("fp", call_function("simhash64", col("th")))
       .select("doc_id", "fp")
       .orderBy("doc_id")
+  }
 
   /** SimHash near-dup pairs: block on 4×16-bit chunks (two fingerprints at
     * Hamming distance ≤ 3 share ≥ 1 exact chunk by pigeonhole), verify with

@@ -20,8 +20,18 @@ import graft.Tables
   */
 object Similarity {
 
+  /** Composed-built-ins dot product — the declarative baseline kept on the
+    * q46 path (its native twin q49 proves [[graft.functions
+    * .ArrayDotProduct]] bit-identical through the shared oracle). */
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  /** Codegen'd dot product — every candidate-scoring hot path (LSH, IVF,
+    * near-dup) runs through this: millions of candidate pairs × dim
+    * multiply-adds must not pay a lambda dispatch per element. Identical
+    * float semantics to [[dot]] (same left-to-right accumulation). */
+  private def cdot(a: Column, b: Column): Column =
+    call_function("array_dot", a, b)
 
   /** Shared rank shape for every ANN tier: keep the k best neighbors per
     * query, deterministic tie-break on neighbor id over the 6-dp-rounded
@@ -36,10 +46,12 @@ object Similarity {
   }
 
   /** embeddings as (vec_id, v: array<double>, norm). */
-  private def normalized(spark: SparkSession, dir: String): DataFrame =
+  private def normalized(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("norm", sqrt(dot(col("v"), col("v"))))
+      .withColumn("norm", sqrt(cdot(col("v"), col("v"))))
+  }
 
   /** Exact cosine top-k: for each query vector (vec_id < nQueries), the k
     * nearest corpus vectors. Query side broadcasts; ties broken by
@@ -129,7 +141,7 @@ object Similarity {
         col("v"), col("qn"), col("norm"))
       .dropDuplicates("query_id", "neighbor_id") // collide in several tables — score once
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
+        round(cdot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
     topKByCosine(sims, k)
   }
 
@@ -157,11 +169,19 @@ object Similarity {
           r.getSeq[Double](0).map(_ / norm).toArray
         }
     if (iters == 0) return centroids
-    val unit = e.select(col("v"), col("norm")).rdd
+    // Train the quantizer on a deterministic subsample (vec_id stride), the
+    // standard IVF shape: centroid quality needs a representative sample,
+    // not the corpus — Lloyd over 100 TB would be iters full scans for no
+    // recall gain. Coalesced small so each iteration is a handful of tasks,
+    // not defaultParallelism × treeAggregate-depth scheduling overhead.
+    val sampleTarget = math.max(1000L, 100L * nCells)
+    val rate = math.max(1L, n / sampleTarget)
+    val unit = e.where(pmod(col("vec_id"), lit(rate)) === 0)
+      .select(col("v"), col("norm")).rdd
       .map { r =>
         val norm = r.getDouble(1)
         r.getSeq[Double](0).map(_ / norm).toArray
-      }.cache()
+      }.coalesce(4).cache()
     val k = centroids.length
     val dim = centroids(0).length
     (1 to iters).foreach { _ =>
@@ -227,7 +247,7 @@ object Similarity {
     // cell assignment: argmax cosine to centroid (rank-1 window)
     val simToCell = e.join(broadcast(centroids), lit(true))
       .select(col("vec_id"), col("v"), col("norm"), col("cell"),
-        (dot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("csim"))
+        (cdot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("csim"))
     val assignW = Window.partitionBy("vec_id")
       .orderBy(col("csim").desc, col("cell"))
     val assigned = simToCell.withColumn("r", row_number().over(assignW))
@@ -245,7 +265,7 @@ object Similarity {
         col("v"), col("qn"), col("norm"))
       .dropDuplicates("query_id", "neighbor_id")
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
+        round(cdot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
     topKByCosine(sims, k)
   }
 
@@ -264,7 +284,7 @@ object Similarity {
         col("a.norm").as("na"), col("b.norm").as("nb"))
       .dropDuplicates("vec_a", "vec_b")
       .select(col("vec_a"), col("vec_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+        round(cdot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }

@@ -45,6 +45,44 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       s"missed ${truth.diff(got).size} of ${truth.size} true pairs")
   }
 
+  test("codegen'd minhash_sigs equals the aggregate+least formulation bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val sh = Tables(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"),
+        sort_array(array_distinct(transform(
+          sequence(lit(0), greatest(size(split(lower(col("text")), "\\s+")) - 3, lit(0))),
+          i => xxhash64(concat_ws(" ", slice(split(lower(col("text")), "\\s+"), i + 1, lit(3))))))).as("sh"))
+    def collectSigs(c: org.apache.spark.sql.Column) =
+      sh.select(col("doc_id"), c.as("sig")).collect()
+        .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val native = collectSigs(call_function("minhash_sigs", col("sh"), lit(128)))
+    val legacy = collectSigs(Dedup.minhashSigColLambda(col("sh")))
+    assert(native.nonEmpty && native.keySet == legacy.keySet)
+    native.foreach { case (id, sig) =>
+      assert(sig == legacy(id), s"doc $id signature mismatch") }
+  }
+
+  test("codegen'd simhash64 equals the nested aggregate formulation bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val th = Tables(spark, sfDir, "documents").limit(200)
+      .select(col("doc_id"),
+        expr("transform(filter(split(lower(text), '\\\\s+'), t -> length(t) > 0), t -> xxhash64(t))").as("th"))
+    val native = th.select(col("doc_id"), call_function("simhash64", col("th")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val legacy = th.select(col("doc_id"), expr(
+        """aggregate(
+          |  aggregate(th, array_repeat(0L, 64),
+          |    (acc, h) -> zip_with(acc,
+          |      transform(sequence(0, 63), j -> if((shiftright(h, j) & 1) = 1, 1L, -1L)),
+          |      (a, b) -> a + b)),
+          |  named_struct('j', 0, 'fp', 0L),
+          |  (s, cnt) -> named_struct('j', s.j + 1,
+          |    'fp', if(cnt > 0, s.fp | shiftleft(1L, s.j), s.fp)),
+          |  s -> s.fp)""".stripMargin).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(native.nonEmpty && native == legacy)
+  }
+
   test("simhash pairs are within the claimed hamming distance") {
     val fp = Dedup.simhash(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toMap
