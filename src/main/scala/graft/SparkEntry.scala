@@ -71,6 +71,8 @@ object SparkEntry {
     // --- event/window analytics ---
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
+    // custom LogicalPlan+Strategy+SparkPlan top-k-per-group (plans/)
+    "q66_topk_per_group_native" -> ((s, d) => Events.rankedNative(s, d)),
     "q62_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "q63_events_json" -> (Events.jsonProps _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
@@ -94,7 +96,8 @@ object SparkEntry {
     // built-in twins and share the oracle
     m + ("q23_freq_pairs_generator" -> m("q21_freq_pairs")) +
       ("q49_ann_native" -> m("q46_ann_brute")) +
-      ("q65_sessionize_stream" -> m("q62_sessionize"))
+      ("q65_sessionize_stream" -> m("q62_sessionize")) +
+      ("q66_topk_per_group_native" -> m("q61_events_ranked"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -36,6 +36,18 @@ object Events {
       .orderBy("user_id", "rn")
   }
 
+  /** [[ranked]] through the custom [[graft.plans.TopKPerGroup]] physical
+    * operator instead of a window: partial per-partition bounded heaps →
+    * exchange on user_id → final heap merge + rank emission. Same rows as
+    * the window formulation (total order via the event_id tie-break), so
+    * it shares q61's oracle — a DuckDB hash match over a custom SparkPlan. */
+  def rankedNative(spark: SparkSession, dir: String, k: Int = 3): DataFrame =
+    graft.plans.TopKPerGroup(Tables(spark, dir, "events"),
+        Seq("user_id"), Seq(("ts", true), ("event_id", true)), k)
+      .select(col("user_id"), col("rn"), col("event_id"), col("event_type"),
+        unix_timestamp(col("ts")).as("ts_s"))
+      .orderBy("user_id", "rn")
+
   /** JSON property extraction from the `props` column ({"k": <int>}):
     * per-type stats over the parsed value. */
   def jsonProps(spark: SparkSession, dir: String): DataFrame =

@@ -118,8 +118,17 @@ object EventStream {
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
 
     val sink = "q65_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val q = sessionize(stream, gapSec).writeStream
-      .format("memory").queryName(sink).outputMode("append").start()
+    // State-store partition count is baked into the query at start; each
+    // partition owns an HDFS-backed store instance with per-batch commit +
+    // maintenance overhead, so a harness run sizes it to the state (one
+    // Open per user), not to the session's shuffle width. A deployment
+    // picks this by active-user count.
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try sessionize(stream, gapSec).writeStream
+        .format("memory").queryName(sink).outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       q.processAllAvailable()
       // sentinel: same physical schema as the staged file, ts 30 days past

@@ -1,0 +1,60 @@
+package graft.plans
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSuite, Tables}
+
+class TopKPerGroupSpec extends AnyFunSuite with SparkSuite
+    with AdaptiveSparkPlanHelper {
+
+  test("plan is partial heap -> exchange -> final heap (no full sort)") {
+    val df = TopKPerGroup(Tables(spark, sfDir, "events"),
+      Seq("user_id"), Seq(("ts", true), ("event_id", true)), 3)
+    df.collect() // finalize adaptive plan
+    val execs = collect(df.queryExecution.executedPlan) {
+      case e: TopKPerGroupExec => e
+    }
+    assert(execs.length == 2, s"expected partial+final, got:\n${df.queryExecution.executedPlan}")
+    assert(execs.count(_.rankAttr.isDefined) == 1)
+    val hasExchange = collect(df.queryExecution.executedPlan) {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeLike => e
+    }.nonEmpty
+    assert(hasExchange, "final tier must be fed by an exchange on the group key")
+    val hasSort = collect(df.queryExecution.executedPlan) {
+      case s: org.apache.spark.sql.execution.SortExec => s
+    }.nonEmpty
+    assert(!hasSort, "top-k-per-group must not sort the full input")
+  }
+
+  test("matches the window row_number formulation on the events fixture") {
+    val native = graft.operators.Events.rankedNative(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val window = graft.operators.Events.ranked(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(native.nonEmpty && native == window)
+  }
+
+  test("groups smaller than k, ties broken by the tie-break column, k=1") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", 10, 1L), ("a", 10, 2L), ("a", 5, 3L),        // tie on score
+      ("b", 7, 4L),                                      // group smaller than k
+      ("c", 1, 5L), ("c", 2, 6L), ("c", 3, 7L), ("c", 4, 8L)
+    ).toDF("g", "score", "id").repartition(4)
+    def viaNative(k: Int) =
+      TopKPerGroup(df, Seq("g"), Seq(("score", true), ("id", false)), k)
+        .select("g", "rn", "id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    def viaWindow(k: Int) = {
+      val w = Window.partitionBy("g").orderBy(col("score").desc, col("id").asc)
+      df.withColumn("rn", row_number().over(w)).where(col("rn") <= k)
+        .select("g", "rn", "id").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSet
+    }
+    Seq(1, 2, 3, 10).foreach { k =>
+      assert(viaNative(k) == viaWindow(k), s"mismatch at k=$k")
+    }
+  }
+}
