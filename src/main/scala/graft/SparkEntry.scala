@@ -75,6 +75,8 @@ object SparkEntry {
     "q66_topk_per_group_native" -> ((s, d) => Events.rankedNative(s, d)),
     "q62_sessionize" -> ((s, d) => Events.sessionize(s, d)),
     "q63_events_json" -> (Events.jsonProps _),
+    // as-of join: union + carry-forward window, oracled by DuckDB ASOF JOIN
+    "q67_asof_join" -> (Events.lastPurchaseAsof _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
     "q70_media_features" -> (graft.multimodal.MediaOps.mediaFeatureQuery _),
     "q71_media_nearest" -> ((s, d) => graft.multimodal.MediaOps.mediaNearest(s, d)),
@@ -360,5 +362,16 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // DuckDB's native ASOF JOIN pins the union+carry-forward formulation
+    "q67_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |     r AS (SELECT user_id AS p_user, ts AS p_ts, round(max(value), 6) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |       epoch_us(l.ts) // 1000000 AS ts_s,
+        |       epoch_us(r.p_ts) // 1000000 AS purchase_ts_s,
+        |       r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts >= r.p_ts
+        |ORDER BY l.event_id""".stripMargin,
   )
 }

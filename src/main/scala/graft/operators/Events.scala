@@ -59,6 +59,64 @@ object Events {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** As-of join: for each left row, the single most recent right row with
+    * `right.ts <= left.ts` on the same key — the time-series "latest fact
+    * at event time" lookup (DuckDB/kdb ASOF JOIN; Spark has no native
+    * operator). Unmatched left rows keep nulls (left-outer semantics).
+    *
+    * Plan shape: Spark would plan the naive inequality join as a
+    * broadcast-nested-loop / cartesian — O(L·R) per key. Instead both
+    * sides are UNIONed and sorted once per key by (ts, side) and the
+    * right payload is carried forward with `last(ignoreNulls)` over a
+    * running window: ONE exchange + one sort, O((L+R)·log(L+R)) per key
+    * partition — the shape that survives 100 TB, and the same
+    * merge-scan a native time-series engine runs. Right rows order
+    * before left rows at equal ts, so the match is inclusive (`<=`).
+    *
+    * Contract: right must be unique per (key, ts) — pre-aggregate
+    * otherwise (ties would be nondeterministic in any engine); column
+    * names of the two sides must not collide (the right key/ts arrive
+    * under their own names: the matched `rightTs` is part of the output).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+               leftKey: String, rightKey: String,
+               leftTs: String, rightTs: String): DataFrame = {
+    val payload = right.columns.filterNot(_ == rightKey).toSeq // rightTs stays: it IS the matched-at column
+    val lU = left
+      .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTs))
+      .withColumn("__side", lit(0))
+    val rU = right
+      .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTs))
+      .withColumn("__side", lit(1))
+      .drop(rightKey)
+    val w = Window.partitionBy("__k")
+      .orderBy(col("__t").asc, col("__side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(lU.unionByName(rU, allowMissingColumns = true)) {
+      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
+    }
+    filled.where(col("__side") === 0).drop("__k", "__t", "__side")
+  }
+
+  /** q67: every 'view' event joined as-of to the same user's most recent
+    * 'purchase' (right side pre-aggregated to one row per (user, ts) so
+    * the match is deterministic). 142 of 1982 views at sf0.01 predate any
+    * purchase — real null handling, not a degenerate all-match. */
+  def lastPurchaseAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(round(max("value"), 6).as("purchase_value"))
+    asofJoin(views, purchases, "user_id", "p_user", "ts", "p_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        unix_timestamp(col("p_ts")).as("purchase_ts_s"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity): classic lag + running
     * sum of session-boundary markers, then per-session rollup. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {

@@ -59,6 +59,30 @@ class TextEventsSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("asof join matches a driver-side latest-fact recomputation") {
+    val out = Events.lastPurchaseAsof(spark, sfDir).collect()
+    // driver-side truth: per user, sorted purchase times
+    val purchases = Tables(spark, sfDir, "events")
+      .where(col("event_type") === "purchase")
+      .select("user_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime / 1000))
+      .groupBy(_._1).map { case (u, rs) => (u, rs.map(_._2).sorted) }
+    assert(out.nonEmpty)
+    var matched = 0
+    out.foreach { r =>
+      val u = r.getLong(1); val ts = r.getLong(2)
+      val expect = purchases.get(u).flatMap { arr =>
+        val le = arr.takeWhile(_ <= ts)
+        if (le.isEmpty) None else Some(le.last)
+      }
+      val got = if (r.isNullAt(3)) None else Some(r.getLong(3))
+      assert(got == expect, s"user $u at $ts")
+      if (got.isDefined) matched += 1
+    }
+    assert(matched > 0 && matched < out.length,
+      "fixture should exercise both matched and unmatched (null) rows")
+  }
+
   test("ranked returns at most 3 strictly time-descending events per user") {
     val byUser = Events.ranked(spark, sfDir).collect().groupBy(_.getLong(0))
     byUser.values.foreach { rs =>
