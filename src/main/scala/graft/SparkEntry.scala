@@ -77,6 +77,8 @@ object SparkEntry {
     "q63_events_json" -> (Events.jsonProps _),
     // as-of join: union + carry-forward window, oracled by DuckDB ASOF JOIN
     "q67_asof_join" -> (Events.lastPurchaseAsof _),
+    // range join: bin-bucketed equi-join vs DuckDB's inequality join
+    "q68_range_join" -> (Events.clicksAfterErrors _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
     "q70_media_features" -> (graft.multimodal.MediaOps.mediaFeatureQuery _),
     "q71_media_nearest" -> ((s, d) => graft.multimodal.MediaOps.mediaNearest(s, d)),
@@ -373,5 +375,15 @@ object SparkEntry {
         |       r.purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts >= r.p_ts
         |ORDER BY l.event_id""".stripMargin,
+    // DuckDB plans the raw inequality join (IEJoin); the engine's binned
+    // equi-join must produce identical counts
+    "q68_range_join" ->
+      """WITH e AS (SELECT event_id, ts, ts + INTERVAL 1 HOUR AS te
+        |           FROM events WHERE event_type = 'error'),
+        |     c AS (SELECT ts FROM events WHERE event_type = 'click')
+        |SELECT e.event_id, epoch_us(e.ts) // 1000000 AS ts_s,
+        |       count(c.ts) AS clicks_1h
+        |FROM e LEFT JOIN c ON c.ts >= e.ts AND c.ts < e.te
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
   )
 }

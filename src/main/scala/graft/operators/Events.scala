@@ -117,6 +117,48 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** Range (point-in-interval) join: every (point, interval) pair with
+    * `start <= point.ts < end`. Spark plans the naive inequality join as a
+    * broadcast-nested-loop — O(P·I) compares regardless of selectivity.
+    * Here intervals are exploded to the time bins they cover and points
+    * join on their (single) bin, then the exact range predicate filters
+    * within the bin: an equi-join whose cost is O(matches) + O(I·span/bin).
+    * A point's bin is unique, so a pair can match in at most one bin —
+    * no post-join dedup. Pick `binUs` ≈ the typical interval width (an
+    * interval then covers ≤ 2 bins). Contract: column names of the two
+    * sides are disjoint; intervals are non-empty (`start < end`).
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pTs: String, iStart: String, iEnd: String,
+                binUs: Long): DataFrame = {
+    val p = points.withColumn("__pbin", floor(unix_micros(col(pTs)) / binUs))
+    val i = intervals.withColumn("__ibin",
+      explode(sequence(floor(unix_micros(col(iStart)) / binUs),
+        floor((unix_micros(col(iEnd)) - 1) / binUs))))
+    p.join(i, col("__pbin") === col("__ibin") &&
+        col(pTs) >= col(iStart) && col(pTs) < col(iEnd))
+      .drop("__pbin", "__ibin")
+  }
+
+  /** q68: for each 'error' event, how many 'click' events (any user) land
+    * in the hour after it — a pure range join (no key equality to save
+    * the plan), kept zero-count rows included. */
+  def clicksAfterErrors(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val errors = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("ts").as("w_start"),
+        (col("ts") + expr("INTERVAL 1 HOUR")).as("w_end"))
+    val clicks = ev.where(col("event_type") === "click")
+      .select(col("ts").as("c_ts"))
+    val counts = rangeJoin(clicks, errors, "c_ts", "w_start", "w_end",
+        binUs = 3600L * 1000000L)
+      .groupBy("event_id").agg(count(lit(1)).as("clicks_1h"))
+    errors.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), unix_timestamp(col("w_start")).as("ts_s"),
+        coalesce(col("clicks_1h"), lit(0L)).as("clicks_1h"))
+      .orderBy("event_id")
+  }
+
   /** Gap-based sessionization (30-min inactivity): classic lag + running
     * sum of session-boundary markers, then per-session rollup. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {

@@ -83,6 +83,30 @@ class TextEventsSpec extends AnyFunSuite with SparkSuite {
       "fixture should exercise both matched and unmatched (null) rows")
   }
 
+  test("range join counts match a driver-side recomputation, zeros included") {
+    val out = Events.clicksAfterErrors(spark, sfDir).collect()
+    val clicks = Tables(spark, sfDir, "events")
+      .where(col("event_type") === "click").select("ts").collect()
+      .map(_.getTimestamp(0).getTime).sorted // millis resolution suffices: fixture has micros ts but 1h windows
+    val errors = Tables(spark, sfDir, "events")
+      .where(col("event_type") === "error").select("event_id", "ts").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1).getTime)).toMap
+    assert(out.length == errors.size, "one row per error event incl. zero counts")
+    out.foreach { r =>
+      val t0 = errors(r.getLong(0))
+      val expect = clicks.count(t => t >= t0 && t < t0 + 3600000L)
+      assert(r.getLong(2) == expect, s"event ${r.getLong(0)}")
+    }
+    assert(out.exists(_.getLong(2) == 0) && out.exists(_.getLong(2) > 0),
+      "fixture should exercise zero and non-zero windows")
+    // the reason this operator exists: the binned form must plan as a
+    // hash equi-join, never a nested-loop over all (point, interval) pairs
+    val physical = Events.clicksAfterErrors(spark, sfDir)
+      .queryExecution.executedPlan.toString()
+    assert(!physical.contains("BroadcastNestedLoopJoin") &&
+      !physical.contains("CartesianProduct"), physical.take(2000))
+  }
+
   test("ranked returns at most 3 strictly time-descending events per user") {
     val byUser = Events.ranked(spark, sfDir).collect().groupBy(_.getLong(0))
     byUser.values.foreach { rs =>
