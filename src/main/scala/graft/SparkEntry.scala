@@ -68,6 +68,10 @@ object SparkEntry {
     "q52_lang_id" -> (TextOps.langId _),
     "q53_fingerprint" -> (TextOps.fingerprint _),
     "q54_clean_corpus" -> ((s, d) => TextOps.cleanCorpusStats(s, d)),
+    "q55_bpe_tokens" -> ((s, d) => TextOps.bpeTokenTopK(s, d)),
+    // LSH pairs → connected components → keeper: rows-only (LSH banding
+    // is not SQL-expressible), pinned by DedupSpec's union-find equality
+    "q56_dedup_groups" -> ((s, d) => Dedup.dedupGroups(s, d)),
     // --- event/window analytics ---
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
@@ -304,6 +308,13 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |                x -> len(x) > 0)) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // same lookahead-free BPE pre-split pattern under RE2 (TextOps.BpePattern)
+    "q55_bpe_tokens" ->
+      """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS docs FROM (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text),
+        |                 ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS token
+        |  FROM documents)
+        |GROUP BY token ORDER BY n DESC, token LIMIT 25""".stripMargin,
     // pipeline composition: dedup keepers ⋈ quality gate → per-lang stats
     "q54_clean_corpus" ->
       """WITH keepers AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),

@@ -164,4 +164,27 @@ object Dedup {
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(k)
   }
+
+  /** End-to-end near-dup GROUPING, the shape a corpus-dedup job actually
+    * ships: [[minhashPairs]] edges → connected components (near-duplicity
+    * is not transitive, but dedup policy treats chains as one group) →
+    * canonical keeper = min doc_id of the group (the component label).
+    * One row per grouped doc: (doc_id, group_id, group_size, is_keeper);
+    * docs with no near-dup stay out (they're all keepers trivially).
+    * Composes three engine operators into one declarative-plus-CC job —
+    * at 100 TB both stages are the bucketed/bounded shapes proven by
+    * their own queries (q42, q32). */
+  def dedupGroups(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val edges = minhashPairs(spark, dir, minJaccard)
+      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val comp = GraphOps.componentsAuto(spark, edges) // label = min member
+    val sizes = comp.groupBy(col("component").as("group_id"))
+      .agg(count(lit(1)).as("group_size"))
+    comp.select(col("vertex").as("doc_id"), col("component").as("group_id"))
+      .join(sizes, "group_id")
+      .withColumn("is_keeper", col("doc_id") === col("group_id"))
+      .select("doc_id", "group_id", "group_size", "is_keeper")
+      .orderBy("group_id", "doc_id")
+  }
 }

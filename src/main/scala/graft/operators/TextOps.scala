@@ -44,6 +44,28 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** GPT-2-style pre-tokenizer: a token is an optionally-space-prefixed
+    * letter run, digit run, or punctuation run (the byte-BPE pre-split —
+    * " fast" and a document-initial "fast" are distinct vocabulary
+    * entries, exactly as in BPE vocabularies). Kept lookahead-free so the
+    * same pattern runs identically under Java regex (Spark codegen) and
+    * RE2 (DuckDB oracle). The merge step of real BPE needs a learned
+    * vocabulary — out of scope; this is the tokenizer's distributed,
+    * measurable half (corpus token statistics at training-data scale). */
+  val BpePattern = " ?[a-z]+| ?[0-9]+| ?[^\\sa-z0-9]+"
+
+  /** Corpus top-k under the BPE-ish pre-tokenizer: occurrences + document
+    * frequency per token. */
+  def bpeTokenTopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+          .as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("docs"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(k)
+
   /** Language-ID heuristic: score each language by marker-token hit rate
     * (top stopwords per language) plus a CJK-codepoint ratio for zh.
     * Deterministic; rows-only (the marker lists are engine-internal). */

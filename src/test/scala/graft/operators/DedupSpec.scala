@@ -29,6 +29,24 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("dedup groups = driver union-find over the LSH pairs, keeper = min id") {
+    val pairs = Dedup.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.nonEmpty)
+    val vertices = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+    val truth = GraphOps.unionFind(vertices, pairs)
+    val out = Dedup.dedupGroups(spark, sfDir).collect()
+    assert(out.length == vertices.length, "one row per grouped doc")
+    val sizes = truth.values.groupBy(identity).map { case (g, vs) => (g, vs.size.toLong) }
+    out.foreach { r =>
+      val (doc, gid) = (r.getLong(0), r.getLong(1))
+      assert(truth(doc) == gid, s"doc $doc group")
+      assert(r.getLong(2) == sizes(gid), s"doc $doc size")
+      assert(r.getBoolean(3) == (doc == gid), s"doc $doc keeper flag")
+    }
+    assert(out.count(_.getBoolean(3)) == sizes.size, "exactly one keeper per group")
+  }
+
   test("minhash candidate generation finds all high-jaccard pairs (recall)") {
     // brute-force exact jaccard over shingle sets for pairs >= 0.5
     val sh = Tables(spark, sfDir, "documents").collect()

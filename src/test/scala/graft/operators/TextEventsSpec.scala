@@ -31,6 +31,18 @@ class TextEventsSpec extends AnyFunSuite with SparkSuite {
     assert(total == expected) // vocabulary is tiny; 1000 covers everything
   }
 
+  test("BPE pre-tokenizer conserves word occurrences and splits on space prefix") {
+    val all = TextOps.bpeTokenTopK(spark, sfDir, k = 100000).collect()
+    // every word of the space-separated fixture becomes exactly one token
+    val expected = Tables(spark, sfDir, "documents").collect()
+      .map(_.getAs[String]("text").toLowerCase.split("\\s+").count(_.nonEmpty)).sum
+    assert(all.map(_.getLong(1)).sum == expected)
+    // document-initial vs mid-text occurrences are distinct vocab entries
+    val toks = all.map(_.getString(0)).toSet
+    assert(toks.exists(t => t.startsWith(" ") && toks.contains(t.drop(1))),
+      "expected both ' w' and 'w' forms in the vocabulary")
+  }
+
   test("lang id emits one deterministic prediction per doc") {
     val a = TextOps.langId(spark, sfDir).collect().map(r => (r.getLong(0), r.getString(1)))
     val b = TextOps.langId(spark, sfDir).collect().map(r => (r.getLong(0), r.getString(1)))
