@@ -36,6 +36,11 @@ object SparkEntry {
     "q17_window_running" -> (Relational.windowRunning _),
     "q18_rollup" -> (Relational.rollupAgg _),
     "q19_sketches" -> (Relational.sketches _),
+    "q1a_pivot" -> (Relational.pivotByStatus _),
+    "q1b_percentiles" -> (Relational.percentiles _),
+    "q1c_column_stats" -> (Relational.columnStats _),
+    // deterministic multiplicative-hash train/val/test assignment
+    "q57_hash_split" -> (Sampling.trainValTest _),
     // --- basket analytics (§2.9 G1) ---
     "q20_freq_items" -> ((s, d) => Baskets.freqItems(s, d)),
     "q21_freq_pairs" -> ((s, d) => Baskets.freqPairs(s, d)),
@@ -72,6 +77,10 @@ object SparkEntry {
     // LSH pairs → connected components → keeper: rows-only (LSH banding
     // is not SQL-expressible), pinned by DedupSpec's union-find equality
     "q56_dedup_groups" -> ((s, d) => Dedup.dedupGroups(s, d)),
+    // file-source streaming exact dedup; shares q40's oracle (the drained
+    // stream equals the batch groupBy — min-keeper is arrival-order-free)
+    "q58_dedup_stream" -> ((s, d) =>
+      graft.streaming.DedupStream.dedupExactFromFiles(s, d)),
     // --- event/window analytics ---
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
@@ -105,7 +114,8 @@ object SparkEntry {
     m + ("q23_freq_pairs_generator" -> m("q21_freq_pairs")) +
       ("q49_ann_native" -> m("q46_ann_brute")) +
       ("q65_sessionize_stream" -> m("q62_sessionize")) +
-      ("q66_topk_per_group_native" -> m("q61_events_ranked"))
+      ("q66_topk_per_group_native" -> m("q61_events_ranked")) +
+      ("q58_dedup_stream" -> m("q40_dedup_exact"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -197,6 +207,41 @@ object SparkEntry {
         |       round(sum(l_quantity), 6) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY ROLLUP(p_brand) ORDER BY brand""".stripMargin,
+    "q1a_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (WHERE o_orderstatus = 'F') AS f_n,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'F'), 6) AS f_spend,
+        |  count(*) FILTER (WHERE o_orderstatus = 'O') AS o_n,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'O'), 6) AS o_spend,
+        |  count(*) FILTER (WHERE o_orderstatus = 'P') AS p_n,
+        |  round(sum(o_totalprice) FILTER (WHERE o_orderstatus = 'P'), 6) AS p_spend
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1b_percentiles" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.25), 6) AS p25,
+        |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75,
+        |  round(quantile_cont(l_extendedprice, 0.99), 6) AS p99
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1c_column_stats" ->
+      ("WITH t AS (SELECT * FROM lineitem) " +
+        Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey").map(c =>
+          s"""SELECT '$c' AS col_name, count(*) AS n,
+             |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             |  count(DISTINCT $c) AS ndv,
+             |  round(CAST(min($c) AS DOUBLE), 6) AS min_v,
+             |  round(CAST(max($c) AS DOUBLE), 6) AS max_v,
+             |  round(avg($c), 6) AS avg_v FROM t""".stripMargin)
+          .mkString("", " UNION ALL ", " ORDER BY col_name")),
+    // pure BIGINT arithmetic → bit-identical split fractions cross-engine
+    "q57_hash_split" ->
+      """SELECT doc_id,
+        |  CASE WHEN frac < 0.9 THEN 'train'
+        |       WHEN frac < 0.95 THEN 'val' ELSE 'test' END AS split
+        |FROM (SELECT doc_id,
+        |        (doc_id * 2654435761) % 4294967296 / 4294967296.0 AS frac
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q20_freq_items" ->
       """SELECT l_partkey, count(*) AS support
         |FROM (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)

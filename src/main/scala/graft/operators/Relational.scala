@@ -227,6 +227,61 @@ object Relational {
           array(lit(0.5), lit(0.95)), lit(10000)), 2), 2).as("p95_price"))
       .orderBy("l_returnflag")
 
+  /** PIVOT (long→wide reshape): order counts + spend per priority, one
+    * column pair per order status. The status values are enumerated
+    * explicitly — at scale the implicit form would need a separate
+    * distinct pass to discover them, and pinned values keep the output
+    * schema stable for the cross-engine compare. Plans as a single
+    * hash aggregate over CASE projections — one shuffle, no join. */
+  def pivotByStatus(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)).as("n"), r6(sum("o_totalprice")).as("spend"))
+      .select(col("o_orderpriority"),
+        coalesce(col("F_n"), lit(0L)).as("f_n"), col("F_spend").as("f_spend"),
+        coalesce(col("O_n"), lit(0L)).as("o_n"), col("O_spend").as("o_spend"),
+        coalesce(col("P_n"), lit(0L)).as("p_n"), col("P_spend").as("p_spend"))
+      .orderBy("o_orderpriority")
+
+  /** Exact interpolated percentiles (percentile_cont semantics) per group
+    * — the exact twin of [[sketches]]' approximate quantiles. */
+  def percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(percentile(col("l_extendedprice"), lit(0.25)), 6).as("p25"),
+        round(percentile(col("l_extendedprice"), lit(0.5)), 6).as("p50"),
+        round(percentile(col("l_extendedprice"), lit(0.75)), 6).as("p75"),
+        round(percentile(col("l_extendedprice"), lit(0.99)), 6).as("p99"))
+      .orderBy("l_returnflag")
+
+  /** ANALYZE-shape per-column statistics (count / nulls / exact NDV /
+    * min / max / mean) in ONE scan: a single wide aggregate row reshaped
+    * to per-column rows with `stack` — the profile pass a pipeline runs
+    * before choosing join strategies or partition counts. The exact NDVs
+    * make Catalyst plan one Expand (row ×4) before the shuffle; at 100 TB
+    * swap them for approx_count_distinct (the q19 sketch tier) and the
+    * whole profile collapses to one constant-memory pass. */
+  def columnStats(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
+    val aggs = cols.flatMap { c =>
+      Seq(count(lit(1)).as(s"${c}_n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
+        count_distinct(col(c)).as(s"${c}_ndv"),
+        r6(min(col(c)).cast("double")).as(s"${c}_min"),
+        r6(max(col(c)).cast("double")).as(s"${c}_max"),
+        r6(avg(col(c))).as(s"${c}_avg"))
+    }
+    val stackExpr = cols.map(c =>
+        s"'$c', ${c}_n, ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, ${c}_avg")
+      .mkString(s"stack(${cols.size}, ", ", ", ")")
+    Tables(spark, dir, "lineitem")
+      .agg(aggs.head, aggs.tail: _*)
+      .selectExpr(s"$stackExpr AS (col_name, n, n_nulls, ndv, min_v, max_v, avg_v)")
+      .orderBy("col_name")
+  }
+
   /** The SQL surface: the same flagship query through `spark.sql` over
     * registered views — proves users can run plain SQL against the engine. */
   def sqlApi(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,45 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Deterministic sampling / dataset-splitting operators — the
+  * train/val/test assignment step of a training-data pipeline. The split
+  * must be a pure function of a stable id (never `rand()`): reruns,
+  * retries and incremental appends all have to land every row in the
+  * same split, and two engines must agree on it, which is also what
+  * makes the assignment DuckDB-oracle-able.
+  */
+object Sampling {
+
+  /** Knuth's multiplicative hash → [0, 1): cheap, stains no engine-
+    * specific hash (plain BIGINT arithmetic reproduces anywhere), and
+    * decorrelates the split from id order so range-correlated features
+    * don't leak into one split. Ids must be non-negative. */
+  private[operators] def hashFraction(id: Column): Column =
+    pmod(id * lit(2654435761L), lit(4294967296L)) / lit(4294967296.0)
+
+  /** Assign each row to a named split by cumulative weight over
+    * [[hashFraction]]. `weights` are (name, weight), weight sum ≤ 1;
+    * any residue falls into the last split. */
+  def hashSplit(df: DataFrame, idCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    val frac = hashFraction(col(idCol))
+    val cum = weights.scanLeft(0.0)(_ + _._2).tail
+    val expr = weights.zip(cum).init.foldRight(
+        lit(weights.last._1): Column) { case (((name, _), hi), els) =>
+      when(frac < hi, name).otherwise(els)
+    }
+    df.withColumn("split", expr)
+  }
+
+  /** q57: the 90/5/5 train/val/test assignment of the document corpus —
+    * full per-doc assignment (not just counts), so the oracle pins every
+    * row's placement. */
+  def trainValTest(spark: SparkSession, dir: String): DataFrame =
+    hashSplit(Tables(spark, dir, "documents").select("doc_id"), "doc_id",
+        Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+      .select("doc_id", "split")
+      .orderBy("doc_id")
+}

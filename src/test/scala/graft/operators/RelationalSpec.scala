@@ -72,6 +72,45 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("pivot cells reconcile with the unpivoted totals") {
+    val orders = Tables(spark, sfDir, "orders")
+    val total = orders.count()
+    val out = Relational.pivotByStatus(spark, sfDir).collect()
+    assert(out.map(r => r.getLong(1) + r.getLong(3) + r.getLong(5)).sum == total)
+  }
+
+  test("exact percentiles are monotone and bracket the median") {
+    Relational.percentiles(spark, sfDir).collect().foreach { r =>
+      val ps = (1 to 4).map(r.getDouble)
+      assert(ps == ps.sorted, s"non-monotone percentiles for ${r.getString(0)}")
+    }
+  }
+
+  test("column stats agree with direct per-column aggregates") {
+    val li = Tables(spark, sfDir, "lineitem")
+    val n = li.count()
+    val stats = Relational.columnStats(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.size == 4)
+    stats.values.foreach { r =>
+      assert(r.getLong(1) == n && r.getLong(2) == 0L)
+      assert(r.getLong(3) <= n && r.getDouble(4) <= r.getDouble(5))
+    }
+    val ndvQty = li.select(count_distinct(col("l_quantity"))).head.getLong(0)
+    assert(stats("l_quantity").getLong(3) == ndvQty)
+  }
+
+  test("hash split is deterministic, exhaustive, and near the target weights") {
+    val a = Sampling.trainValTest(spark, sfDir).collect()
+    val b = Sampling.trainValTest(spark, sfDir).collect()
+    assert(a.map(_.toSeq).sameElements(b.map(_.toSeq)))
+    val n = Tables(spark, sfDir, "documents").count()
+    assert(a.length == n)
+    val frac = a.groupBy(_.getString(1)).map { case (s, rs) => (s, rs.length.toDouble / n) }
+    assert(math.abs(frac("train") - 0.9) < 0.05, frac.toString)
+    assert(frac.keySet == Set("train", "val", "test"))
+  }
+
   test("sql surface answers the same as the DataFrame surface") {
     val viaSql = Relational.sqlApi(spark, sfDir).collect().map(_.toSeq)
     val viaDf = Tables(spark, sfDir, "lineitem")

@@ -136,4 +136,12 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("streaming exact dedup equals the batch groupBy face") {
+    val streamed = DedupStream.dedupExactFromFiles(spark, sfDir)
+      .collect().map(_.toSeq)
+    val batch = graft.operators.Dedup.exact(spark, sfDir)
+      .collect().map(_.toSeq)
+    assert(streamed.sameElements(batch))
+  }
 }
