@@ -39,6 +39,9 @@ object SparkEntry {
     "q1a_pivot" -> (Relational.pivotByStatus _),
     "q1b_percentiles" -> (Relational.percentiles _),
     "q1c_column_stats" -> (Relational.columnStats _),
+    "q1d_range_frame" -> (Relational.windowRangeFrame _),
+    // custom typed Aggregator (UDAF surface) — oracle replays exp(avg(ln))
+    "q1e_geomean" -> (Relational.geoMean _),
     // deterministic multiplicative-hash train/val/test assignment
     "q57_hash_split" -> (Sampling.trainValTest _),
     // --- basket analytics (§2.9 G1) ---
@@ -67,6 +70,9 @@ object SparkEntry {
     "q48_cosine_neardup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
     "q49_ann_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
     "q4a_ann_ivf" -> ((s, d) => Similarity.cosineTopKIvf(s, d)),
+    // product quantization: ADC shortlist + exact re-rank (rows-only;
+    // recall floor in SimilaritySpec)
+    "q59_ann_pq" -> ((s, d) => Similarity.cosineTopKPq(s, d)),
     // --- text analysis ---
     "q50_text_stats" -> (TextOps.textStats _),
     "q51_token_topk" -> ((s, d) => TextOps.tokenTopK(s, d)),
@@ -233,6 +239,19 @@ object SparkEntry {
              |  round(CAST(max($c) AS DOUBLE), 6) AS max_v,
              |  round(avg($c), 6) AS avg_v FROM t""".stripMargin)
           .mkString("", " UNION ALL ", " ORDER BY col_name")),
+    "q1d_range_frame" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(floor(epoch(o_orderdate)) AS BIGINT) AS odate_s,
+        |       round(sum(o_totalprice) OVER (
+        |         PARTITION BY o_custkey ORDER BY CAST(floor(epoch(o_orderdate)) AS BIGINT)
+        |         RANGE BETWEEN 2592000 PRECEDING AND CURRENT ROW), 6) AS spend_30d
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q1e_geomean" ->
+      """SELECT l_returnflag,
+        |       round(exp(avg(ln(l_extendedprice))), 6) AS gm_price,
+        |       count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     // pure BIGINT arithmetic → bit-identical split fractions cross-engine
     "q57_hash_split" ->
       """SELECT doc_id,

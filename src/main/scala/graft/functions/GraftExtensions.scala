@@ -53,7 +53,25 @@ object GraftFunctions {
       }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
-      (es: Seq[Expression]) => SimHash64(es(0))))
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable && es(2).foldable && es(3).foldable,
+          "pq_encode: codebooks, m, k must be literals")
+        val cb = es(1).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        PqEncode(es(0), cb, es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("pq_adc"),
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      (es: Seq[Expression]) => {
+        require(es(2).foldable && es(3).foldable && es(4).foldable,
+          "pq_adc: codebooks, m, k must be literals")
+        val cb = es(2).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        PqAdc(es(0), es(1), cb, es(3).eval().asInstanceOf[Int], es(4).eval().asInstanceOf[Int])
+      }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)

@@ -446,3 +446,163 @@ case class Combinations(child: Expression, kExpr: Expression)
       newChildren: IndexedSeq[Expression]): Combinations =
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
+
+/** `pq_encode(v, codebooks, m, k)`: product-quantization encoding — split
+  * the dim-length vector into `m` contiguous subvectors and emit, per
+  * subspace, the index (0..k-1) of the L2-nearest codeword. `codebooks` is
+  * the flat driver-trained matrix (length k·dim; codeword (mm, c) component
+  * i at `((mm·k + c)·subdim) + i`, subdim = dim/m). One codegen'd pass:
+  * m·k·subdim = k·dim multiply-adds per row. Output array<bigint> length m
+  * — at m=8 the 512-byte vector becomes 8 codes, the compression that
+  * makes a 100 TB corpus ADC-scannable from memory. */
+case class PqEncode(child: Expression, codebooks: Array[Double], m: Int, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(DoubleType, _) if m >= 1 && k >= 2 &&
+        codebooks.nonEmpty && codebooks.length % (m * k) == 0 => TypeCheckSuccess
+      case _ => TypeCheckFailure(
+        "pq_encode(array<double>, codebooks array<double> literal, m literal, k literal)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    require(dim % m == 0 && codebooks.length == k * dim,
+      s"pq_encode: codebooks (${codebooks.length}) do not tile m=$m k=$k dim=$dim")
+    val subdim = dim / m
+    val out = new Array[Long](m)
+    var mm = 0
+    while (mm < m) {
+      var best = 0L; var bestD = Double.MaxValue
+      var c = 0
+      while (c < k) {
+        var d = 0.0; var i = 0
+        val base = (mm * k + c) * subdim
+        while (i < subdim) {
+          val diff = v.getDouble(mm * subdim + i) - codebooks(base + i)
+          d += diff * diff; i += 1
+        }
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      out(mm) = best
+      mm += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val dim = ctx.freshName("dim"); val subdim = ctx.freshName("subdim")
+      val out = ctx.freshName("out"); val mm = ctx.freshName("mm")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val diff = ctx.freshName("diff")
+      val best = ctx.freshName("best"); val bestD = ctx.freshName("bestD")
+      val base = ctx.freshName("base")
+      s"""
+         |int $dim = $a.numElements();
+         |if ($dim % $m != 0 || $cbRef.length != $k * $dim) {
+         |  throw new IllegalArgumentException("pq_encode: codebooks do not tile");
+         |}
+         |int $subdim = $dim / $m;
+         |long[] $out = new long[$m];
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  long $best = 0L; double $bestD = Double.MAX_VALUE;
+         |  for (int $c = 0; $c < $k; $c++) {
+         |    double $d = 0.0;
+         |    int $base = ($mm * $k + $c) * $subdim;
+         |    for (int $i = 0; $i < $subdim; $i++) {
+         |      double $diff = $a.getDouble($mm * $subdim + $i) - $cbRef[$base + $i];
+         |      $d += $diff * $diff;
+         |    }
+         |    if ($d < $bestD) { $bestD = $d; $best = $c; }
+         |  }
+         |  $out[$mm] = $best;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** `pq_adc(qv, codes, codebooks, m, k)`: asymmetric-distance dot product —
+  * the query stays exact (array<double>), the corpus row is its PQ codes,
+  * and the score is Σ over subspaces of qv_mm · codeword(mm, codes[mm]):
+  * the inner product against the row's RECONSTRUCTION, computed without
+  * ever materializing it. dim multiply-adds per (query, row) pair — the
+  * same flop count as an exact dot, but against an 8-code row instead of a
+  * 512-byte vector (in a production layout the per-query lookup table
+  * makes it m adds; the fused form keeps the expression stateless). */
+case class PqAdc(left: Expression, right: Expression,
+    codebooks: Array[Double], m: Int, k: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(LongType, _))
+        if codebooks.length % (m * k) == 0 => TypeCheckSuccess
+      case _ => TypeCheckFailure(
+        "pq_adc(array<double>, array<bigint>, codebooks literal, m literal, k literal)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val qv = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[ArrayData]
+    val dim = qv.numElements()
+    require(dim % m == 0 && codes.numElements() == m && codebooks.length == k * dim,
+      s"pq_adc: shapes do not tile (dim=$dim m=$m k=$k)")
+    val subdim = dim / m
+    var s = 0.0
+    var mm = 0
+    while (mm < m) {
+      val base = (mm * k + codes.getLong(mm).toInt) * subdim
+      var i = 0
+      while (i < subdim) { s += qv.getDouble(mm * subdim + i) * codebooks(base + i); i += 1 }
+      mm += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cbRef = ctx.addReferenceObj("codebooks", codebooks, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim"); val subdim = ctx.freshName("subdim")
+      val s = ctx.freshName("s"); val mm = ctx.freshName("mm")
+      val i = ctx.freshName("i"); val base = ctx.freshName("base")
+      s"""
+         |int $dim = $a.numElements();
+         |if ($dim % $m != 0 || $b.numElements() != $m || $cbRef.length != $k * $dim) {
+         |  throw new IllegalArgumentException("pq_adc: shapes do not tile");
+         |}
+         |int $subdim = $dim / $m;
+         |double $s = 0.0;
+         |for (int $mm = 0; $mm < $m; $mm++) {
+         |  int $base = ($mm * $k + (int) $b.getLong($mm)) * $subdim;
+         |  for (int $i = 0; $i < $subdim; $i++) {
+         |    $s += $a.getDouble($mm * $subdim + $i) * $cbRef[$base + $i];
+         |  }
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}

@@ -227,6 +227,35 @@ object Relational {
           array(lit(0.5), lit(0.95)), lit(10000)), 2), 2).as("p95_price"))
       .orderBy("l_returnflag")
 
+  /** RANGE window frame (value-based, vs [[windowRunning]]'s ROWS frame):
+    * trailing-30-day spend per customer at each order. The frame is
+    * defined over a numeric epoch-seconds order key so both engines
+    * resolve identical peer sets (RANGE includes value-ties regardless of
+    * row order — deterministic where a ROWS frame would not be). */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy("odate_s")
+      .rangeBetween(-30L * 86400, Window.currentRow)
+    Tables(spark, dir, "orders")
+      .where(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("odate_s"), col("o_totalprice"))
+      .withColumn("spend_30d", r6(sum("o_totalprice").over(w)))
+      .select("o_custkey", "o_orderkey", "odate_s", "spend_30d")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** q1e: the custom typed [[graft.functions.GeoMean]] Aggregator in a
+    * grouped aggregation, also registered on the SQL surface. */
+  def geoMean(spark: SparkSession, dir: String): DataFrame = {
+    val gm = udaf(graft.functions.GeoMean)
+    spark.udf.register("geomean", gm)
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(round(gm(col("l_extendedprice")), 6).as("gm_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("l_returnflag")
+  }
+
   /** PIVOT (long→wide reshape): order counts + spend per priority, one
     * column pair per order status. The status values are enumerated
     * explicitly — at scale the implicit form would need a separate

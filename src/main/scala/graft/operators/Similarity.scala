@@ -272,6 +272,127 @@ object Similarity {
     topKByCosine(sims, k)
   }
 
+  /** Deterministic per-subspace L2 Lloyd for the PQ codebooks: the vector
+    * space is split into `m` contiguous subspaces and each gets its own
+    * k-codeword codebook, trained on the same deterministic stride sample
+    * (and with the same treeAggregate dense-accumulator shape) as
+    * [[sphericalKMeans]] — only m·k·subdim = k·dim doubles ever reach the
+    * driver. Returns the flat layout [[graft.functions.PqEncode]] expects:
+    * codeword (mm, c) component i at ((mm·k + c)·subdim) + i. */
+  private[operators] def pqCodebooks(e: DataFrame, m: Int, k: Int,
+      iters: Int): Array[Double] = {
+    val spark = e.sparkSession
+    val n = e.count()
+    val init = e.where(pmod(col("vec_id"), lit(math.max(1L, n / k))) === 0)
+      .orderBy("vec_id").limit(k)
+      .select(col("v"), col("norm")).collect()
+      .map { r => val nm = r.getDouble(1); r.getSeq[Double](0).map(_ / nm).toArray }
+    require(init.length == k, s"pq: corpus too small for k=$k codewords")
+    val dim = init(0).length
+    require(dim % m == 0, s"pq: dim $dim not divisible by m=$m")
+    val subdim = dim / m
+    var cb: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (mm, c) =>
+      init(c).slice(mm * subdim, (mm + 1) * subdim)
+    }
+    val rate = math.max(1L, n / math.max(1000L, 100L * k))
+    val sample = e.where(pmod(col("vec_id"), lit(rate)) === 0)
+      .select(col("v"), col("norm")).rdd
+      .map { r => val nm = r.getDouble(1); r.getSeq[Double](0).map(_ / nm).toArray }
+      .coalesce(4).cache()
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cb)
+      val (sums, counts) = sample.treeAggregate(
+          (Array.ofDim[Double](m, k, subdim), Array.ofDim[Long](m, k)))(
+        { case ((s, c), v) =>
+          val cbs = bc.value
+          var mm = 0
+          while (mm < m) {
+            var best = 0; var bestD = Double.MaxValue
+            var cc = 0
+            while (cc < k) {
+              var d = 0.0; var i = 0
+              while (i < subdim) {
+                val diff = v(mm * subdim + i) - cbs(mm)(cc)(i)
+                d += diff * diff; i += 1
+              }
+              if (d < bestD) { bestD = d; best = cc }
+              cc += 1
+            }
+            var i = 0
+            while (i < subdim) { s(mm)(best)(i) += v(mm * subdim + i); i += 1 }
+            c(mm)(best) += 1
+            mm += 1
+          }
+          (s, c)
+        },
+        { case ((s1, c1), (s2, c2)) =>
+          var mm = 0
+          while (mm < m) {
+            var cc = 0
+            while (cc < k) {
+              var i = 0
+              while (i < subdim) { s1(mm)(cc)(i) += s2(mm)(cc)(i); i += 1 }
+              c1(mm)(cc) += c2(mm)(cc); cc += 1
+            }
+            mm += 1
+          }
+          (s1, c1)
+        })
+      cb = Array.tabulate(m, k) { (mm, cc) =>
+        if (counts(mm)(cc) == 0) cb(mm)(cc)
+        else sums(mm)(cc).map(_ / counts(mm)(cc))
+      }
+      bc.destroy()
+    }
+    sample.unpersist()
+    val flat = new Array[Double](k * dim)
+    for (mm <- 0 until m; cc <- 0 until k; i <- 0 until subdim)
+      flat((mm * k + cc) * subdim + i) = cb(mm)(cc)(i)
+    flat
+  }
+
+  /** Product-quantization ANN (q59): the fourth point on the exact↔approx
+    * spectrum (brute / LSH / IVF / PQ), and the memory-bound one — each
+    * corpus vector is compressed to `m` codebook indices (8 codes ≈ 8
+    * bytes vs 512), so at 100 TB the whole index is RAM-resident where
+    * the raw vectors are not. Two stages, both engine-shaped: an ADC scan
+    * ([[graft.functions.PqAdc]] — inner product against each row's
+    * reconstruction, never materialized) keeps a per-query shortlist via
+    * [[graft.plans.TopKPerGroup]], then the shortlist alone is re-ranked
+    * with exact cosine against the uncompressed vectors (the standard
+    * two-stage retrieve-rerank: the exact join touches `shortlist` rows
+    * per query, not the corpus). Approximate by construction — rows-only
+    * check; recall floor asserted in SimilaritySpec. */
+  def cosineTopKPq(spark: SparkSession, dir: String, k: Int = 5,
+      nQueries: Long = 100, m: Int = 8, kCodes: Int = 16,
+      iters: Int = 5, shortlist: Int = 50): DataFrame = {
+    val e = normalized(spark, dir).cache()
+    val cb = pqCodebooks(e, m, kCodes, iters)
+    graft.functions.GraftFunctions.register(spark)
+    val unit = e.withColumn("vn", transform(col("v"), x => x / col("norm")))
+    val codes = unit.select(col("vec_id"),
+      call_function("pq_encode", col("vn"), lit(cb), lit(m), lit(kCodes)).as("codes"))
+    val q = unit.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("vn").as("qv"))
+    val adc = broadcast(q).join(codes, col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        call_function("pq_adc", col("qv"), col("codes"),
+          lit(cb), lit(m), lit(kCodes)).as("adc"))
+    val short = graft.plans.TopKPerGroup(adc, Seq("query_id"),
+        Seq(("adc", true), ("neighbor_id", false)), shortlist, "srank")
+      .select("query_id", "neighbor_id")
+    val exact = short
+      .join(e.select(col("vec_id").as("neighbor_id"), col("v"), col("norm")),
+        "neighbor_id")
+      .join(broadcast(e.where(col("vec_id") < nQueries)
+          .select(col("vec_id").as("query_id"), col("v").as("qv0"),
+            col("norm").as("qn"))),
+        "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cdot(col("qv0"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
+    topKByCosine(exact, k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: the top-k most similar pairs
     * among LSH-bucket collisions (the scalable near-dup shape — candidates
     * come from the bucket equijoin, never the full cross product). In a

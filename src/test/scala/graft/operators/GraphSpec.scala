@@ -65,6 +65,18 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(forced == uf)
   }
 
+  test("connected components agree with GraphX (third-party cross-check)") {
+    import spark.implicits._
+    import org.apache.spark.graphx.{Edge, Graph}
+    val edgeDf = GraphOps.coPurchaseEdges(spark, sfDir).select("u", "v")
+    val gx = Graph.fromEdges(
+        edgeDf.as[(Long, Long)].rdd.map { case (u, v) => Edge(u, v, ()) }, ())
+      .connectedComponents().vertices.collect().toMap // label = min vid
+    val ours = GraphOps.componentsOfEdges(edgeDf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(ours == gx)
+  }
+
   test("modularity closed form equals the reference pairwise formula") {
     // residual graph = whatever edge set is passed in (reference computes
     // A_ij, degrees AND m from the post-removal subgraph)

@@ -82,6 +82,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(recall >= 0.3, s"IVF recall $recall below floor")
   }
 
+  test("PQ shortlist + exact re-rank recall vs brute force") {
+    val brute = Similarity.cosineTopK(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = Similarity.cosineTopKPq(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = brute.intersect(pq).size.toDouble / brute.size
+    info(s"PQ recall: $recall")
+    // shortlist=50 of 500 corpus vectors: random retrieval would land ~10%
+    // of the true top-5; the ADC scan has to do far better
+    assert(recall >= 0.4, s"PQ recall $recall below floor")
+    // re-ranked cosines are exact: every reported cosine must equal the
+    // brute-force cosine for the same (query, neighbor) pair
+    val bruteCos = Similarity.cosineTopK(spark, sfDir, k = 5).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getDouble(3))).toMap
+    Similarity.cosineTopKPq(spark, sfDir).collect().foreach { r =>
+      bruteCos.get((r.getLong(0), r.getLong(2))).foreach { c =>
+        assert(r.getDouble(3) == c, s"re-ranked cosine differs for $r")
+      }
+    }
+  }
+
   test("k-means quantizer beats the stride-sample baseline at the same nprobe") {
     val brute = Similarity.cosineTopK(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
