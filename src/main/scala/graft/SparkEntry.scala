@@ -64,6 +64,9 @@ object SparkEntry {
     "q43_simhash" -> (Dedup.simhash _),
     "q44_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
     "q45_ngram_jaccard" -> ((s, d) => Dedup.ngramJaccardTopK(s, d)),
+    // ingest shape: delta-vs-corpus candidates only (spec: equals the
+    // full pair set restricted to pairs touching the delta)
+    "q4b_dedup_incremental" -> ((s, d) => Dedup.minhashPairsIncremental(s, d)),
     // --- similarity search ---
     "q46_ann_brute" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q47_ann_lsh" -> ((s, d) => Similarity.cosineTopKLsh(s, d)),
@@ -341,6 +344,21 @@ object SparkEntry {
     "q40_dedup_exact" ->
       """SELECT md5(text) AS content_hash, min(doc_id) AS keeper, count(*) AS n_copies
         |FROM documents GROUP BY 1 ORDER BY keeper""".stripMargin,
+    // raw word-3-gram sets in SQL; equals the engine's xxhash64-shingle
+    // jaccard because 64-bit hashing is collision-free at corpus scale,
+    // so |hashed ∩| = |raw ∩| — the hash is a set-preserving relabeling
+    "q45_ngram_jaccard" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |        len(list_intersect(a.sh, b.sh)) AS i,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id AND a.doc_id < 500)
+        |SELECT doc_a, doc_b, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+        |FROM p ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin,
     "q46_ann_brute" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,

@@ -81,24 +81,21 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs: band the signature, bucket-join on
     * (band, bandHash), then verify candidates with EXACT Jaccard on the
     * shingle sets. Output: pairs with jaccard ≥ minJaccard. */
-  def minhashPairs(spark: SparkSession, dir: String,
-      minJaccard: Double = 0.5): DataFrame = {
-    val sig = shingled(spark, dir)
-      .withColumn("sig", minhashSigCol(col("sh")))
-      .cache()
-    val bands = sig.select(col("doc_id"),
+  /** LSH band table of a signature frame: (doc_id, band, bh). */
+  private def bandsOf(sig: DataFrame): DataFrame =
+    sig.select(col("doc_id"),
         explode(transform(sequence(lit(0), lit(Bands - 1)), j =>
           struct(j.as("band"), xxhash64(concat_ws(",", transform(
             slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)),
             _.cast("string")))).as("bh")))).as("b"))
       .select(col("doc_id"), col("b.band"), col("b.bh"))
-    val cand = bands.as("x").join(bands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
+
+  /** Exact-Jaccard verification of a candidate pair set against the
+    * shingle sets, threshold + canonical ordering. */
+  private def verifyPairs(cand: DataFrame, sig: DataFrame,
+      minJaccard: Double): DataFrame = {
     val sh = sig.select(col("doc_id"), col("sh"))
-    graft.functions.GraftFunctions.register(spark)
+    graft.functions.GraftFunctions.register(sig.sparkSession)
     val inter = call_function("sorted_intersect_count", col("sa.sh"), col("sb.sh"))
     cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -108,6 +105,43 @@ object Dedup {
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  def minhashPairs(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val sig = shingled(spark, dir)
+      .withColumn("sig", minhashSigCol(col("sh")))
+      .cache()
+    val bands = bandsOf(sig)
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sig, minJaccard)
+  }
+
+  /** Incremental near-dup detection — the ingest shape: a DELTA of new
+    * documents checked against the existing corpus (and within itself)
+    * without re-pairing the corpus against itself. Candidates = delta
+    * bands ⋈ all bands, so the join cost is |delta| × bucket occupancy,
+    * not |corpus|² — at 100 TB the corpus band table is a materialized
+    * index and each ingest batch only probes it. Emits exactly the
+    * [[minhashPairs]] rows that touch the delta (spec-asserted). */
+  def minhashPairsIncremental(spark: SparkSession, dir: String,
+      deltaFrom: Long = 400, minJaccard: Double = 0.5): DataFrame = {
+    val sig = shingled(spark, dir)
+      .withColumn("sig", minhashSigCol(col("sh")))
+      .cache()
+    val bands = bandsOf(sig).cache()
+    val cand = bands.where(col("doc_id") >= deltaFrom).as("x")
+      .join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+      .distinct()
+    verifyPairs(cand, sig, minJaccard)
   }
 
   /** 64-bit SimHash fingerprint per document: per bit j, sign of

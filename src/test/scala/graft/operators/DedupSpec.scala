@@ -47,6 +47,18 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(out.count(_.getBoolean(3)) == sizes.size, "exactly one keeper per group")
   }
 
+  test("incremental pairs = full pairs restricted to the delta") {
+    val deltaFrom = 400L
+    val full = Dedup.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val expected = full.filter(p => p._1 >= deltaFrom || p._2 >= deltaFrom)
+    val inc = Dedup.minhashPairsIncremental(spark, sfDir, deltaFrom).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(inc.sameElements(expected))
+    assert(inc.nonEmpty && inc.length < full.length,
+      "delta should see some but not all pairs")
+  }
+
   test("minhash candidate generation finds all high-jaccard pairs (recall)") {
     // brute-force exact jaccard over shingle sets for pairs >= 0.5
     val sh = Tables(spark, sfDir, "documents").collect()

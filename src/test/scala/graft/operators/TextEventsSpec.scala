@@ -119,6 +119,42 @@ class TextEventsSpec extends AnyFunSuite with SparkSuite {
       !physical.contains("CartesianProduct"), physical.take(2000))
   }
 
+  test("asof + range joins equal naive scans on seeded random inputs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(42)
+    def ts(ms: Long) = new java.sql.Timestamp(ms)
+    (1 to 2).foreach { trial =>
+      val base = 1700000000000L
+      val left = (0 until 200).map(i =>
+        (i.toLong, rnd.nextInt(10).toLong, ts(base + rnd.nextInt(1000000).toLong)))
+      val right = rnd.shuffle((0 until 300).map(i =>
+          (rnd.nextInt(10).toLong, ts(base + rnd.nextInt(1000000).toLong), rnd.nextDouble())))
+        .groupBy(r => (r._1, r._2)).map(_._2.head).toSeq // unique per (key, ts)
+      val lDf = left.toDF("lid", "k", "lts")
+      val rDf = right.toDF("rk", "rts", "payload")
+
+      val asof = Events.asofJoin(lDf, rDf, "k", "rk", "lts", "rts").collect()
+        .map(r => (r.getLong(0), Option(r.getAs[java.sql.Timestamp]("rts"))
+          .map(_.getTime))).toMap
+      left.foreach { case (lid, k, lt) =>
+        val expect = right.filter(r => r._1 == k && !r._2.after(lt))
+          .map(_._2.getTime).sorted.lastOption
+        assert(asof(lid) == expect, s"trial $trial asof row $lid")
+      }
+
+      val intervals = lDf.select(col("lid"), col("lts").as("w_start"),
+        (col("lts") + expr("INTERVAL 200 SECONDS")).as("w_end"))
+      val joined = Events.rangeJoin(rDf.select(col("rts")), intervals,
+          "rts", "w_start", "w_end", binUs = 200L * 1000000L)
+        .groupBy("lid").count().collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      left.foreach { case (lid, _, lt) =>
+        val expect = right.count(r =>
+          !r._2.before(lt) && r._2.getTime < lt.getTime + 200000L)
+        assert(joined.getOrElse(lid, 0L) == expect, s"trial $trial range row $lid")
+      }
+    }
+  }
+
   test("ranked returns at most 3 strictly time-descending events per user") {
     val byUser = Events.ranked(spark, sfDir).collect().groupBy(_.getLong(0))
     byUser.values.foreach { rs =>
