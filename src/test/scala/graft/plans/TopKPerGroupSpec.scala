@@ -36,6 +36,37 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkSuite
     assert(native.nonEmpty && native == window)
   }
 
+  test("TopKRewrite replaces row_number+filter windows with the native node") {
+    import spark.implicits._
+    val df = (0 until 1000).map(i => (i % 7L, (i * 37) % 101, i.toLong))
+      .toDF("g", "score", "id")
+    val q = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+      .where(col("rn") <= 3)
+    val physical = q.queryExecution.executedPlan
+    assert(collect(physical) { case e: TopKPerGroupExec => e }.nonEmpty,
+      s"expected native operator, got:\n${physical.treeString.take(1500)}")
+    assert(collect(physical) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty, "Window should have been rewritten away")
+    // driver-side truth (independent of any Spark window machinery)
+    val expect = (0 until 1000).map(i => (i % 7L, (i * 37) % 101, i.toLong))
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._2, r._3)).take(3).zipWithIndex
+          .map { case (r, idx) => (g, idx + 1, r._3) }
+      }.toSet
+    val got = q.select("g", "rn", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(got == expect)
+    // a filter on something other than the rank must NOT be rewritten
+    val other = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+      .where(col("score") > 50)
+    assert(collect(other.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.nonEmpty, "non-rank filter should keep the window")
+  }
+
   test("groups smaller than k, ties broken by the tie-break column, k=1") {
     import spark.implicits._
     val df = Seq(
