@@ -112,6 +112,9 @@ object SparkEntry {
     // shares q62's oracle (streaming == batch once the watermark flushes)
     "q65_sessionize_stream" -> ((s, d) =>
       graft.streaming.EventStream.sessionizeFromFiles(s, d)),
+    // stream-stream interval join drained end-to-end; shares q68's oracle
+    "q69_range_join_stream" -> ((s, d) =>
+      graft.streaming.EventStream.clicksAfterErrorsStream(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -124,7 +127,8 @@ object SparkEntry {
       ("q49_ann_native" -> m("q46_ann_brute")) +
       ("q65_sessionize_stream" -> m("q62_sessionize")) +
       ("q66_topk_per_group_native" -> m("q61_events_ranked")) +
-      ("q58_dedup_stream" -> m("q40_dedup_exact"))
+      ("q58_dedup_stream" -> m("q40_dedup_exact")) +
+      ("q69_range_join_stream" -> m("q68_range_join"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -91,6 +91,88 @@ object EventStream {
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(touch)
   }
 
+  /** Stream-stream INTERVAL join — the streaming twin of the batch range
+    * join (q68): two event streams (errors, clicks) off the same file
+    * source, left-outer joined on the event-time range condition
+    * `c_ts ∈ [e_ts, e_ts + 1h)`. Both sides carry watermarks, so Spark
+    * bounds the join state from the range condition itself (a click older
+    * than watermark − 1h can never match a future error and is dropped —
+    * THE mechanism that makes unbounded-stream joins finite); unmatched
+    * errors are emitted with nulls once the watermark passes their window
+    * end. The drained output is aggregated batch-side to q68's exact
+    * shape, so the streaming join shares the batch query's DuckDB
+    * inequality-join oracle. Sentinel dance: as in [[sessionizeFromFiles]]
+    * — a far-future event advances both watermarks to flush the tail. */
+  def clicksAfterErrorsStream(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+    val stage = Files.createTempDirectory("graft-q69-src")
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long (nanos)
+    def streamOf(tpe: String) = spark.readStream.schema(raw.schema)
+      .parquet(stage.toString)
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .where(col("event_type") === tpe)
+    // Spark refuses stream-stream joins without an equality predicate —
+    // the batch range join's bin-bucketing (Events.rangeJoin) is exactly
+    // that equality: intervals explode to their ≤2 covered 1h bins, points
+    // carry their single bin, the range predicate filters within the bin.
+    // Same trick, third payoff: it legalizes the streaming join AND keys
+    // its state store by bin.
+    val binUs = 3600L * 1000000L
+    val errors = streamOf("error")
+      .select(col("event_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "0 seconds")
+      .withColumn("e_bin", explode(expr(
+        s"sequence(unix_micros(e_ts) div $binUs, (unix_micros(e_ts) + $binUs - 1) div $binUs)")))
+    val clicks = streamOf("click")
+      .select(col("ts").as("c_ts"))
+      .withWatermark("c_ts", "0 seconds")
+      .withColumn("c_bin", expr(s"unix_micros(c_ts) div $binUs"))
+    val joined = errors.join(clicks,
+      expr("e_bin = c_bin AND c_ts >= e_ts AND c_ts < e_ts + INTERVAL 1 HOUR"),
+      "leftOuter")
+
+    val sink = "q69_rj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    // interval-join state is keyed by (bin, side): a month of fixture time
+    // is ~720 hot keys, and each of the 4 store instances carries 4 state
+    // stores (two per join side) with per-batch commit overhead — fewer,
+    // fatter stores win until key cardinality demands otherwise
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try joined.writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      q.processAllAvailable()
+      val maxNs = raw.agg(max("ts")).head.getLong(0)
+      val sentinelDir = Files.createTempDirectory("graft-q69-sentinel")
+      // one sentinel PER SIDE: each stream's watermark only advances on
+      // rows that survive its own event_type filter
+      val base = raw.limit(1)
+        .withColumn("event_id", lit(-1L))
+        .withColumn("ts", lit(maxNs + 30L * 24 * 3600 * 1000000000L))
+      base.withColumn("event_type", lit("error"))
+        .unionAll(base.withColumn("event_type", lit("click")))
+        .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
+      val part = Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
+        .findFirst().get()
+      Files.copy(part, stage.resolve("zz_sentinel.parquet"),
+        StandardCopyOption.REPLACE_EXISTING)
+      q.processAllAvailable()
+    } finally q.stop()
+
+    spark.table(sink)
+      .where(col("event_id") =!= -1L)
+      .groupBy("event_id", "e_ts")
+      .agg(count(col("c_ts")).as("clicks_1h"))
+      .select(col("event_id"), unix_timestamp(col("e_ts")).as("ts_s"),
+        col("clicks_1h"))
+      .orderBy("event_id")
+  }
+
   /** End-to-end FILE-SOURCE streaming sessionization over the events
     * fixture, returning the same shape as the batch `Events.sessionize`
     * (q62) so the driver's DuckDB oracle covers the streaming path too.

@@ -137,6 +137,14 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val streamed = EventStream.clicksAfterErrorsStream(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val batch = graft.operators.Events.clicksAfterErrors(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch))
+  }
+
   test("streaming exact dedup equals the batch groupBy face") {
     val streamed = DedupStream.dedupExactFromFiles(spark, sfDir)
       .collect().map(_.toSeq)
