@@ -46,6 +46,37 @@ object ScaleOps {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  /** Hive-style partitioned parquet layout (`.../col=value/...`) — the
+    * data-lake output shape. Readers filtering on the partition column
+    * prune whole directories at PLANNING time (PartitionFilters in the
+    * scan, zero I/O for pruned values) — at 100 TB, partitioning by e.g.
+    * language or date is the difference between scanning a shard and
+    * scanning the lake. ScaleOpsSpec asserts the pruning from the plan's
+    * selected-partition count. */
+  def writePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Small-file compaction: rewrite a directory to ≈`targetFileBytes`
+    * files, preserving rows. Streaming ingest and fine-grained partitions
+    * accrete kilobyte files whose per-file open/footer cost eventually
+    * dwarfs the data scan (the classic small-files problem); periodic
+    * compaction is standard table maintenance. Repartition count is sized
+    * from the actual input bytes, floor 1. */
+  def compact(spark: SparkSession, inPath: String, outPath: String,
+      targetFileBytes: Long = 128L * 1024 * 1024): Long = {
+    val bytes = org.apache.hadoop.fs.FileSystem.get(
+        spark.sparkContext.hadoopConfiguration)
+      .getContentSummary(new org.apache.hadoop.fs.Path(inPath)).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    spark.read.parquet(inPath)
+      .repartition(nFiles.toInt)
+      .write.mode("overwrite").parquet(outPath)
+    nFiles
+  }
+
   /** Skew-safe equi-join: the big side's key is salted with a uniform
     * random-free deterministic salt (hash of a row-unique column), the
     * small side is exploded once per salt value. Results identical to the

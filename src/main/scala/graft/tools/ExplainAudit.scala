@@ -17,9 +17,12 @@ object ExplainAudit {
     spark.sparkContext.setLogLevel("ERROR")
     Seq("q01_groupavg_brand_flag", "q03_filter_eq", "q21_freq_pairs",
       "q46_ann_brute", "q49_ann_native", "q60_events_hourly",
-      // round-2 operators: custom physical plan, asof/range joins, LSH
-      "q66_topk_per_group_native", "q67_asof_join", "q68_range_join",
-      "q47_ann_lsh", "q1a_pivot", "q1c_column_stats").foreach { name =>
+      // round-2 operators: custom physical plan, asof/range joins, LSH;
+      // q61 is PLAIN row_number window syntax — TopKRewrite plans it as
+      // TopKPerGroupExec (no WindowExec, no sort)
+      "q61_events_ranked", "q66_topk_per_group_native", "q67_asof_join",
+      "q68_range_join", "q47_ann_lsh", "q1a_pivot",
+      "q1c_column_stats").foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

@@ -105,6 +105,45 @@ object GraftProperties extends Properties("graft") {
       }
     }
 
+  // ---- PQ kernels (interpreted eval path, same loops codegen emits) ----
+
+  private val PqM = 4; private val PqK = 4; private val PqDim = 16
+  private val genPqVec: Gen[Array[Double]] =
+    Gen.listOfN(PqDim, Gen.choose(-1.0, 1.0)).map(_.toArray)
+  private val genCodebooks: Gen[Array[Double]] =
+    Gen.listOfN(PqK * PqDim, Gen.choose(-1.0, 1.0)).map(_.toArray)
+
+  import org.apache.spark.sql.catalyst.expressions.Literal
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  property("pq_encode picks the argmin-L2 codeword per subspace") =
+    forAll(genPqVec, genCodebooks) { (v, cb) =>
+      val codes = graft.functions.PqEncode(Literal(null), cb, PqM, PqK)
+        .nullSafeEval(new GenericArrayData(v)).asInstanceOf[ArrayData]
+      val subdim = PqDim / PqM
+      (0 until PqM).forall { mm =>
+        def dist(c: Int) = (0 until subdim).map { i =>
+          val d = v(mm * subdim + i) - cb((mm * PqK + c) * subdim + i); d * d
+        }.sum
+        val chosen = codes.getLong(mm).toInt
+        (0 until PqK).forall(c => dist(chosen) <= dist(c))
+      }
+    }
+
+  property("pq_adc == dot(query, reconstruction of the encoded vector)") =
+    forAll(genPqVec, genPqVec, genCodebooks) { (v, qv, cb) =>
+      val enc = graft.functions.PqEncode(Literal(null), cb, PqM, PqK)
+      val adc = graft.functions.PqAdc(Literal(null), Literal(null), cb, PqM, PqK)
+      val codes = enc.nullSafeEval(new GenericArrayData(v)).asInstanceOf[ArrayData]
+      val got = adc.nullSafeEval(new GenericArrayData(qv), codes).asInstanceOf[Double]
+      val subdim = PqDim / PqM
+      val expect = (0 until PqM).map { mm =>
+        val base = (mm * PqK + codes.getLong(mm).toInt) * subdim
+        (0 until subdim).map(i => qv(mm * subdim + i) * cb(base + i)).sum
+      }.sum
+      math.abs(got - expect) < 1e-12
+    }
+
   property("modularity closed form == pairwise formula, and |Q| bounded") =
     forAll(genEdges) { edges =>
       edges.isEmpty || {

@@ -26,6 +26,33 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSuite {
       l.join(p, Seq("l_partkey")).count())
   }
 
+  test("partitioned layout prunes partitions at planning time") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-partwrite").toString
+    val docs = Tables(spark, sfDir, "documents")
+    ScaleOps.writePartitioned(docs, dir, Seq("lang"))
+    val langs = docs.select("lang").distinct().collect().map(_.getString(0))
+    assert(langs.length > 1, "fixture needs several languages for pruning to mean anything")
+    val one = spark.read.parquet(dir).where(col("lang") === langs.head)
+    val scan = one.queryExecution.executedPlan.toString()
+    assert("PartitionFilters: \\[.*lang".r.findFirstMatchIn(scan).isDefined,
+      s"no partition filter in scan:\n${scan.take(1500)}")
+    assert(one.count() == docs.where(col("lang") === langs.head).count())
+  }
+
+  test("compaction preserves rows and hits the target file count") {
+    val in = java.nio.file.Files.createTempDirectory("graft-small").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    // simulate the small-files problem: one file per tiny partition
+    Tables(spark, sfDir, "documents").repartition(64).write
+      .mode("overwrite").parquet(in)
+    val inFiles = new java.io.File(in).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(inFiles > 32, s"expected many small files, got $inFiles")
+    ScaleOps.compact(spark, in, out, targetFileBytes = 64L * 1024 * 1024)
+    val outFiles = new java.io.File(out).listFiles().count(_.getName.endsWith(".parquet"))
+    assert(outFiles < inFiles / 8, s"compaction left $outFiles files")
+    assert(spark.read.parquet(out).count() == spark.read.parquet(in).count())
+  }
+
   test("salted join returns identical results to the plain join") {
     val l = Tables(spark, sfDir, "lineitem")
       .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
