@@ -102,6 +102,8 @@ object SparkEntry {
     // range join: bin-bucketed equi-join vs DuckDB's inequality join
     "q68_range_join" -> (Events.clicksAfterErrors _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
+    // MERGE/upsert kernel (union + per-key priority pick on TopKPerGroup)
+    "q72_upsert" -> (Mutations.upsertQuery _),
     "q70_media_features" -> (graft.multimodal.MediaOps.mediaFeatureQuery _),
     "q71_media_nearest" -> ((s, d) => graft.multimodal.MediaOps.mediaNearest(s, d)),
     // the streaming-capable plan (watermark + window()) run as batch
@@ -461,6 +463,16 @@ object SparkEntry {
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS INT) AS k
         |      FROM events)
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    // the FULL JOIN + coalesce formulation — a structurally different
+    // merge than the engine's union+priority-pick, same required output
+    "q72_upsert" ->
+      """WITH changes AS (SELECT doc_id, upper(text) AS text, lang
+        |                 FROM documents WHERE doc_id % 10 = 0),
+        |merged AS (SELECT coalesce(c.doc_id, s.doc_id) AS doc_id,
+        |                  coalesce(c.text, s.text) AS text,
+        |                  coalesce(c.lang, s.lang) AS lang
+        |           FROM documents s FULL JOIN changes c ON s.doc_id = c.doc_id)
+        |SELECT doc_id, lang, md5(text) AS h FROM merged ORDER BY doc_id""".stripMargin,
     // DuckDB's native ASOF JOIN pins the union+carry-forward formulation
     "q67_asof_join" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),

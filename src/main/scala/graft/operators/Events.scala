@@ -85,17 +85,24 @@ object Events {
     val lU = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTs))
       .withColumn("__side", lit(0))
+    // the whole right row rides as ONE struct: carrying payload columns
+    // independently with last(ignoreNulls) would skip a legitimately-NULL
+    // column of the matched row and resurrect an older value for it —
+    // the struct is non-null per right row, so the carry-forward always
+    // reflects exactly the single matched row (nulls included)
     val rU = right
       .withColumn("__k", col(rightKey)).withColumn("__t", col(rightTs))
       .withColumn("__side", lit(1))
-      .drop(rightKey)
+      .withColumn("__r", struct(payload.map(col): _*))
+      .drop(payload: _*).drop(rightKey)
     val w = Window.partitionBy("__k")
       .orderBy(col("__t").asc, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payload.foldLeft(lU.unionByName(rU, allowMissingColumns = true)) {
-      (df, c) => df.withColumn(c, last(col(c), ignoreNulls = true).over(w))
-    }
-    filled.where(col("__side") === 0).drop("__k", "__t", "__side")
+    lU.unionByName(rU, allowMissingColumns = true)
+      .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+      .select(left.columns.map(col) ++
+        payload.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** q67: every 'view' event joined as-of to the same user's most recent

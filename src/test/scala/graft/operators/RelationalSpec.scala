@@ -111,6 +111,23 @@ class RelationalSpec extends AnyFunSuite with SparkSuite {
     assert(frac.keySet == Set("train", "val", "test"))
   }
 
+  test("upsert replaces matched keys wholesale and inserts new ones") {
+    import spark.implicits._
+    val snapshot = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "s", "v")
+    val changes = Seq((2L, "B", 99), (4L, "d", 40)).toDF("id", "s", "v")
+    val out = Mutations.upsert(snapshot, changes, "id").collect()
+      .map(r => (r.getLong(0), (r.getString(1), r.getInt(2)))).toMap
+    assert(out == Map(1L -> ("a", 10), 2L -> ("B", 99),
+      3L -> ("c", 30), 4L -> ("d", 40)))
+    // row-replacement semantics: a NULL in the change row WINS (it is the
+    // new version), unlike a column-wise coalesce merge
+    val nullChange = Seq((1L, null.asInstanceOf[String], 7)).toDF("id", "s", "v")
+    val out2 = Mutations.upsert(snapshot, nullChange, "id").collect()
+      .map(r => (r.getLong(0), (Option(r.getString(1)), r.getInt(2)))).toMap
+    assert(out2(1L) == ((None, 7)))
+  }
+
   test("sql surface answers the same as the DataFrame surface") {
     val viaSql = Relational.sqlApi(spark, sfDir).collect().map(_.toSeq)
     val viaDf = Tables(spark, sfDir, "lineitem")

@@ -119,6 +119,20 @@ class TextEventsSpec extends AnyFunSuite with SparkSuite {
       !physical.contains("CartesianProduct"), physical.take(2000))
   }
 
+  test("asof join carries the matched row's NULL payload, not an older value") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    val left = Seq((1L, 9L, ts(100))).toDF("lid", "k", "lts")
+    val right = Seq((9L, ts(10), Some(5.0)), (9L, ts(50), None))
+      .toDF("rk", "rts", "payload")
+    val out = Events.asofJoin(left, right, "k", "rk", "lts", "rts").collect()
+    assert(out.length == 1)
+    // matched row is (ts=50, NULL) — the NULL must survive, 5.0 must not leak
+    assert(out.head.getAs[java.sql.Timestamp]("rts") == ts(50))
+    assert(out.head.isNullAt(out.head.fieldIndex("payload")),
+      s"expected matched NULL payload, got ${out.head}")
+  }
+
   test("asof + range joins equal naive scans on seeded random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
