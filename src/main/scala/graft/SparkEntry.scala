@@ -396,6 +396,32 @@ object SparkEntry {
         |  SELECT unnest(list_filter(string_split_regex(lower(text), '\s+'),
         |                x -> len(x) > 0)) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token LIMIT 100""".stripMargin,
+    // generated from TextOps.LangMarkers — engine and oracle share the
+    // marker lists, argmax tie-break is alphabetical in both (the CASE
+    // chain tests languages in sorted order; equality against greatest()
+    // is exact, these are the same doubles)
+    "q52_lang_id" -> {
+      val langs = operators.TextOps.LangMarkers.keys.toSeq.sorted
+      val scoreCols = langs.map { l =>
+        val inList = operators.TextOps.LangMarkers(l).map(w => s"'$w'").mkString(", ")
+        s"CAST(len(list_filter(tokens, x -> x IN ($inList))) AS DOUBLE) / n AS score_$l"
+      }.mkString(",\n  ") +
+        ",\n  CAST(len(text) - len(regexp_replace(text, '[\\x{4e00}-\\x{9fff}]', '', 'g')) AS DOUBLE) / greatest(len(text), 1) AS score_zh"
+      val all = langs :+ "zh"
+      val caseChain = all.map(l => s"WHEN score_$l = m THEN '$l'").mkString(" ")
+      val caseScore = all.map(l => s"WHEN score_$l = m THEN round(score_$l, 6)").mkString(" ")
+      s"""WITH t AS (SELECT doc_id, text,
+         |  list_filter(string_split_regex(lower(text), '\\s+'), x -> len(x) > 0) AS tokens
+         |  FROM documents),
+         |u AS (SELECT doc_id, text, tokens, greatest(len(tokens), 1) AS n FROM t),
+         |s AS (SELECT doc_id,
+         |  $scoreCols
+         |  FROM u),
+         |g AS (SELECT *, greatest(${all.map("score_" + _).mkString(", ")}) AS m FROM s)
+         |SELECT doc_id, CASE $caseChain END AS lang_pred,
+         |       CASE $caseScore END AS score
+         |FROM g ORDER BY doc_id""".stripMargin
+    },
     // same lookahead-free BPE pre-split pattern under RE2 (TextOps.BpePattern)
     "q55_bpe_tokens" ->
       """SELECT token, count(*) AS n, count(DISTINCT doc_id) AS docs FROM (

@@ -66,15 +66,20 @@ object TextOps {
       .orderBy(col("n").desc, col("token"))
       .limit(k)
 
+  /** Marker stopword lists for [[langId]] — shared with the q52 oracle
+    * generator (SparkEntry builds the DuckDB SQL from this same map, so
+    * engine and oracle can never drift). */
+  private[graft] val LangMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+
   /** Language-ID heuristic: score each language by marker-token hit rate
     * (top stopwords per language) plus a CJK-codepoint ratio for zh.
-    * Deterministic; rows-only (the marker lists are engine-internal). */
+    * Deterministic; oracled by SQL generated from [[LangMarkers]]. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val markers: Map[String, Seq[String]] = Map(
-      "en" -> Seq("the", "and", "of", "to", "is", "in", "that", "it"),
-      "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu"),
-      "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "que"),
-      "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "que"))
+    val markers = LangMarkers
     val base = Tables(spark, dir, "documents")
       .select(col("doc_id"), col("text"), Dedup.tokensCol(col("text")).as("tokens"))
       .withColumn("n_tokens", greatest(size(col("tokens")), lit(1)))
