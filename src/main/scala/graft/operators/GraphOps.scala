@@ -247,11 +247,21 @@ object GraphOps {
     * where double[E] outgrows a task (E ≳ 10⁸): emit per-partition sparse
     * (edgeId, credit) chunks and shuffle-sum, or move to Pregel
     * `aggregateMessages`. */
-  def betweenness(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
-    import spark.implicits._
-    betweennessOfEdges(spark,
-      coPurchaseEdges(spark, dir, minShared).select("u", "v").as[(Long, Long)].collect())
-  }
+  /** Exact betweenness is consumed by THREE queries (q33 raw, q34
+    * communities, q35 modularity curve — the reference's own pipeline
+    * computes it once and reuses it, `Community.scala:56`); cached like
+    * [[edgeCache]] so the O(V·E) Brandes pass runs once per (session,
+    * dir, minShared), not once per consumer. */
+  private val btwCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
+
+  def betweenness(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame =
+    btwCache.computeIfAbsent((spark, dir, minShared), _ => {
+      import spark.implicits._
+      betweennessOfEdges(spark,
+        coPurchaseEdges(spark, dir, minShared).select("u", "v").as[(Long, Long)].collect())
+        .cache()
+    })
 
   /** Approximate betweenness by source sampling (Brandes–Pich): run the
     * BFS from a deterministic `fraction` of sources and rescale credits by
