@@ -65,6 +65,17 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkSuite
     assert(collect(other.queryExecution.executedPlan) {
       case w: org.apache.spark.sql.execution.window.WindowExec => w
     }.nonEmpty, "non-rank filter should keep the window")
+    // rank() must NOT be rewritten either: on ties `rank() <= k` returns
+    // MORE than k rows — only row_number's exactly-k contract matches the
+    // operator's
+    val tied = Seq(("a", 1, 1L), ("a", 1, 2L), ("a", 1, 3L)).toDF("g", "score", "id")
+    val viaRank = tied.withColumn("rk", rank().over(
+        Window.partitionBy("g").orderBy(col("score").desc)))
+      .where(col("rk") <= 2)
+    assert(collect(viaRank.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.nonEmpty, "rank() should keep the window")
+    assert(viaRank.count() == 3, "rank ties must all survive")
   }
 
   test("groups smaller than k, ties broken by the tie-break column, k=1") {
