@@ -99,6 +99,8 @@ object SparkEntry {
     "q63_events_json" -> (Events.jsonProps _),
     // as-of join: union + carry-forward window, oracled by DuckDB ASOF JOIN
     "q67_asof_join" -> (Events.lastPurchaseAsof _),
+    // q60's aggregation fed from a JSON-lines round-trip (shares q60's oracle)
+    "q73_events_json_source" -> (Events.hourlyFromJson _),
     // range join: bin-bucketed equi-join vs DuckDB's inequality join
     "q68_range_join" -> (Events.clicksAfterErrors _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
@@ -130,7 +132,8 @@ object SparkEntry {
       ("q65_sessionize_stream" -> m("q62_sessionize")) +
       ("q66_topk_per_group_native" -> m("q61_events_ranked")) +
       ("q58_dedup_stream" -> m("q40_dedup_exact")) +
-      ("q69_range_join_stream" -> m("q68_range_join"))
+      ("q69_range_join_stream" -> m("q68_range_join")) +
+      ("q73_events_json_source" -> m("q60_events_hourly"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(

@@ -24,6 +24,23 @@ object Events {
         round(avg("value"), 6).as("avg_value"))
       .orderBy("hour_s", "event_type")
 
+  /** q73: [[hourly]]'s aggregation fed from a JSON-LINES round-trip of the
+    * events table ([[graft.sources.JsonLines]]) instead of parquet —
+    * shares q60's oracle, proving the JSON source end-to-end (schema-pinned
+    * read, timestamp round-trip, same results as the columnar path). */
+  def hourlyFromJson(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val stage = java.nio.file.Files.createTempDirectory("graft-q73-json").toString
+    graft.sources.JsonLines.write(ev, stage)
+    graft.sources.JsonLines.read(spark, stage, ev.schema)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 6).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("hour_s", "event_type")
+  }
+
   /** Per-user latest-3 events by time (ranking window function). */
   def ranked(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val w = Window.partitionBy("user_id")

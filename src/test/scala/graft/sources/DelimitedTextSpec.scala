@@ -31,6 +31,29 @@ class DelimitedTextSpec extends AnyFunSuite with SparkSuite {
     assert(df.columns.toSeq == Seq("userId", "movieId", "rating"))
   }
 
+  test("json-lines roundtrip preserves rows; malformed lines drop or surface") {
+    val docs = graft.Tables(spark, sfDir, "documents")
+    val out = Files.createTempDirectory("graft-json").resolve("docs").toString
+    JsonLines.write(docs, out)
+    val back = JsonLines.read(spark, out, docs.schema)
+    assert(back.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    // corrupt line handling
+    val dirty = Files.createTempDirectory("graft-json-dirty")
+    Files.write(dirty.resolve("part-0.json"),
+      java.util.Arrays.asList("""{"doc_id": 1, "text": "ok", "lang": "en"}""",
+        """not json at all"""))
+    val strict = JsonLines.read(spark, dirty.toString, docs.schema)
+    assert(strict.count() == 1, "DROPMALFORMED must drop the bad line")
+    // Spark disallows querying only the corrupt column off a raw file scan
+    // (UNSUPPORTED_FEATURE.QUERY_ONLY_CORRUPT_RECORD_COLUMN) — cache first
+    val permissive = JsonLines.read(spark, dirty.toString,
+      docs.schema.add("_corrupt_record", "string"), keepCorrupt = true).cache()
+    assert(permissive.where(
+      org.apache.spark.sql.functions.col("_corrupt_record").isNotNull).count() == 1)
+    permissive.unpersist()
+  }
+
   test("single-file sink writes exactly one part file with delimited lines") {
     import spark.implicits._
     val out = Files.createTempDirectory("graft-sink").resolve("out").toString
