@@ -101,6 +101,8 @@ object SparkEntry {
     "q67_asof_join" -> (Events.lastPurchaseAsof _),
     // q60's aggregation fed from a JSON-lines round-trip (shares q60's oracle)
     "q73_events_json_source" -> (Events.hourlyFromJson _),
+    // forward as-of (next-event attribution); DuckDB ASOF with <=
+    "q74_asof_forward" -> (Events.nextPurchaseAsof _),
     // range join: bin-bucketed equi-join vs DuckDB's inequality join
     "q68_range_join" -> (Events.clicksAfterErrors _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
@@ -512,6 +514,18 @@ object SparkEntry {
         |       epoch_us(r.p_ts) // 1000000 AS purchase_ts_s,
         |       r.purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts >= r.p_ts
+        |ORDER BY l.event_id""".stripMargin,
+    // forward direction: DuckDB ASOF picks the NEAREST r with l.ts <= r.p_ts
+    "q74_asof_forward" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |     r AS (SELECT user_id AS p_user, ts AS p_ts, round(max(value), 6) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id,
+        |       epoch_us(l.ts) // 1000000 AS ts_s,
+        |       epoch_us(r.p_ts) // 1000000 AS purchase_ts_s,
+        |       epoch_us(r.p_ts) // 1000000 - epoch_us(l.ts) // 1000000 AS lag_s,
+        |       r.purchase_value
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts <= r.p_ts
         |ORDER BY l.event_id""".stripMargin,
     // DuckDB plans the raw inequality join (IEJoin); the engine's binned
     // equi-join must produce identical counts

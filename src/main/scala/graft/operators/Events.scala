@@ -97,7 +97,8 @@ object Events {
     */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
-               leftTs: String, rightTs: String): DataFrame = {
+               leftTs: String, rightTs: String,
+               forward: Boolean = false): DataFrame = {
     val payload = right.columns.filterNot(_ == rightKey).toSeq // rightTs stays: it IS the matched-at column
     val lU = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTs))
@@ -112,8 +113,14 @@ object Events {
       .withColumn("__side", lit(1))
       .withColumn("__r", struct(payload.map(col): _*))
       .drop(payload: _*).drop(rightKey)
+    // backward (default): scan time ascending, carry the latest right row
+    // with rts <= lts. forward: scan DESCENDING — "preceding" rows are the
+    // future, so the same carry-forward yields the EARLIEST right row with
+    // rts >= lts (next-event / conversion-attribution semantics). Right
+    // rows order before left at equal ts either way (inclusive match).
+    val timeOrd = if (forward) col("__t").desc else col("__t").asc
     val w = Window.partitionBy("__k")
-      .orderBy(col("__t").asc, col("__side").desc)
+      .orderBy(timeOrd, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lU.unionByName(rU, allowMissingColumns = true)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
@@ -137,6 +144,24 @@ object Events {
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("ts_s"),
         unix_timestamp(col("p_ts")).as("purchase_ts_s"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** q74: forward as-of — each 'view' attributed to the same user's NEXT
+    * 'purchase' at or after it, with the conversion lag in seconds. */
+  def nextPurchaseAsof(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(round(max("value"), 6).as("purchase_value"))
+    asofJoin(views, purchases, "user_id", "p_user", "ts", "p_ts", forward = true)
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        unix_timestamp(col("p_ts")).as("purchase_ts_s"),
+        (unix_timestamp(col("p_ts")) - unix_timestamp(col("ts"))).as("lag_s"),
         col("purchase_value"))
       .orderBy("event_id")
   }

@@ -155,6 +155,14 @@ class TextEventsSpec extends AnyFunSuite with SparkSuite {
           .map(_._2.getTime).sorted.lastOption
         assert(asof(lid) == expect, s"trial $trial asof row $lid")
       }
+      val fwd = Events.asofJoin(lDf, rDf, "k", "rk", "lts", "rts", forward = true)
+        .collect().map(r => (r.getLong(0), Option(r.getAs[java.sql.Timestamp]("rts"))
+          .map(_.getTime))).toMap
+      left.foreach { case (lid, k, lt) =>
+        val expect = right.filter(r => r._1 == k && !r._2.before(lt))
+          .map(_._2.getTime).sorted.headOption
+        assert(fwd(lid) == expect, s"trial $trial forward-asof row $lid")
+      }
 
       val intervals = lDf.select(col("lid"), col("lts").as("w_start"),
         (col("lts") + expr("INTERVAL 200 SECONDS")).as("w_end"))
