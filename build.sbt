@@ -26,5 +26,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // local[32] owns the host (128 GiB): give the single JVM enough heap
+  // that the per-family caches (edges, betweenness, signatures,
+  // embeddings) never evict mid-bench — 8g showed multi-second GC/evict
+  // variance across runs once the query count passed ~60
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
