@@ -144,6 +144,27 @@ object GraftProperties extends Properties("graft") {
       math.abs(got - expect) < 1e-12
     }
 
+  property("geomean aggregator: merge is associative/commutative, finish = exp(mean log)") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(0.001, 1000.0)),
+        Gen.nonEmptyListOf(Gen.choose(0.001, 1000.0))) { (xs, ys) =>
+      val gm = graft.functions.GeoMean
+      def fold(zs: List[Double]) = zs.foldLeft(gm.zero)(gm.reduce)
+      val split = gm.merge(fold(xs), fold(ys))
+      val swapped = gm.merge(fold(ys), fold(xs))
+      val whole = fold(xs ++ ys)
+      math.abs(split._1 - whole._1) < 1e-9 && split._2 == whole._2 &&
+        math.abs(split._1 - swapped._1) < 1e-9 &&
+        math.abs(gm.finish(whole) -
+          math.exp((xs ++ ys).map(math.log).sum / (xs.size + ys.size))) < 1e-9
+    }
+
+  property("hash-split fraction is in [0,1) and deterministic") =
+    forAll(Gen.choose(0L, Long.MaxValue / 3)) { id =>
+      // same arithmetic the Column expression and the DuckDB oracle run
+      val frac = java.lang.Math.floorMod(id * 2654435761L, 4294967296L) / 4294967296.0
+      frac >= 0.0 && frac < 1.0
+    }
+
   property("modularity closed form == pairwise formula, and |Q| bounded") =
     forAll(genEdges) { edges =>
       edges.isEmpty || {
