@@ -67,6 +67,9 @@ object SparkEntry {
     // ingest shape: delta-vs-corpus candidates only (spec: equals the
     // full pair set restricted to pairs touching the delta)
     "q4b_dedup_incremental" -> ((s, d) => Dedup.minhashPairsIncremental(s, d)),
+    // one-permutation signatures (one pass vs 128 folds); recall vs the
+    // dense signature measured in DedupSpec
+    "q4c_minhash_oph" -> ((s, d) => Dedup.minhashPairsOph(s, d)),
     // --- similarity search ---
     "q46_ann_brute" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q47_ann_lsh" -> ((s, d) => Similarity.cosineTopKLsh(s, d)),

@@ -55,6 +55,12 @@ object GraftFunctions {
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),
+    (FunctionIdentifier("oph_sig"),
+      new ExpressionInfo(classOf[OphSignature].getName, "oph_sig"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable, "oph_sig: k must be a literal")
+        OphSignature(es(0), es(1).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("pq_encode"),
       new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
       (es: Seq[Expression]) => {

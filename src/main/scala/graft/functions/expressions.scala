@@ -447,6 +447,80 @@ case class Combinations(child: Expression, kExpr: Expression)
     copy(child = newChildren(0), kExpr = newChildren(1))
 }
 
+/** `oph_sig(sh, k)`: ONE-PERMUTATION MinHash signature — the scale
+  * replacement for k independent hash passes. The shingle set is binned by
+  * `floorMod(h, k)` and each bin keeps its minimum, so the whole signature
+  * costs ONE pass over the shingles (vs `minhash_sigs`' k × |sh| fold —
+  * 128× fewer hash-mixes per document at the default width). Empty bins
+  * are densified by borrowing the next non-empty bin's value circularly to
+  * the right (Shrivastava & Li's basic densification — slightly correlated
+  * for adjacent empty bins, which the exact-Jaccard verification stage
+  * absorbs: banding recall is the only thing at stake). Two documents
+  * agree on bin j iff their bin-minimum shingle matches — the standard
+  * OPH collision estimator, band-compatible with the dense signature. */
+case class OphSignature(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "oph_sig"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) if k >= 2 => TypeCheckSuccess
+      case _ => TypeCheckFailure("oph_sig(array<bigint>, k literal >= 2)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val sh = a.asInstanceOf[ArrayData]
+    val mins = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    while (i < sh.numElements()) {
+      val h = sh.getLong(i)
+      val bin = java.lang.Math.floorMod(h, k.toLong).toInt
+      if (h < mins(bin)) mins(bin) = h
+      i += 1
+    }
+    var j = 0
+    while (j < k) {
+      if (mins(j) == Long.MaxValue) {
+        var d = 1
+        while (d < k && mins((j + d) % k) == Long.MaxValue) d += 1
+        if (d < k) mins(j) = mins((j + d) % k)
+      }
+      j += 1
+    }
+    new GenericArrayData(mins)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mins = ctx.freshName("mins"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val bin = ctx.freshName("bin")
+      val j = ctx.freshName("j"); val d = ctx.freshName("d")
+      s"""
+         |long[] $mins = new long[$k];
+         |java.util.Arrays.fill($mins, Long.MAX_VALUE);
+         |for (int $i = 0; $i < $a.numElements(); $i++) {
+         |  long $h = $a.getLong($i);
+         |  int $bin = (int) java.lang.Math.floorMod($h, (long) $k);
+         |  if ($h < $mins[$bin]) $mins[$bin] = $h;
+         |}
+         |for (int $j = 0; $j < $k; $j++) {
+         |  if ($mins[$j] == Long.MAX_VALUE) {
+         |    int $d = 1;
+         |    while ($d < $k && $mins[($j + $d) % $k] == Long.MAX_VALUE) $d++;
+         |    if ($d < $k) $mins[$j] = $mins[($j + $d) % $k];
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($mins);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): OphSignature =
+    copy(child = newChild)
+}
+
 /** `pq_encode(v, codebooks, m, k)`: product-quantization encoding — split
   * the dim-length vector into `m` contiguous subvectors and emit, per
   * subspace, the index (0..k-1) of the L2-nearest codeword. `codebooks` is

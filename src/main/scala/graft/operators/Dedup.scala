@@ -113,6 +113,26 @@ object Dedup {
       .withColumn("sig", minhashSigCol(col("sh")))
       .cache()
     val bands = bandsOf(sig)
+    pairsFromBands(bands, sig, minJaccard)
+  }
+
+  /** [[minhashPairs]] on ONE-permutation signatures
+    * ([[graft.functions.OphSignature]]): the signature costs one pass over
+    * the shingles instead of NumHashes folds — the 100 TB signature path
+    * (same banding, same exact-Jaccard verification; only banding RECALL
+    * depends on the estimator, which DedupSpec measures against the dense
+    * signature's pairs). */
+  def minhashPairsOph(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val sig = shingled(spark, dir)
+      .withColumn("sig", call_function("oph_sig", col("sh"), lit(NumHashes)))
+      .cache()
+    pairsFromBands(bandsOf(sig), sig, minJaccard)
+  }
+
+  private def pairsFromBands(bands: DataFrame, sig: DataFrame,
+      minJaccard: Double): DataFrame = {
     val cand = bands.as("x").join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))

@@ -47,6 +47,20 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(out.count(_.getBoolean(3)) == sizes.size, "exactly one keeper per group")
   }
 
+  test("OPH pairs: exact precision, high recall vs the dense signature") {
+    val dense = Dedup.minhashPairs(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oph = Dedup.minhashPairsOph(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // precision is exact by construction (same verify stage) — every pair
+    // reported really has jaccard >= 0.5
+    assert(oph.forall(_._3 >= 0.5))
+    val recall = oph.map(p => (p._1, p._2)).toSet.intersect(dense).size.toDouble /
+      math.max(dense.size, 1)
+    info(s"OPH banding recall vs dense: $recall")
+    assert(recall >= 0.8, s"OPH recall $recall below floor")
+  }
+
   test("incremental pairs = full pairs restricted to the delta") {
     val deltaFrom = 400L
     val full = Dedup.minhashPairs(spark, sfDir).collect()
