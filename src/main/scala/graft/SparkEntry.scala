@@ -44,6 +44,10 @@ object SparkEntry {
     "q1e_geomean" -> (Relational.geoMean _),
     // deterministic multiplicative-hash train/val/test assignment
     "q57_hash_split" -> (Sampling.trainValTest _),
+    // per-stratum deterministic downsampling (corpus rebalance)
+    "q76_stratified_sample" -> (Sampling.rebalanceByLang _),
+    // native session_window aggregation; shares q62's oracle
+    "q75_session_window" -> ((s, d) => Events.sessionizeNative(s, d)),
     // --- basket analytics (§2.9 G1) ---
     "q20_freq_items" -> ((s, d) => Baskets.freqItems(s, d)),
     "q21_freq_pairs" -> ((s, d) => Baskets.freqPairs(s, d)),
@@ -138,7 +142,8 @@ object SparkEntry {
       ("q66_topk_per_group_native" -> m("q61_events_ranked")) +
       ("q58_dedup_stream" -> m("q40_dedup_exact")) +
       ("q69_range_join_stream" -> m("q68_range_join")) +
-      ("q73_events_json_source" -> m("q60_events_hourly"))
+      ("q73_events_json_source" -> m("q60_events_hourly")) +
+      ("q75_session_window" -> m("q62_sessionize"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -269,6 +274,13 @@ object SparkEntry {
         |       round(exp(avg(ln(l_extendedprice))), 6) AS gm_price,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q76_stratified_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang,
+        |         (doc_id * 2654435761) % 4294967296 / 4294967296.0 AS frac
+        |  FROM documents)
+        |WHERE frac < (CASE WHEN lang = 'en' THEN 0.5 ELSE 0.1 END)
+        |ORDER BY doc_id""".stripMargin,
     // pure BIGINT arithmetic → bit-identical split fractions cross-engine
     "q57_hash_split" ->
       """SELECT doc_id,

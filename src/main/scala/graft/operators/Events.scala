@@ -76,6 +76,29 @@ object Events {
         min("k").as("min_k"), max("k").as("max_k"))
       .orderBy("event_type")
 
+  /** q75: gap sessionization through Spark's NATIVE `session_window`
+    * aggregation instead of the lag+running-sum window — one aggregation,
+    * no analytic-window sort, and the same operator Structured Streaming
+    * uses for streaming session merges. `window.end` is last-event + gap,
+    * so `end_s` subtracts the gap back to the last event time; output is
+    * mapped onto [[sessionize]]'s exact shape and shares q62's oracle —
+    * two engines AND two formulations pinned to one result. */
+  def sessionizeNative(spark: SparkSession, dir: String,
+      gapSec: Long = 1800): DataFrame = {
+    val sess = Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), s"$gapSec seconds"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum("value"), 6).as("sum_value"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        (unix_timestamp(col("session_window.end")) - gapSec).as("end_s"),
+        col("n_events"), col("sum_value"))
+    val bySeq = Window.partitionBy("user_id").orderBy("start_s", "end_s")
+    sess.withColumn("session_seq", row_number().over(bySeq).cast("long"))
+      .select("user_id", "session_seq", "n_events", "start_s", "end_s", "sum_value")
+      .orderBy("user_id", "session_seq")
+  }
+
   /** As-of join: for each left row, the single most recent right row with
     * `right.ts <= left.ts` on the same key — the time-series "latest fact
     * at event time" lookup (DuckDB/kdb ASOF JOIN; Spark has no native

@@ -34,6 +34,26 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Stratified deterministic sample: per-stratum keep-fractions (e.g.
+    * downsample an over-represented language), same pure-arithmetic
+    * [[hashFraction]] — reproducible, append-stable, oracle-able. Strata
+    * not in `fractions` keep `default`. */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      fractions: Map[String, Double], default: Double): DataFrame = {
+    val frac = fractions.foldLeft(lit(default)) { case (els, (s, f)) =>
+      when(col(strataCol) === s, f).otherwise(els)
+    }
+    df.where(hashFraction(col(idCol)) < frac)
+  }
+
+  /** q76: rebalance the corpus — keep 50% of English, 10% of everything
+    * else, deterministically by doc_id. */
+  def rebalanceByLang(spark: SparkSession, dir: String): DataFrame =
+    stratifiedSample(Tables(spark, dir, "documents"), "doc_id", "lang",
+        Map("en" -> 0.5), default = 0.1)
+      .select("doc_id", "lang")
+      .orderBy("doc_id")
+
   /** q57: the 90/5/5 train/val/test assignment of the document corpus —
     * full per-doc assignment (not just counts), so the oracle pins every
     * row's placement. */
