@@ -110,6 +110,8 @@ object SparkEntry {
     "q73_events_json_source" -> (Events.hourlyFromJson _),
     // forward as-of (next-event attribution); DuckDB ASOF with <=
     "q74_asof_forward" -> (Events.nextPurchaseAsof _),
+    // as-of with staleness tolerance (match nulled when > 24h old)
+    "q77_asof_tolerance" -> ((s, d) => Events.lastPurchaseAsofFresh(s, d)),
     // range join: bin-bucketed equi-join vs DuckDB's inequality join
     "q68_range_join" -> (Events.clicksAfterErrors _),
     // --- multimodal plumbing (stubbed decode; real batching/schema) ---
@@ -530,6 +532,18 @@ object SparkEntry {
         |       r.purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts >= r.p_ts
         |ORDER BY l.event_id""".stripMargin,
+    // ASOF match post-gated by staleness: nearest-or-nothing within 24h
+    "q77_asof_tolerance" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),
+        |     r AS (SELECT user_id AS p_user, ts AS p_ts, round(max(value), 6) AS purchase_value
+        |           FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |j AS (SELECT l.event_id, l.user_id, l.ts, r.p_ts, r.purchase_value,
+        |             CASE WHEN epoch_us(l.ts) - epoch_us(r.p_ts) <= 86400000000 THEN 1 ELSE 0 END AS fresh
+        |      FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts >= r.p_ts)
+        |SELECT event_id, user_id, epoch_us(ts) // 1000000 AS ts_s,
+        |       CASE WHEN fresh = 1 THEN epoch_us(p_ts) // 1000000 END AS purchase_ts_s,
+        |       CASE WHEN fresh = 1 THEN purchase_value END AS purchase_value
+        |FROM j ORDER BY event_id""".stripMargin,
     // forward direction: DuckDB ASOF picks the NEAREST r with l.ts <= r.p_ts
     "q74_asof_forward" ->
       """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'view'),

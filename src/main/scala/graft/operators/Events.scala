@@ -118,10 +118,15 @@ object Events {
     * names of the two sides must not collide (the right key/ts arrive
     * under their own names: the matched `rightTs` is part of the output).
     */
+  /** `toleranceSec`: if set, a match farther than this from the left
+    * timestamp is nulled out (the row survives with no match) — "latest
+    * fact, but only if fresh enough", the staleness guard every
+    * feature-store lookup needs. */
   def asofJoin(left: DataFrame, right: DataFrame,
                leftKey: String, rightKey: String,
                leftTs: String, rightTs: String,
-               forward: Boolean = false): DataFrame = {
+               forward: Boolean = false,
+               toleranceSec: Option[Long] = None): DataFrame = {
     val payload = right.columns.filterNot(_ == rightKey).toSeq // rightTs stays: it IS the matched-at column
     val lU = left
       .withColumn("__k", col(leftKey)).withColumn("__t", col(leftTs))
@@ -145,11 +150,17 @@ object Events {
     val w = Window.partitionBy("__k")
       .orderBy(timeOrd, col("__side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lU.unionByName(rU, allowMissingColumns = true)
+    val filled = lU.unionByName(rU, allowMissingColumns = true)
       .withColumn("__r", last(col("__r"), ignoreNulls = true).over(w))
       .where(col("__side") === 0)
-      .select(left.columns.map(col) ++
-        payload.map(c => col(s"__r.$c").as(c)): _*)
+    val gated = toleranceSec.fold(filled) { tol =>
+      val gap = abs(unix_micros(col("__t")) -
+        unix_micros(col(s"__r.$rightTs")))
+      filled.withColumn("__r",
+        when(gap <= tol * 1000000L, col("__r"))) // else NULL: match too stale
+    }
+    gated.select(left.columns.map(col) ++
+      payload.map(c => col(s"__r.$c").as(c)): _*)
   }
 
   /** q67: every 'view' event joined as-of to the same user's most recent
@@ -164,6 +175,25 @@ object Events {
       .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
       .agg(round(max("value"), 6).as("purchase_value"))
     asofJoin(views, purchases, "user_id", "p_user", "ts", "p_ts")
+      .select(col("event_id"), col("user_id"),
+        unix_timestamp(col("ts")).as("ts_s"),
+        unix_timestamp(col("p_ts")).as("purchase_ts_s"),
+        col("purchase_value"))
+      .orderBy("event_id")
+  }
+
+  /** q77: backward as-of with a 24h staleness tolerance — purchases older
+    * than a day no longer count as "the latest purchase context". */
+  def lastPurchaseAsofFresh(spark: SparkSession, dir: String,
+      toleranceSec: Long = 86400): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val views = ev.where(col("event_type") === "view")
+      .select("event_id", "user_id", "ts")
+    val purchases = ev.where(col("event_type") === "purchase")
+      .groupBy(col("user_id").as("p_user"), col("ts").as("p_ts"))
+      .agg(round(max("value"), 6).as("purchase_value"))
+    asofJoin(views, purchases, "user_id", "p_user", "ts", "p_ts",
+        toleranceSec = Some(toleranceSec))
       .select(col("event_id"), col("user_id"),
         unix_timestamp(col("ts")).as("ts_s"),
         unix_timestamp(col("p_ts")).as("purchase_ts_s"),

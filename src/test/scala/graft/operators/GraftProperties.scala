@@ -165,6 +165,21 @@ object GraftProperties extends Properties("graft") {
       frac >= 0.0 && frac < 1.0
     }
 
+  property("oph signature: bin minima exact, empty bins densified from real minima") =
+    forAll(Gen.nonEmptyListOf(Gen.choose(Long.MinValue / 2, Long.MaxValue / 2))) { xs =>
+      val k = 16
+      val sig = graft.functions.OphSignature(Literal(null), k)
+        .nullSafeEval(new GenericArrayData(xs.toArray)).asInstanceOf[ArrayData]
+      val byBin = xs.groupBy(h => java.lang.Math.floorMod(h, k.toLong).toInt)
+      val minima = byBin.values.map(_.min).toSet
+      (0 until k).forall { j =>
+        byBin.get(j) match {
+          case Some(vs) => sig.getLong(j) == vs.min
+          case None => minima.contains(sig.getLong(j)) // borrowed, never MaxValue
+        }
+      }
+    }
+
   property("modularity closed form == pairwise formula, and |Q| bounded") =
     forAll(genEdges) { edges =>
       edges.isEmpty || {
