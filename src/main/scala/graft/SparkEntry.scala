@@ -40,6 +40,10 @@ object SparkEntry {
     "q1b_percentiles" -> (Relational.percentiles _),
     "q1c_column_stats" -> (Relational.columnStats _),
     "q1d_range_frame" -> (Relational.windowRangeFrame _),
+    "q1f_cube" -> (Relational.cubeAgg _),
+    "q1g_ntile" -> (Relational.ntileQuartiles _),
+    // correlated scalar subquery (Catalyst decorrelation) via spark.sql
+    "q1h_scalar_subquery" -> (Relational.aboveCustomerAvg _),
     // custom typed Aggregator (UDAF surface) — oracle replays exp(avg(ln))
     "q1e_geomean" -> (Relational.geoMean _),
     // deterministic multiplicative-hash train/val/test assignment
@@ -276,6 +280,24 @@ object SparkEntry {
         |       round(exp(avg(ln(l_extendedprice))), 6) AS gm_price,
         |       count(*) AS cnt
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1f_cube" ->
+      """SELECT coalesce(p_brand, 'ALL') AS brand,
+        |       coalesce(l_returnflag, 'ALL') AS flag,
+        |       count(*) AS cnt, round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY CUBE(p_brand, l_returnflag) ORDER BY brand, flag""".stripMargin,
+    "q1g_ntile" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(ntile(4) OVER (PARTITION BY o_custkey
+        |                      ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS spend_quartile
+        |FROM orders WHERE o_custkey <= 100
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "q1h_scalar_subquery" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
     "q76_stratified_sample" ->
       """SELECT doc_id, lang FROM (
         |  SELECT doc_id, lang,

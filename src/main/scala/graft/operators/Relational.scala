@@ -311,6 +311,46 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** CUBE: all grouping-set combinations of (brand, returnflag) — the
+    * full lattice [[rollupAgg]]'s hierarchy is a slice of. Null group
+    * keys coalesced for a null-free cross-engine compare. */
+  def cubeAgg(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val p = Tables(spark, dir, "part")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .cube(col("p_brand"), col("l_returnflag"))
+      .agg(count(lit(1)).as("cnt"), r6(sum("l_quantity")).as("sum_qty"))
+      .select(coalesce(col("p_brand"), lit("ALL")).as("brand"),
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        col("cnt"), col("sum_qty"))
+      .orderBy("brand", "flag")
+  }
+
+  /** NTILE window: orders of each customer split into spend quartiles —
+    * deterministic because the ordering is total (totalprice, orderkey). */
+  def ntileQuartiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .where(col("o_custkey") <= 100)
+      .select(col("o_custkey"), col("o_orderkey"),
+        ntile(4).over(w).as("spend_quartile"))
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  /** Correlated scalar subquery through the SQL surface — orders above
+    * their own customer's average spend. Catalyst decorrelates this into
+    * an aggregate + join; the oracle runs the identical SQL. */
+  def aboveCustomerAvg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 6) AS price
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
   /** The SQL surface: the same flagship query through `spark.sql` over
     * registered views — proves users can run plain SQL against the engine. */
   def sqlApi(spark: SparkSession, dir: String): DataFrame = {
