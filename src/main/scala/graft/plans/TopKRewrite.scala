@@ -28,7 +28,8 @@ import org.apache.spark.sql.catalyst.rules.Rule
   * trivial. An already-inserted WindowGroupLimit child (same spec) is
   * stripped — the node's partial tier does that job.
   */
-object TopKRewrite extends Rule[LogicalPlan] {
+object TopKRewrite extends Rule[LogicalPlan]
+    with org.apache.spark.sql.catalyst.expressions.PredicateHelper {
 
   private val MaxK = 100000
 
@@ -46,7 +47,13 @@ object TopKRewrite extends Rule[LogicalPlan] {
     case Window(Seq(alias @ Alias(WindowExpression(RowNumber(), spec), _)),
         partitionSpec, orderSpec, child, _)
       if partitionSpec.nonEmpty && orderSpec.nonEmpty =>
-      rankLimit(cond, alias.toAttribute).flatMap { k =>
+      // compound filters rewrite too: the rank-limit conjunct is consumed
+      // by the node, every other conjunct stays as a Filter ABOVE it (they
+      // may reference the rank attr — its values are identical)
+      val conjuncts = splitConjunctivePredicates(cond)
+      val rank = alias.toAttribute
+      val limits = conjuncts.flatMap(c => rankLimit(c, rank).map(c -> _))
+      limits.headOption.flatMap { case (limitConjunct, k) =>
         if (k <= 0 || k > MaxK) None
         else {
           // Spark may already have inserted its per-partition pre-filter;
@@ -57,8 +64,11 @@ object TopKRewrite extends Rule[LogicalPlan] {
             case c => c
           }
           val node = TopKPerGroupNode(partitionSpec, orderSpec, k,
-            alias.toAttribute.asInstanceOf[AttributeReference], realChild)
-          Some(proj.map(p => p.copy(child = node)).getOrElse(node))
+            rank.asInstanceOf[AttributeReference], realChild)
+          val base = proj.map(p => p.copy(child = node)).getOrElse(node)
+          val rest = conjuncts.filterNot(_ eq limitConjunct)
+          Some(if (rest.isEmpty) base
+            else Filter(rest.reduce(org.apache.spark.sql.catalyst.expressions.And), base))
         }
       }
     case _ => None

