@@ -21,8 +21,8 @@ object ExplainAudit {
       // q61 is PLAIN row_number window syntax — TopKRewrite plans it as
       // TopKPerGroupExec (no WindowExec, no sort)
       "q61_events_ranked", "q66_topk_per_group_native", "q67_asof_join",
-      "q68_range_join", "q47_ann_lsh", "q1a_pivot",
-      "q1c_column_stats").foreach { name =>
+      "q68_range_join", "q47_ann_lsh", "q59_ann_pq", "q75_session_window",
+      "q1a_pivot", "q1c_column_stats").foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
