@@ -5,9 +5,12 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 
 /** Document deduplication for large-scale training-data pipelines: exact
-  * (content-hash groupBy), MinHash+LSH near-dup, SimHash near-dup, and exact
-  * n-gram Jaccard. No reference analog (the reference has no text ops) —
-  * these are the north-star extensions from SURVEY.md §7 M5.
+  * (content-hash groupBy; streaming twin in `streaming.DedupStream`),
+  * MinHash+LSH near-dup (dense 128-hash and one-permutation signatures),
+  * SimHash, exact n-gram Jaccard, incremental delta-vs-corpus detection,
+  * and end-to-end near-dup GROUPING (pairs → connected components →
+  * canonical keeper). No reference analog (the reference has no text ops)
+  * — these are the north-star extensions from SURVEY.md §7 M5.
   *
   * Scale design: everything is native Catalyst higher-order functions
   * (transform/aggregate/zip_with over arrays) — no UDFs, fully codegen'd,

@@ -5,18 +5,24 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
-/** Similarity search over the `embeddings` table (64-dim float vectors):
-  * brute-force cosine top-k as the exact baseline and a random-hyperplane
-  * LSH-bucketed variant as the scale path (SURVEY.md §7 M5).
+/** Similarity search over the `embeddings` table (64-dim float vectors) —
+  * four tiers on the exact↔approximate spectrum (SURVEY.md §7 M5):
   *
-  * Scale design: the dot product is a single codegen'd
-  * aggregate(zip_with(...)) over the array — no UDF. Brute force is
-  * queries × corpus, so the query side must be bounded (broadcast) and the
-  * corpus side scanned once; the LSH variant replaces the full scan with a
-  * bucket-equijoin (hyperplane sign bits), turning O(Q·N) into
-  * O(Q·N/2^bits) expected work per probe. For 100 TB-scale ANN the next
-  * step is IVF: k-means centroids, partition-by-centroid, search nprobe
-  * cells — same join shape, coarser buckets.
+  *  - brute (q46/q49): bounded query side broadcast × one corpus scan —
+  *    the exact baseline every approximate tier's recall is measured
+  *    against;
+  *  - sign-LSH (q47): bucket equi-join on codegen'd hyperplane sign bits,
+  *    O(Q·N/2^bits) expected per probe, OR-amplified across tables;
+  *  - IVF (q4a): spherical-k-means coarse quantizer, partition-by-
+  *    centroid, nprobe cells per query — at cluster scale cells ARE the
+  *    parquet partitioning and probes prune partitions;
+  *  - PQ (q59): 8-byte codes + asymmetric-distance scan + exact re-rank —
+  *    the memory tier (64× compression makes a 100 TB corpus's index
+  *    RAM-resident).
+  *
+  * All hot loops are codegen'd expressions (`float_array_dot`,
+  * `sign_buckets`, `pq_encode`/`pq_adc`) — no UDF boxing; every tier's
+  * rank shape runs on the native [[graft.plans.TopKPerGroup]] operator.
   */
 object Similarity {
 
