@@ -135,12 +135,18 @@ object Similarity {
     bits
   }
 
-  /** ANN via LSH: candidates share the 8-bit hyperplane bucket; exact cosine
+  /** ANN via LSH: candidates share the hyperplane bucket; exact cosine
     * + top-k within the candidate set. Approximate by construction —
-    * rows-only check; recall vs the exact baseline is asserted in tests. */
+    * rows-only check; recall vs the exact baseline is asserted in tests.
+    * `nBits <= 0` (default) sizes buckets from the CORPUS via [[autoBits]]
+    * — expected occupancy stays bounded as N grows, so the candidate join
+    * stays ~linear instead of degrading toward all-pairs (recall is then
+    * bought back with tables, the OR-amplification axis). */
   def cosineTopKLsh(spark: SparkSession, dir: String, k: Int = 5,
-      nQueries: Long = 100, nBits: Int = 4, nTables: Int = 6): DataFrame = {
-    val e = lshBuckets(normalized(spark, dir), nBits, nTables).cache()
+      nQueries: Long = 100, nBits: Int = 0, nTables: Int = 6): DataFrame = {
+    val base = normalized(spark, dir)
+    val bits = if (nBits > 0) nBits else autoBits(base.count())
+    val e = lshBuckets(base, bits, nTables).cache()
     val q = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("norm").as("qn"), col("table").as("qt"), col("bucket").as("qb"))
@@ -404,8 +410,10 @@ object Similarity {
     * come from the bucket equijoin, never the full cross product). In a
     * dedup pipeline the `where(cosine >= threshold)` replaces the top-k. */
   def cosineNearDups(spark: SparkSession, dir: String, k: Int = 20,
-      nBits: Int = 4, nTables: Int = 4): DataFrame = {
-    val e = lshBuckets(normalized(spark, dir), nBits, nTables).cache()
+      nBits: Int = 0, nTables: Int = 4): DataFrame = {
+    val base = normalized(spark, dir)
+    val bits = if (nBits > 0) nBits else autoBits(base.count())
+    val e = lshBuckets(base, bits, nTables).cache()
     e.as("a").join(e.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
