@@ -41,6 +41,8 @@ object SparkEntry {
     "q1c_column_stats" -> (Relational.columnStats _),
     "q1d_range_frame" -> (Relational.windowRangeFrame _),
     "q1f_cube" -> (Relational.cubeAgg _),
+    "q1i_except_all" -> (Relational.setOpsAll _),
+    "q1j_collect_set" -> (Relational.groupCollectSet _),
     "q1g_ntile" -> (Relational.ntileQuartiles _),
     // correlated scalar subquery (Catalyst decorrelation) via spark.sql
     "q1h_scalar_subquery" -> (Relational.aboveCustomerAvg _),
@@ -286,6 +288,17 @@ object SparkEntry {
         |       count(*) AS cnt, round(sum(l_quantity), 6) AS sum_qty
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY CUBE(p_brand, l_returnflag) ORDER BY brand, flag""".stripMargin,
+    "q1i_except_all" ->
+      """SELECT l_partkey, count(*) AS surplus FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+        |  EXCEPT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q1j_collect_set" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list_distinct(list(l_returnflag))), ',') AS flags,
+        |       count(*) AS n_lines
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
     "q1g_ntile" ->
       """SELECT o_custkey, o_orderkey,
         |       CAST(ntile(4) OVER (PARTITION BY o_custkey

@@ -311,6 +311,30 @@ object Relational {
       .orderBy("col_name")
   }
 
+  /** Bag-semantics set ops ([[setOps]]' multiset twin): EXCEPT ALL keeps
+    * duplicate multiplicity (n−m copies survive), which set-EXCEPT
+    * destroys — the difference matters for event streams where repeat
+    * counts are the signal. */
+  def setOpsAll(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val shipped = l.where(col("l_linestatus") === "F").select("l_partkey")
+    val returned = l.where(col("l_returnflag") === "R").select("l_partkey")
+    shipped.exceptAll(returned)
+      .groupBy("l_partkey").agg(count(lit(1)).as("surplus"))
+      .orderBy("l_partkey")
+  }
+
+  /** collect_set (deduplicated group-to-collection), sorted for a stable
+    * cross-engine compare — [[groupCollect]]'s DISTINCT twin. */
+  def groupCollectSet(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sort_array(collect_set(col("l_returnflag"))).as("flags"),
+        count(lit(1)).as("n_lines"))
+      .select(col("l_orderkey"), concat_ws(",", col("flags")).as("flags"),
+        col("n_lines"))
+      .orderBy("l_orderkey")
+
   /** CUBE: all grouping-set combinations of (brand, returnflag) — the
     * full lattice [[rollupAgg]]'s hierarchy is a slice of. Null group
     * keys coalesced for a null-free cross-engine compare. */
