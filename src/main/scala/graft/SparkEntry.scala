@@ -136,6 +136,21 @@ object SparkEntry {
     // stream-stream interval join drained end-to-end; shares q68's oracle
     "q69_range_join_stream" -> ((s, d) =>
       graft.streaming.EventStream.clicksAfterErrorsStream(s, d)),
+    // --- round-3 surface ---
+    // TF-IDF top terms per doc (integer-deterministic ranking)
+    "q78_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(s, d)),
+    // explicit GROUPING SETS lattice (rollup/cube generalization)
+    "q79_grouping_sets" -> (Relational.groupingSetsAgg _),
+    // lag/lead inter-arrival features per user
+    "q7a_lead_lag" -> (Events.leadLag _),
+    // sliding 1h/30min windows (streaming-capable window() plan)
+    "q7b_sliding_window" -> (Events.slidingCounts _),
+    // q60's aggregation through an ORC round-trip (shares q60's oracle)
+    "q7c_events_orc_source" -> (Events.hourlyFromOrc _),
+    // skew-salted join, result-equal to the plain join (shares q14's oracle)
+    "q7d_salted_join" -> (ScaleOps.saltedJoinQuery _),
+    // INTERSECT ALL (multiset dual of q1i's EXCEPT ALL)
+    "q7e_intersect_all" -> (Relational.intersectAllOp _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -151,7 +166,9 @@ object SparkEntry {
       ("q58_dedup_stream" -> m("q40_dedup_exact")) +
       ("q69_range_join_stream" -> m("q68_range_join")) +
       ("q73_events_json_source" -> m("q60_events_hourly")) +
-      ("q75_session_window" -> m("q62_sessionize"))
+      ("q75_session_window" -> m("q62_sessionize")) +
+      ("q7c_events_orc_source" -> m("q60_events_hourly")) +
+      ("q7d_salted_join" -> m("q14_sql_api"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -591,6 +608,52 @@ object SparkEntry {
         |       r.purchase_value
         |FROM l ASOF LEFT JOIN r ON l.user_id = r.p_user AND l.ts <= r.p_ts
         |ORDER BY l.event_id""".stripMargin,
+    // ranks from the integer triple (tf desc, df asc, term asc) — never
+    // from the float score, so rank boundaries can't straddle a libm ulp
+    "q78_tfidf" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS tokens
+        |  FROM documents),
+        |u AS (SELECT doc_id, unnest(tokens) AS term FROM t WHERE len(tokens) > 0),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM u GROUP BY 1, 2),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM t WHERE len(tokens) > 0),
+        |s AS (SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |        row_number() OVER (PARTITION BY tf.doc_id
+        |          ORDER BY tf.tf DESC, df.df ASC, tf.term ASC) AS rank
+        |      FROM tf JOIN df USING (term))
+        |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf, df,
+        |       round(tf * ln(CAST((SELECT n_docs FROM n) AS DOUBLE) / df), 6) AS tfidf
+        |FROM s WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "q79_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS cnt, round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin,
+    "q7a_lead_lag" ->
+      """SELECT user_id, event_id, ts_s,
+        |       ts_s - lag(ts_s) OVER w AS prev_gap_s,
+        |       lead(ts_s) OVER w - ts_s AS next_gap_s,
+        |       round(value - lag(value) OVER w, 6) AS value_delta
+        |FROM (SELECT user_id, event_id, ts, value,
+        |        epoch_us(ts) // 1000000 AS ts_s FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY user_id, ts_s, event_id""".stripMargin,
+    // each event lands in exactly two 30-min-aligned 1h windows: the
+    // offsets {0, 1800} enumerate them (size = 2 × slide)
+    "q7b_sliding_window" ->
+      """SELECT (epoch_us(ts) // 1000000 // 1800) * 1800 - off AS start_s,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events CROSS JOIN (SELECT unnest([0, 1800]) AS off)
+        |GROUP BY 1, 2 ORDER BY start_s, event_type""".stripMargin,
+    "q7e_intersect_all" ->
+      """SELECT l_partkey, count(*) AS n_common FROM (
+        |  SELECT l_partkey FROM lineitem WHERE l_linestatus = 'F'
+        |  INTERSECT ALL
+        |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // DuckDB plans the raw inequality join (IEJoin); the engine's binned
     // equi-join must produce identical counts
     "q68_range_join" ->

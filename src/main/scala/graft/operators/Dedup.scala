@@ -54,13 +54,32 @@ object Dedup {
       i => aggregate(sh, lit(Long.MaxValue),
         (acc, h) => least(acc, xxhash64(h, i))))
 
-  /** documents + `sh` (shingle-hash set) column. */
+  /** The whole dedup family (signatures, LSH pairs, OPH, incremental,
+    * n-gram Jaccard, grouping) consumes the same shingle-hash relation, and
+    * three of those also share the dense MinHash signature — the same
+    * materialized-view shape as [[GraphOps.coPurchaseEdges]]'s edge cache:
+    * build once per (session, dir), `.cache()` lazily, every consumer after
+    * the first reads the in-memory copy. The relation is small relative to
+    * its input (hashes, not text), so pinning it is safe at scale. */
+  private val shingleCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val sigCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** documents + `sh` (shingle-hash set) column, cached per (session, dir). */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
-      .withColumn("sh", shingleHashes(col("tokens"), 3))
+    shingleCache.computeIfAbsent((spark, dir), _ =>
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
+        .withColumn("sh", shingleHashes(col("tokens"), 3))
+        .cache())
   }
+
+  /** [[shingled]] + dense MinHash `sig`, cached per (session, dir). */
+  private def denseSigs(spark: SparkSession, dir: String): DataFrame =
+    sigCache.computeIfAbsent((spark, dir), _ =>
+      shingled(spark, dir).withColumn("sig", minhashSigCol(col("sh"))).cache())
 
   /** Exact dedup: md5 of the raw text, one row per distinct content with the
     * keeper (min doc_id) and the duplicate count. Oracle-able. */
@@ -74,8 +93,7 @@ object Dedup {
     * xxhash64(s, i). One pass over the shingle array per hash function; all
     * codegen'd. Deterministic (rows-only check). */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir)
-      .withColumn("sig", minhashSigCol(col("sh")))
+    denseSigs(spark, dir)
       .select(col("doc_id"), size(col("sh")).as("n_shingles"),
         xxhash64(concat_ws(",", transform(col("sig"), _.cast("string"))))
           .as("sig_hash"))
@@ -112,9 +130,7 @@ object Dedup {
 
   def minhashPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val sig = shingled(spark, dir)
-      .withColumn("sig", minhashSigCol(col("sh")))
-      .cache()
+    val sig = denseSigs(spark, dir)
     val bands = bandsOf(sig)
     pairsFromBands(bands, sig, minJaccard)
   }
@@ -130,7 +146,7 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     val sig = shingled(spark, dir)
       .withColumn("sig", call_function("oph_sig", col("sh"), lit(NumHashes)))
-      .cache()
+      .cache() // self-joined twice over; CacheManager dedupes re-registrations
     pairsFromBands(bandsOf(sig), sig, minJaccard)
   }
 
@@ -153,9 +169,7 @@ object Dedup {
     * [[minhashPairs]] rows that touch the delta (spec-asserted). */
   def minhashPairsIncremental(spark: SparkSession, dir: String,
       deltaFrom: Long = 400, minJaccard: Double = 0.5): DataFrame = {
-    val sig = shingled(spark, dir)
-      .withColumn("sig", minhashSigCol(col("sh")))
-      .cache()
+    val sig = denseSigs(spark, dir)
     val bands = bandsOf(sig).cache()
     val cand = bands.where(col("doc_id") >= deltaFrom).as("x")
       .join(bands.as("y"),

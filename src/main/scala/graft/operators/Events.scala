@@ -41,6 +41,58 @@ object Events {
       .orderBy("hour_s", "event_type")
   }
 
+  /** q7c: [[hourly]]'s aggregation fed from an ORC round-trip of the events
+    * table — shares q60's oracle, proving the ORC source AND sink
+    * end-to-end (schema + timestamp fidelity, same results as parquet).
+    * ORC is the other first-class columnar lake format; at 100 TB the
+    * reader gets the same predicate-pushdown/column-pruning treatment as
+    * parquet from the ORC datasource. */
+  def hourlyFromOrc(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val stage = java.nio.file.Files.createTempDirectory("graft-q7c-orc").toString
+    ev.write.mode("overwrite").orc(stage)
+    spark.read.orc(stage)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum("value"), 6).as("sum_value"),
+        round(avg("value"), 6).as("avg_value"))
+      .orderBy("hour_s", "event_type")
+  }
+
+  /** Sliding 1-hour windows every 30 minutes per event_type: each event
+    * lands in exactly size/slide = 2 overlapping windows (the trend-line
+    * shape tumbling windows can't express). The same `window()` plan is
+    * streaming-capable, like [[graft.streaming.EventStream.hourlyCounts]].
+    * Cost at scale = tumbling × (size/slide): Spark expands each row to
+    * its windows before the partial aggregate, so the shuffle carries
+    * (rows × overlap) pre-aggregated groups, not raw rows. */
+  def slidingCounts(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .select(unix_timestamp(col("window.start")).as("start_s"),
+        col("event_type"), col("n"), col("sum_value"))
+      .orderBy("start_s", "event_type")
+
+  /** Per-user event-to-event deltas via lag/lead: seconds since the
+    * previous event, seconds to the next, and the value change from the
+    * previous — the feature-engineering shape (inter-arrival times) every
+    * behavioral pipeline computes. One window, three frames-free
+    * physical-window functions, single shuffle on user_id. */
+  def leadLag(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables(spark, dir, "events")
+      .withColumn("ts_s", unix_timestamp(col("ts")))
+      .withColumn("prev_gap_s", col("ts_s") - lag(col("ts_s"), 1).over(w))
+      .withColumn("next_gap_s", lead(col("ts_s"), 1).over(w) - col("ts_s"))
+      .withColumn("value_delta",
+        round(col("value") - lag(col("value"), 1).over(w), 6))
+      .select(col("user_id"), col("event_id"), col("ts_s"),
+        col("prev_gap_s"), col("next_gap_s"), col("value_delta"))
+      .orderBy("user_id", "ts_s", "event_id")
+  }
+
   /** Per-user latest-3 events by time (ranking window function). */
   def ranked(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
     val w = Window.partitionBy("user_id")

@@ -384,4 +384,31 @@ object Relational {
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin)
   }
+
+  /** Explicit GROUPING SETS — the general lattice [[rollupAgg]] and
+    * [[cubeAgg]] are special cases of: two one-dimension marginals plus the
+    * grand total, with no cross terms (a CUBE would add them). One Expand
+    * over the named sets, then one hash aggregate — the same partial/final
+    * shape as a plain GROUP BY, ×|sets| rows into the shuffle. */
+  def groupingSetsAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables.registerViews(spark, dir)
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       count(*) AS cnt, round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY flag, status""".stripMargin)
+  }
+
+  /** INTERSECT ALL — [[setOpsAll]]'s multiset dual: min(n, m) copies of
+    * each common element survive, where set-INTERSECT keeps one. */
+  def intersectAllOp(spark: SparkSession, dir: String): DataFrame = {
+    val l = Tables(spark, dir, "lineitem")
+    val shipped = l.where(col("l_linestatus") === "F").select("l_partkey")
+    val returned = l.where(col("l_returnflag") === "R").select("l_partkey")
+    shipped.intersectAll(returned)
+      .groupBy("l_partkey").agg(count(lit(1)).as("n_common"))
+      .orderBy("l_partkey")
+  }
 }

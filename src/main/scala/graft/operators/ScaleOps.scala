@@ -89,4 +89,30 @@ object ScaleOps {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, Seq(key, "_salt")).drop("_salt")
   }
+
+  /** q7d: q14's brand aggregation through [[saltedJoin]] instead of the
+    * plain equi-join — shares q14's oracle, proving result-equivalence of
+    * the skew-spreading rewrite on real data (the property a salted plan
+    * must guarantee before it is ever worth its replication cost).
+    * Broadcast is suppressed so the join physically exercises the salted
+    * shuffle path it exists for — with part broadcast, every salt replica
+    * would land in one hash table and nothing would be demonstrated. */
+  def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val l = graft.Tables(spark, dir, "lineitem")
+      .select(col("l_partkey").as("pk"), col("l_orderkey"),
+        col("l_extendedprice"))
+    val p = graft.Tables(spark, dir, "part")
+      .select(col("p_partkey").as("pk"), col("p_brand"))
+    val prev = l.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    l.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val df = saltedJoin(l, p, "pk", "l_orderkey")
+        .groupBy("p_brand")
+        .agg(round(avg("l_extendedprice"), 6).as("avg_price"),
+          count(lit(1)).as("cnt"))
+        .orderBy("p_brand")
+      df.queryExecution.executedPlan // plan while broadcast is off
+      df
+    } finally l.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }

@@ -136,4 +136,33 @@ object TextOps {
       .select(col("doc_id"), size(col("fps")).as("n_fp"),
         expr("aggregate(fps, 0L, (a, x) -> a ^ x)").as("fp_xor"))
       .orderBy("doc_id")
+
+  /** TF-IDF top-`k` terms per document: tf = in-doc count, df = number of
+    * docs containing the term, score = tf · ln(N/df). Ranking ties are
+    * broken on the INTEGER triple (tf desc, df asc, term asc), never on the
+    * float score — ranks stay bit-identical cross-engine even where two
+    * libm `ln`s disagree in the last ulp; the score column itself travels
+    * rounded to 6 dp. Three aggregations and one broadcast of the corpus
+    * count; df is a term-keyed aggregate of the tf relation (no second
+    * corpus scan). At 100 TB the tf relation shuffles on (doc, term) once
+    * and everything else derives from it. */
+  def tfidfTopTerms(spark: SparkSession, dir: String, k: Int = 3): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
+      .where(size(col("tokens")) > 0)
+    val tf = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+      .orderBy(col("tf").desc, col("df").asc, col("term").asc)
+    tf.join(df, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
+          .as("tfidf"))
+      .orderBy("doc_id", "rank")
+  }
 }
