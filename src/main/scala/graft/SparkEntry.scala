@@ -151,6 +151,22 @@ object SparkEntry {
     "q7d_salted_join" -> (ScaleOps.saltedJoinQuery _),
     // INTERSECT ALL (multiset dual of q1i's EXCEPT ALL)
     "q7e_intersect_all" -> (Relational.intersectAllOp _),
+    // train/benchmark n-gram decontamination (pre-training hygiene)
+    "q80_decontaminate" -> ((s, d) => TextOps.decontaminate(s, d)),
+    // Gopher-style repetition quality gate
+    "q81_repetition_quality" -> ((s, d) => TextOps.repetitionQuality(s, d)),
+    // corpus bigram statistics (collocations / vocabulary)
+    "q82_bigram_topk" -> ((s, d) => TextOps.bigramTopK(s, d)),
+    // partition-pruned layout: write Hive-partitioned, read ONE partition
+    "q83_pruned_scan" -> ((s, d) => ScaleOps.prunedScanQuery(s, d)),
+    // binaryFile ingest → q50's stats (shares q50's oracle)
+    "q84_binaryfile_source" -> (graft.sources.BinaryDocs.textStatsFromFiles _),
+    // bloom-prefiltered semi-join, result-equal to the plain semi-join
+    "q85_bloom_semi" -> ((s, d) => ScaleOps.bloomSemiJoin(s, d)),
+    // token-offset packing via distributed two-level prefix sum
+    "q86_pack_offsets" -> ((s, d) => TextOps.packSequences(s, d)),
+    // fixed-size token chunking with stride (RAG / context-window prep)
+    "q87_chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -168,7 +184,8 @@ object SparkEntry {
       ("q73_events_json_source" -> m("q60_events_hourly")) +
       ("q75_session_window" -> m("q62_sessionize")) +
       ("q7c_events_orc_source" -> m("q60_events_hourly")) +
-      ("q7d_salted_join" -> m("q14_sql_api"))
+      ("q7d_salted_join" -> m("q14_sql_api")) +
+      ("q84_binaryfile_source" -> m("q50_text_stats"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -654,6 +671,91 @@ object SparkEntry {
         |  INTERSECT ALL
         |  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R')
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // grams joined as strings (not hashes) precisely so this oracle exists;
+    // range() is end-exclusive → i ∈ [1, len-4], toks[i:i+4] = 5 tokens
+    "q80_decontaminate" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |g AS (SELECT DISTINCT doc_id, array_to_string(toks[i:i+4], ' ') AS gram
+        |      FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 3)) AS i
+        |            FROM t WHERE len(toks) >= 5)),
+        |b AS (SELECT DISTINCT gram FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, count(*) AS n_grams FROM g
+        |       WHERE doc_id % 10 != 0 GROUP BY 1),
+        |c AS (SELECT g.doc_id, count(*) AS n_contaminated FROM g
+        |      JOIN b USING (gram) WHERE g.doc_id % 10 != 0 GROUP BY 1)
+        |SELECT tr.doc_id, tr.n_grams, c.n_contaminated,
+        |       round(CAST(c.n_contaminated AS DOUBLE) / tr.n_grams, 6)
+        |         AS contamination
+        |FROM tr JOIN c ON tr.doc_id = c.doc_id ORDER BY tr.doc_id""".stripMargin,
+    // keep is computed from the ROUNDED fractions on both engines, so the
+    // gate can never flip on a sub-6dp float divergence
+    "q81_repetition_quality" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |tc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS g FROM t) GROUP BY 1, 2),
+        |ts AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+        |         max(c) AS top_c, count(*) AS n_uniq FROM tc GROUP BY 1),
+        |bc AS (SELECT doc_id, g, count(*) AS c
+        |       FROM (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS g
+        |             FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |                   FROM t WHERE len(toks) >= 2)) GROUP BY 1, 2),
+        |bs AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bg,
+        |         max(c) AS top_bg_c FROM bc GROUP BY 1)
+        |SELECT doc_id, n_tokens,
+        |       round(CAST(top_c AS DOUBLE) / n_tokens, 6) AS top_token_frac,
+        |       round(1.0 - CAST(n_uniq AS DOUBLE) / n_tokens, 6) AS dup_token_frac,
+        |       round(CAST(top_bg_c AS DOUBLE) / n_bg, 6) AS top_bigram_frac,
+        |       (round(CAST(top_c AS DOUBLE) / n_tokens, 6) <= 0.10 AND
+        |        round(CAST(top_bg_c AS DOUBLE) / n_bg, 6) <= 0.04) AS keep
+        |FROM ts JOIN bs USING (doc_id) ORDER BY doc_id""".stripMargin,
+    "q82_bigram_topk" ->
+      """WITH bg AS (SELECT doc_id, array_to_string(toks[i:i+1], ' ') AS gram
+        |  FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+        |        FROM (SELECT doc_id,
+        |          list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |          FROM documents) WHERE len(toks) >= 2))
+        |SELECT gram, count(*) AS n, count(DISTINCT doc_id) AS docs
+        |FROM bg GROUP BY 1 ORDER BY n DESC, gram LIMIT 25""".stripMargin,
+    "q83_pruned_scan" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events WHERE event_type = 'click'
+        |GROUP BY 1, 2 ORDER BY hour_s""".stripMargin,
+    // the oracle is the PLAIN semi-join: bloom false positives must have
+    // been removed by the exact join for this to hash-match
+    "q85_bloom_semi" ->
+      """SELECT l_returnflag, count(*) AS cnt, round(sum(l_quantity), 6) AS sum_qty
+        |FROM lineitem
+        |WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#23')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q86_pack_offsets" ->
+      """WITH t AS (SELECT doc_id,
+        |  len(list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS n_tokens
+        |  FROM documents),
+        |s AS (SELECT doc_id, n_tokens,
+        |        CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |          AS start_off
+        |      FROM t)
+        |SELECT doc_id, n_tokens, start_off,
+        |       CAST(floor(start_off / 256.0) AS BIGINT) AS bin
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q87_chunk_docs" ->
+      """WITH t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS toks
+        |  FROM documents),
+        |c AS (SELECT doc_id, CAST(s // 48 AS INT) AS chunk_id,
+        |        array_to_string(toks[s+1:s+64], ' ') AS chunk
+        |      FROM (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS s
+        |            FROM t WHERE len(toks) > 0))
+        |SELECT doc_id, chunk_id,
+        |       len(string_split(chunk, ' ')) AS n_chunk_tokens,
+        |       md5(chunk) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     // DuckDB plans the raw inequality join (IEJoin); the engine's binned
     // equi-join must produce identical counts
     "q68_range_join" ->

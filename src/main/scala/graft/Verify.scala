@@ -5,7 +5,13 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    val (sfDir, outDir) = (args(0), args(1))
+    // optional 3rd arg: comma-separated name prefixes (dev iteration only —
+    // the driver always runs the full surface)
+    val only: String => Boolean = args.lift(2) match {
+      case Some(p) => val ps = p.split(","); n => ps.exists(n.startsWith)
+      case None => _ => true
+    }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -20,7 +26,7 @@ object Verify {
       if (f.isDirectory) f.listFiles().foreach(deleteRec)
       f.delete(): Unit
     }
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       // pre-delete so a failure can never leave a stale (older-run) result
       // behind for the driver's compare to misread as current
       val target = new java.io.File(s"$outDir/$name")

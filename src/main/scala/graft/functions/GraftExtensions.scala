@@ -70,6 +70,27 @@ object GraftFunctions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
         PqEncode(es(0), cb, es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
       }),
+    // Spark's own runtime-filter machinery (BloomFilterAggregate /
+    // BloomFilterMightContain) exposed as callable functions, so a library
+    // user can build the bloom side once and push it into any scan — the
+    // semi-join pre-filter pattern (see ScaleOps.bloomSemiJoin). Values are
+    // hashed with xxhash64 on both build and probe, matching what Spark's
+    // InjectRuntimeFilter rule itself plants.
+    (FunctionIdentifier("bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(0))), es(1))
+          .toAggregateExpression()),
+    (FunctionIdentifier("bloom_contains"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "bloom_contains"),
+      (es: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0),
+          new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(1))))),
     (FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (es: Seq[Expression]) => {

@@ -115,4 +115,50 @@ object ScaleOps {
       df
     } finally l.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  /** q83: [[writePartitioned]] proven end-to-end — events land in a
+    * Hive-partitioned layout by event_type, the read filters to ONE
+    * partition value and aggregates hourly. The filter is satisfied at
+    * PLANNING time from directory names (PartitionFilters in the scan;
+    * ScaleOpsSpec asserts selectedPartitions == 1): at 100 TB the other
+    * partitions are never opened. Shares q60's aggregation; the oracle is
+    * the same SQL filtered to the partition value. */
+  def prunedScanQuery(spark: SparkSession, dir: String,
+      eventType: String = "click"): DataFrame = {
+    val stage = java.nio.file.Files.createTempDirectory("graft-q83-part").toString
+    writePartitioned(graft.Tables(spark, dir, "events"), stage, Seq("event_type"))
+    spark.read.parquet(stage)
+      .where(col("event_type") === eventType)
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+      .orderBy("hour_s")
+  }
+
+  /** q85: bloom-filter semi-join — the runtime-filter pattern as a library
+    * operation. The dim side's join keys are folded into ONE bloom filter
+    * by a distributed aggregate (`bloom_agg`, Spark's own sketch), the
+    * single binary travels to the fact scan as a literal, and
+    * `bloom_contains` drops ~all non-matching fact rows BEFORE the join
+    * shuffle; the exact semi-join afterwards removes the false positives,
+    * so the result is identical to the plain semi-join (the oracle). At
+    * 100 TB this is the difference between shuffling the whole fact table
+    * into the join and shuffling the ~matching fraction — the same
+    * mechanism Spark's InjectRuntimeFilter plants, but available
+    * explicitly, e.g. across queries or against a precomputed dim. */
+  def bloomSemiJoin(spark: SparkSession, dir: String,
+      brand: String = "Brand#23"): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val parts = graft.Tables(spark, dir, "part")
+      .where(col("p_brand") === brand).select(col("p_partkey"))
+    val bf = parts.agg(
+      call_function("bloom_agg", col("p_partkey"), lit(1000000L)).as("bf"))
+      .head.getAs[Array[Byte]]("bf")
+    val pre = graft.Tables(spark, dir, "lineitem")
+      .where(call_function("bloom_contains", lit(bf), col("l_partkey")))
+    pre.join(parts, pre("l_partkey") === parts("p_partkey"), "left_semi")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 6).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
 }

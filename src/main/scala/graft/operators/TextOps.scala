@@ -14,9 +14,15 @@ object TextOps {
   /** Per-document stats + a composite quality score. SQL-oracle-able: the
     * token definition (lowercase, split on \s+, drop empties) and the
     * arithmetic are mirrored exactly in DuckDB. */
-  def textStats(spark: SparkSession, dir: String): DataFrame = {
+  def textStats(spark: SparkSession, dir: String): DataFrame =
+    textStatsOf(Tables(spark, dir, "documents"))
+
+  /** [[textStats]] over any (doc_id, text) relation — the same plan serves
+    * the parquet table and the binaryFile ingest path (q84), which is the
+    * point: sources are interchangeable under the operator surface. */
+  private[graft] def textStatsOf(documents: DataFrame): DataFrame = {
     val stop = Seq("the", "a", "of", "to", "and", "in", "is")
-    Tables(spark, dir, "documents")
+    documents
       .select(col("doc_id"), length(col("text")).as("n_chars"),
         Dedup.tokensCol(col("text")).as("tokens"))
       .withColumn("n_tokens", size(col("tokens")))
@@ -164,5 +170,136 @@ object TextOps {
         round(col("tf") * log(col("n_docs").cast("double") / col("df")), 6)
           .as("tfidf"))
       .orderBy("doc_id", "rank")
+  }
+
+  /** (doc_id, gram) word n-gram relation; docs shorter than `n` contribute
+    * nothing (`sequence` is only reached behind the size guard — Spark's
+    * `sequence(0, -1)` would count DOWN, not return empty). */
+  private def docNgrams(spark: SparkSession, dir: String, n: Int,
+      distinctPerDoc: Boolean): DataFrame = {
+    val grams = transform(
+      sequence(lit(0), size(col("tokens")) - n),
+      i => concat_ws(" ", slice(col("tokens"), i + 1, lit(n))))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
+      .where(size(col("tokens")) >= n)
+      .select(col("doc_id"),
+        explode(if (distinctPerDoc) array_distinct(grams) else grams).as("gram"))
+  }
+
+  /** Train/benchmark decontamination — the pre-training hygiene pass: any
+    * training document sharing a word `n`-gram with the benchmark split is
+    * flagged with its overlap count and ratio. Split is doc_id mod 10
+    * (scale-invariant; a real run would join against the actual benchmark
+    * corpus). Grams travel as strings so the oracle is hash-free; at 100 TB
+    * you'd xxhash64 them (same join shape, 8-byte keys) and broadcast the
+    * benchmark side — real benchmark suites are tiny next to the corpus,
+    * so the corpus-side relation never shuffles. */
+  def decontaminate(spark: SparkSession, dir: String, n: Int = 5): DataFrame = {
+    val grams = docNgrams(spark, dir, n, distinctPerDoc = true)
+    val bench = grams.where(col("doc_id") % 10 === 0)
+      .select("gram").distinct()
+    val train = grams.where(col("doc_id") % 10 =!= 0)
+    val perDoc = train.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    val contam = train.join(broadcast(bench), "gram")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_contaminated"))
+    perDoc.join(contam, "doc_id")
+      .select(col("doc_id"), col("n_grams"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_grams"), 6)
+          .as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  /** Gopher-style repetition quality gate: top-token fraction, duplicate-
+    * token fraction, top-bigram fraction, and the keep flag. Mechanically:
+    * two (doc, gram)-keyed counts, each collapsed per doc with max+sum —
+    * the same partial-aggregate shape as word count, so the corpus text is
+    * read once and nothing beyond the (doc, gram) shuffle moves. Docs with
+    * a single token carry no bigram and are excluded (gate undefined).
+    * Thresholds sit at the observed corpus medians so both outcomes are
+    * exercised; production values come from the paper, not the fixture. */
+  def repetitionQuality(spark: SparkSession, dir: String,
+      maxTopTokenFrac: Double = 0.10, maxTopBigramFrac: Double = 0.04): DataFrame = {
+    val tokCounts = docNgrams(spark, dir, 1, distinctPerDoc = false)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val tokStats = tokCounts.groupBy("doc_id").agg(
+      sum("c").as("n_tokens"), max("c").as("top_c"), count(lit(1)).as("n_uniq"))
+    val bgCounts = docNgrams(spark, dir, 2, distinctPerDoc = false)
+      .groupBy("doc_id", "gram").agg(count(lit(1)).as("c"))
+    val bgStats = bgCounts.groupBy("doc_id").agg(
+      sum("c").as("n_bg"), max("c").as("top_bg_c"))
+    tokStats.join(bgStats, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_c").cast("double") / col("n_tokens"), 6)
+          .as("top_token_frac"),
+        round(lit(1.0) - col("n_uniq").cast("double") / col("n_tokens"), 6)
+          .as("dup_token_frac"),
+        round(col("top_bg_c").cast("double") / col("n_bg"), 6)
+          .as("top_bigram_frac"))
+      .withColumn("keep",
+        col("top_token_frac") <= maxTopTokenFrac &&
+          col("top_bigram_frac") <= maxTopBigramFrac)
+      .orderBy("doc_id")
+  }
+
+  /** Corpus bigram top-k (occurrences + document frequency) — vocabulary /
+    * collocation statistics, the 2-gram tier of [[tokenTopK]]. */
+  def bigramTopK(spark: SparkSession, dir: String, k: Int = 25): DataFrame =
+    docNgrams(spark, dir, 2, distinctPerDoc = false)
+      .groupBy("gram")
+      .agg(count(lit(1)).as("n"), countDistinct("doc_id").as("docs"))
+      .orderBy(col("n").desc, col("gram"))
+      .limit(k)
+
+  /** Fixed-size token chunking with overlap (stride < size) — the RAG /
+    * context-window preparation shape: chunk c covers tokens
+    * [c·stride, c·stride + size). Emits (doc_id, chunk_id, n_chunk_tokens,
+    * md5-of-chunk); md5 so the oracle can recompute the text content
+    * without hauling whole chunks through the compare. Pure per-row
+    * explode: embarrassingly parallel, no shuffle before the output sort. */
+  def chunkDocs(spark: SparkSession, dir: String, chunkSize: Int = 64,
+      stride: Int = 48): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
+      .where(size(col("tokens")) > 0)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tokens")) - 1,
+          lit(stride)),
+        s => concat_ws(" ", slice(col("tokens"), s + 1, lit(chunkSize))))))
+      .select(col("doc_id"), col("pos").as("chunk_id"),
+        size(split(col("col"), " ")).as("n_chunk_tokens"),
+        md5(col("col").cast("binary")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+
+  /** Token-offset packing: documents in doc_id order are laid into
+    * fixed-budget token bins by their global start offset — the
+    * deterministic sharding step before sequence packing. The global
+    * prefix sum is the two-level scan: per-block sums (one tiny relation)
+    * prefix-summed on the driver-sized side, then within-block running
+    * sums under a partitioned window — no single-partition window over the
+    * corpus, so the shape survives 100 TB. */
+  def packSequences(spark: SparkSession, dir: String, budget: Int = 256,
+      blockSize: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
+      .select(col("doc_id"),
+        size(col("tokens")).as("n_tokens"),
+        (col("doc_id") / blockSize).cast("long").as("blk"))
+    // block offsets: |corpus|/blockSize rows — the only global window, over
+    // a relation that is tiny by construction
+    val blkOff = base.groupBy("blk").agg(sum("n_tokens").as("blk_sum"))
+      .withColumn("blk_off", coalesce(
+        sum("blk_sum").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("blk", "blk_off")
+    val w = Window.partitionBy("blk").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    base.join(broadcast(blkOff), "blk")
+      .withColumn("start_off",
+        col("blk_off") + coalesce(sum("n_tokens").over(w), lit(0L)))
+      .select(col("doc_id"), col("n_tokens"), col("start_off"),
+        floor(col("start_off") / budget).as("bin"))
+      .orderBy("doc_id")
   }
 }
