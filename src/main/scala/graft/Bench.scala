@@ -33,8 +33,14 @@ object Bench {
     // 3-char query ids ("q01_groupavg_brand_flag" -> "q01") and 3 decimals —
     // and write the full-name detail to bench_detail.json alongside the repo.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // 3-char ids must stay unique or two queries would collapse into one
+    // JSON key and silently drop a timing; any colliding name keeps its
+    // full form (costs line width only when it actually happens)
+    val prefixCount = results.keys.groupBy(_.take(3)).view.mapValues(_.size)
+    def shortId(k: String): String =
+      if (prefixCount(k.take(3)) == 1) k.take(3) else k
     val qs = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k.take(3) + "\":" + fmt(v) }
+      .map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // total = successful queries only; failures stay visible as -1 entries
     val total = results.values.filter(_ >= 0).sum

@@ -1,5 +1,7 @@
 package graft.operators
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
@@ -65,6 +67,18 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Drop every cached relation (unpersist + forget). The static maps
+    * otherwise pin DataFrames — and through them their sessions — for the
+    * JVM lifetime, and would serve stale results if a documents table were
+    * rewritten in-place under the same path. Call on fixture rewrite or
+    * session teardown (DedupSpec exercises it). */
+  def clearCaches(): Unit = {
+    (shingleCache.values.asScala ++ sigCache.values.asScala)
+      .foreach(df => scala.util.Try(df.unpersist()))
+    shingleCache.clear()
+    sigCache.clear()
+  }
 
   /** documents + `sh` (shingle-hash set) column, cached per (session, dir). */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {

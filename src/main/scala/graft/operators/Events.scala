@@ -30,8 +30,8 @@ object Events {
     * read, timestamp round-trip, same results as the columnar path). */
   def hourlyFromJson(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
-    val stage = java.nio.file.Files.createTempDirectory("graft-q73-json").toString
-    graft.sources.JsonLines.write(ev, stage)
+    val stage = graft.sources.Staging.once("q73-json", dir)(
+      graft.sources.JsonLines.write(ev, _))
     graft.sources.JsonLines.read(spark, stage, ev.schema)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
         col("event_type"))
@@ -49,8 +49,8 @@ object Events {
     * parquet from the ORC datasource. */
   def hourlyFromOrc(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
-    val stage = java.nio.file.Files.createTempDirectory("graft-q7c-orc").toString
-    ev.write.mode("overwrite").orc(stage)
+    val stage = graft.sources.Staging.once("q7c-orc", dir)(
+      ev.write.mode("overwrite").orc(_))
     spark.read.orc(stage)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
         col("event_type"))

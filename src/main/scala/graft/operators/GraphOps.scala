@@ -44,6 +44,18 @@ object GraphOps {
   private val edgeCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Int), DataFrame]()
 
+  /** Drop the cached edge + betweenness relations (unpersist + forget) —
+    * same lifecycle hook as [[Dedup.clearCaches]]: without it the static
+    * maps pin the DataFrames (and sessions) for the JVM lifetime and would
+    * serve stale results if a fixture were rewritten in-place. */
+  def clearCaches(): Unit = {
+    import scala.jdk.CollectionConverters._
+    (edgeCache.values.asScala ++ btwCache.values.asScala)
+      .foreach(df => scala.util.Try(df.unpersist()))
+    edgeCache.clear()
+    btwCache.clear()
+  }
+
   /** Undirected co-purchase edges (u < v, with shared-part count), cached
     * per (session, dir, minShared) — see [[edgeCache]]. */
   def coPurchaseEdges(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame =

@@ -36,15 +36,11 @@ object ScaleOps {
     * behavior this operator exists to provide at 100 TB (where neither
     * side broadcasts). */
   def bucketedJoin(spark: SparkSession, left: String, right: String,
-      keys: Seq[String]): DataFrame = {
-    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val df = spark.table(left).join(spark.table(right), keys)
-      df.queryExecution.executedPlan // force planning while the conf is set
-      df
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
-  }
+      keys: Seq[String]): DataFrame =
+    // The `merge` hint pins sort-merge per-PLAN (no session-conf toggling,
+    // no race with concurrent queries, survives AQE re-optimization) —
+    // bucketed SMJ then reads both sides shuffle-free.
+    spark.table(left).hint("merge").join(spark.table(right), keys)
 
   /** Hive-style partitioned parquet layout (`.../col=value/...`) — the
     * data-lake output shape. Readers filtering on the partition column
@@ -87,33 +83,33 @@ object ScaleOps {
       pmod(xxhash64(col(uniqueCol)), lit(saltFactor)).cast("int"))
     val replicated = small.withColumn("_salt",
       explode(sequence(lit(0), lit(saltFactor - 1))))
-    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+    // shuffle_hash hint: salting only spreads a hot key if the join
+    // actually shuffles on (key, salt) — a broadcast of the replicated
+    // side would put every salt replica back into one hash table. The
+    // per-plan hint pins the shuffled path without toggling the session's
+    // autoBroadcastJoinThreshold (racy under concurrency, and AQE could
+    // re-plan to broadcast after the conf was restored).
+    salted.hint("shuffle_hash").join(replicated, Seq(key, "_salt")).drop("_salt")
   }
 
   /** q7d: q14's brand aggregation through [[saltedJoin]] instead of the
     * plain equi-join — shares q14's oracle, proving result-equivalence of
     * the skew-spreading rewrite on real data (the property a salted plan
-    * must guarantee before it is ever worth its replication cost).
-    * Broadcast is suppressed so the join physically exercises the salted
-    * shuffle path it exists for — with part broadcast, every salt replica
-    * would land in one hash table and nothing would be demonstrated. */
+    * must guarantee before it is ever worth its replication cost). The
+    * shuffle_hash hint inside [[saltedJoin]] pins the shuffled path the
+    * operator exists for (ScaleOpsSpec asserts no BroadcastHashJoin in the
+    * executed plan). */
   def saltedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
     val l = graft.Tables(spark, dir, "lineitem")
       .select(col("l_partkey").as("pk"), col("l_orderkey"),
         col("l_extendedprice"))
     val p = graft.Tables(spark, dir, "part")
       .select(col("p_partkey").as("pk"), col("p_brand"))
-    val prev = l.sparkSession.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    l.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-    try {
-      val df = saltedJoin(l, p, "pk", "l_orderkey")
-        .groupBy("p_brand")
-        .agg(round(avg("l_extendedprice"), 6).as("avg_price"),
-          count(lit(1)).as("cnt"))
-        .orderBy("p_brand")
-      df.queryExecution.executedPlan // plan while broadcast is off
-      df
-    } finally l.sparkSession.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    saltedJoin(l, p, "pk", "l_orderkey")
+      .groupBy("p_brand")
+      .agg(round(avg("l_extendedprice"), 6).as("avg_price"),
+        count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
   }
 
   /** q83: [[writePartitioned]] proven end-to-end — events land in a
@@ -125,8 +121,8 @@ object ScaleOps {
     * the same SQL filtered to the partition value. */
   def prunedScanQuery(spark: SparkSession, dir: String,
       eventType: String = "click"): DataFrame = {
-    val stage = java.nio.file.Files.createTempDirectory("graft-q83-part").toString
-    writePartitioned(graft.Tables(spark, dir, "events"), stage, Seq("event_type"))
+    val stage = graft.sources.Staging.once("q83-part", dir)(
+      writePartitioned(graft.Tables(spark, dir, "events"), _, Seq("event_type")))
     spark.read.parquet(stage)
       .where(col("event_type") === eventType)
       .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
@@ -154,8 +150,12 @@ object ScaleOps {
     val bf = parts.agg(
       call_function("bloom_agg", col("p_partkey"), lit(1000000L)).as("bf"))
       .head.getAs[Array[Byte]]("bf")
-    val pre = graft.Tables(spark, dir, "lineitem")
-      .where(call_function("bloom_contains", lit(bf), col("l_partkey")))
+    val fact = graft.Tables(spark, dir, "lineitem")
+    // zero dim rows ⇒ bloom_agg yields NULL; a NullType literal inside
+    // bloom_contains fails analysis, and the semi-join result is empty
+    // anyway — skip the pre-filter and let the exact semi-join produce it
+    val pre = if (bf == null) fact
+      else fact.where(call_function("bloom_contains", lit(bf), col("l_partkey")))
     pre.join(parts, pre("l_partkey") === parts("p_partkey"), "left_semi")
       .groupBy("l_returnflag")
       .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 6).as("sum_qty"))

@@ -22,14 +22,15 @@ object BinaryDocs {
   /** documents → one `.txt` file each → `binaryFile` scan → (doc_id, text).
     * doc_id is recovered from the file name; content is decoded UTF-8. */
   def stageAndRead(spark: SparkSession, dir: String): DataFrame = {
-    val stage = Files.createTempDirectory("graft-bindocs").toString
-    graft.Tables(spark, dir, "documents").select("doc_id", "text")
-      .foreachPartition { (it: Iterator[Row]) =>
-        it.foreach { r =>
-          Files.write(Paths.get(stage, f"doc_${r.getLong(0)}%07d.txt"),
-            r.getString(1).getBytes(UTF_8)): Unit
+    val stage = Staging.once("bindocs", dir) { d =>
+      graft.Tables(spark, dir, "documents").select("doc_id", "text")
+        .foreachPartition { (it: Iterator[Row]) =>
+          it.foreach { r =>
+            Files.write(Paths.get(d, f"doc_${r.getLong(0)}%07d.txt"),
+              r.getString(1).getBytes(UTF_8)): Unit
+          }
         }
-      }
+    }
     spark.read.format("binaryFile").option("pathGlobFilter", "*.txt")
       .load(stage)
       .select(

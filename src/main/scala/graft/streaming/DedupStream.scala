@@ -21,9 +21,9 @@ object DedupStream {
   /** Run the file-source stream to completion over `dir`'s documents table
     * and return the final dedup state, sorted by keeper. */
   def dedupExactFromFiles(spark: SparkSession, dir: String): DataFrame = {
-    import java.nio.file.{Files, Paths}
-    val stage = Files.createTempDirectory("graft-dedupstream-src")
-    Files.copy(Paths.get(s"$dir/documents.parquet"),
+    import java.nio.file.Paths
+    val stage = Paths.get(graft.sources.Staging.fresh("dedupstream-src"))
+    java.nio.file.Files.copy(Paths.get(s"$dir/documents.parquet"),
       stage.resolve("documents.parquet"))
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(stage.toString)

@@ -107,7 +107,7 @@ object EventStream {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    val stage = Files.createTempDirectory("graft-q69-src")
+    val stage = Paths.get(graft.sources.Staging.fresh("q69-src"))
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long (nanos)
     def streamOf(tpe: String) = spark.readStream.schema(raw.schema)
@@ -148,7 +148,7 @@ object EventStream {
     try {
       q.processAllAvailable()
       val maxNs = raw.agg(max("ts")).head.getLong(0)
-      val sentinelDir = Files.createTempDirectory("graft-q69-sentinel")
+      val sentinelDir = Paths.get(graft.sources.Staging.fresh("q69-sentinel"))
       // one sentinel PER SIDE: each stream's watermark only advances on
       // rows that survive its own event_type filter
       val base = raw.limit(1)
@@ -192,7 +192,7 @@ object EventStream {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
-    val stage = Files.createTempDirectory("graft-q65-src")
+    val stage = Paths.get(graft.sources.Staging.fresh("q65-src"))
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long (nanos)
     val stream = spark.readStream.schema(raw.schema).parquet(stage.toString)
@@ -216,7 +216,7 @@ object EventStream {
       // sentinel: same physical schema as the staged file, ts 30 days past
       // the fixture max — watermark sails past every open timeout
       val maxNs = raw.agg(max("ts")).head.getLong(0)
-      val sentinelDir = Files.createTempDirectory("graft-q65-sentinel")
+      val sentinelDir = Paths.get(graft.sources.Staging.fresh("q65-sentinel"))
       raw.limit(1)
         .withColumn("user_id", lit(-1L))
         .withColumn("ts", lit(maxNs + 30L * 24 * 3600 * 1000000000L))

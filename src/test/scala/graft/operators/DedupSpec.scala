@@ -142,4 +142,12 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     assert(js.forall(j => j >= 0 && j <= 1))
     assert(js.zip(js.tail).forall { case (a, b) => a >= b })
   }
+
+  test("clearCaches drops the cached relations and results rebuild identically") {
+    val before = Dedup.minhashSignatures(spark, sfDir).collect().toSeq
+    Dedup.clearCaches()
+    GraphOps.clearCaches()
+    val after = Dedup.minhashSignatures(spark, sfDir).collect().toSeq
+    assert(before == after)
+  }
 }

@@ -60,10 +60,38 @@ class ScaleOpsSpec extends AnyFunSuite with SparkSuite {
     val plain = l.join(p, Seq("l_partkey"))
       .groupBy("p_brand").agg(sum("l_quantity").as("q"))
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
-    val salted = ScaleOps.saltedJoin(l, p, "l_partkey", "l_orderkey")
+    val saltedDf = ScaleOps.saltedJoin(l, p, "l_partkey", "l_orderkey")
       .groupBy("p_brand").agg(sum("l_quantity").as("q"))
+    val salted = saltedDf
       .collect().map(r => (r.getString(0), r.getDouble(1))).toMap
     assert(plain.keySet == salted.keySet)
     plain.foreach { case (k, v) => assert(math.abs(salted(k) - v) < 1e-6) }
+    // the shuffle_hash hint must survive AQE: a broadcast would put every
+    // salt replica into one hash table and demonstrate nothing
+    val physical = saltedDf.queryExecution.executedPlan.toString()
+    assert(!physical.contains("BroadcastHashJoin"),
+      s"salted join was broadcast:\n${physical.take(1500)}")
+    assert(physical.contains("ShuffledHashJoin"),
+      s"expected the shuffled-hash path:\n${physical.take(1500)}")
+  }
+
+  test("bloom semi-join with a zero-row dim side returns empty, not an analysis error") {
+    val out = ScaleOps.bloomSemiJoin(spark, sfDir, brand = "Brand#nope")
+    assert(out.count() == 0)
+  }
+
+  test("staging dirs are fixed per (tag, key) and staged once per JVM") {
+    var writes = 0
+    val d1 = graft.sources.Staging.once("spec-stage", "k1") { d =>
+      writes += 1
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(d, "x.txt"), "x")
+      ()
+    }
+    val d2 = graft.sources.Staging.once("spec-stage", "k1") { _ => writes += 1 }
+    assert(d1 == d2, "same (tag, key) must reuse the staged dir")
+    assert(writes == 1, "second once() must not re-stage")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(d1, "x.txt")))
+    val other = graft.sources.Staging.once("spec-stage", "k2") { _ => () }
+    assert(other != d1, "different keys must not collide")
   }
 }
