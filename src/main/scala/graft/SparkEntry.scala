@@ -167,6 +167,18 @@ object SparkEntry {
     "q86_pack_offsets" -> ((s, d) => TextOps.packSequences(s, d)),
     // fixed-size token chunking with stride (RAG / context-window prep)
     "q87_chunk_docs" -> ((s, d) => TextOps.chunkDocs(s, d)),
+    // 10 power iterations over the co-purchase graph (oracle: unrolled CTEs)
+    "q88_pagerank" -> ((s, d) => GraphOps.pageRank(s, d)),
+    // per-vertex triangle counts, degree-oriented "forward" join
+    "q89_triangles" -> ((s, d) => GraphOps.triangleCounts(s, d)),
+    // edit-distance self-join via deletion-neighborhood (SymSpell) blocking
+    "q8a_fuzzy_join" -> ((s, d) => FuzzyJoin.customerNamePairs(s, d)),
+    // Count-Min sketch → shortlist → exact-verify heavy hitters
+    "q8b_cms_heavy" -> ((s, d) => Relational.cmsHeavyHitters(s, d)),
+    // per-label mean-pooled normalized embeddings (mergeable vector UDAF)
+    "q8c_embed_pool" -> (Similarity.meanPoolByLabel _),
+    // bucketed co-located join as an end-to-end query (zero-shuffle join)
+    "q8d_bucketed_join" -> (ScaleOps.bucketedJoinQuery _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).

@@ -91,6 +91,22 @@ object GraftFunctions {
       (es: Seq[Expression]) =>
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(es(0),
           new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(es(1))))),
+    // Count-Min sketch: build side is Spark's own CountMinSketchAgg (a
+    // mergeable TypedImperativeAggregate — partial sketches merge at the
+    // exchange); probe side is the custom CmsEstimate codegen expression.
+    (FunctionIdentifier("cms_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg].getName,
+        "cms_agg"),
+      (es: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.CountMinSketchAgg(
+          es(0), es(1), es(2), es(3)).toAggregateExpression()),
+    (FunctionIdentifier("cms_estimate"),
+      new ExpressionInfo(classOf[CmsEstimate].getName, "cms_estimate"),
+      (es: Seq[Expression]) => {
+        require(es(0).foldable, "cms_estimate: sketch must be a literal")
+        CmsEstimate(es(1), es(0).eval().asInstanceOf[Array[Byte]])
+      }),
     (FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (es: Seq[Expression]) => {

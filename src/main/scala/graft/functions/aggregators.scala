@@ -16,6 +16,32 @@ import org.apache.spark.sql.expressions.Aggregator
   * DuckDB oracle can replay (`exp(avg(ln(x)))`), which is what pins the
   * whole partial/merge/finish path cross-engine in q1e.
   */
+/** Element-wise vector sum over `array<double>` columns — the aggregation
+  * shape embedding pooling needs at scale: the shuffle carries ONE
+  * dim-length buffer per group (partial sums merge associatively), not
+  * |rows| × dim exploded (group, dim, value) tuples. The buffer starts
+  * empty and adopts the first vector's length, so the aggregator is
+  * dimension-agnostic; mixed lengths within a group are a data error and
+  * fail fast. */
+object VecSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def reduce(b: Array[Double], x: Seq[Double]): Array[Double] =
+    if (b.isEmpty) x.toArray
+    else {
+      require(b.length == x.length, s"vector length ${x.length} != ${b.length}")
+      var i = 0
+      while (i < b.length) { b(i) += x(i); i += 1 }
+      b
+    }
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.isEmpty) b else if (b.isEmpty) a else reduce(a, b.toSeq)
+  override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 object GeoMean extends Aggregator[Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)
   override def reduce(b: (Double, Long), x: Double): (Double, Long) =

@@ -680,3 +680,46 @@ case class PqAdc(left: Expression, right: Expression,
       newLeft: Expression, newRight: Expression): PqAdc =
     copy(left = newLeft, right = newRight)
 }
+
+/** `cms_estimate(sketch, value)`: probe a serialized Count-Min sketch
+  * (built by `cms_agg`, Spark's own `CountMinSketchAgg`) for a value's
+  * estimated count. The sketch arrives as a driver-built binary literal
+  * (same shipping shape as [[PqEncode]]'s codebooks and `bloom_contains`'s
+  * filter), deserialized ONCE per task and probed through a codegen'd
+  * call — the read side of the sketch→shortlist→exact-verify heavy-hitter
+  * pattern (Relational.cmsHeavyHitters): CMS never underestimates, so
+  * `estimate >= T` keeps every true heavy hitter and drops ~all light
+  * keys BEFORE the aggregation shuffle. */
+case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
+    extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "cms_estimate"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case LongType | IntegerType => TypeCheckSuccess
+      case _ => TypeCheckFailure("cms_estimate(bigint | int)")
+    }
+  }
+
+  @transient private lazy val sketch =
+    org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(sketchBytes))
+
+  override protected def nullSafeEval(v: Any): Any = child.dataType match {
+    case LongType => sketch.estimateCount(v.asInstanceOf[Long])
+    case _ => sketch.estimateCount(v.asInstanceOf[Int].toLong)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val skRef = ctx.addReferenceObj("cmsSketch", sketch,
+      classOf[org.apache.spark.util.sketch.CountMinSketch].getName)
+    defineCodeGen(ctx, ev, c =>
+      s"$skRef.estimateCount(java.lang.Long.valueOf((long) $c))")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
+    copy(child = newChild)
+}

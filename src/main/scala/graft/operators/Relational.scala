@@ -411,4 +411,30 @@ object Relational {
       .groupBy("l_partkey").agg(count(lit(1)).as("n_common"))
       .orderBy("l_partkey")
   }
+
+  /** Count-Min-sketch heavy hitters: keys whose exact count ≥ `threshold`,
+    * found as sketch → shortlist → exact-verify. Pass 1 folds every key
+    * into ONE mergeable CMS (`cms_agg`, Spark's own sketch aggregate —
+    * bytes, not keys, cross the exchange); the driver ships the sketch
+    * back as a literal and pass 2 keeps only rows whose ESTIMATED count
+    * clears the threshold before the exact aggregation. CMS never
+    * underestimates, so no true heavy hitter is lost (the result equals
+    * the plain GROUP BY ... HAVING oracle exactly); on zipfian data ~all
+    * light-key rows are dropped BEFORE the shuffle, which at 100 TB is
+    * the difference between shuffling the corpus and shuffling the heavy
+    * tail. `eps` bounds the overestimate at eps·N — size it to the
+    * threshold's selectivity (φ·N/2), independent of corpus size. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String,
+      threshold: Long = 45, eps: Double = 4e-5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val keys = Tables(spark, dir, "lineitem").select("l_partkey")
+    val sk = keys.agg(call_function("cms_agg", col("l_partkey"),
+        lit(eps), lit(0.99), lit(42)).as("sk"))
+      .head.getAs[Array[Byte]]("sk")
+    keys
+      .where(call_function("cms_estimate", lit(sk), col("l_partkey")) >= threshold)
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >= threshold)
+      .orderBy("l_partkey")
+  }
 }

@@ -21,12 +21,13 @@ object ScaleOps {
     * `table`. Readers joining bucketed tables on the bucket keys get
     * shuffle-free joins. */
   def writeBucketed(df: DataFrame, table: String, nBuckets: Int,
-      keys: Seq[String]): Unit =
-    df.write.mode("overwrite")
+      keys: Seq[String], path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite")
       .bucketBy(nBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .format("parquet")
-      .saveAsTable(table)
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
 
   /** Join two same-bucketed catalog tables on their bucket keys. Broadcast
     * is suppressed for the call so the plan demonstrates the bucket
@@ -41,6 +42,32 @@ object ScaleOps {
     // no race with concurrent queries, survives AQE re-optimization) —
     // bucketed SMJ then reads both sides shuffle-free.
     spark.table(left).hint("merge").join(spark.table(right), keys)
+
+  /** q8d: the bucketed co-located join proven end-to-end as a QUERY — both
+    * sides land bucketed+sorted by the join key (external tables, staged
+    * storage), and the brand rollup joins them with ZERO shuffle exchanges
+    * on either side (ScaleOpsSpec asserts the plan; the DuckDB oracle the
+    * result). At 100 TB bucketing is the storage-level contract that turns
+    * the engine's biggest fact-fact joins into local merges — this query
+    * is the library recipe for it. */
+  def bucketedJoinQuery(spark: SparkSession, dir: String): DataFrame = {
+    val suffix = Integer.toHexString(
+      scala.util.hashing.MurmurHash3.stringHash(dir)).replace("-", "m")
+    val lt = s"graft_bl_$suffix"
+    val pt = s"graft_bp_$suffix"
+    if (!spark.catalog.tableExists(lt) || !spark.catalog.tableExists(pt)) {
+      writeBucketed(graft.Tables(spark, dir, "lineitem")
+          .select(col("l_partkey").as("pk"), col("l_quantity")),
+        lt, 16, Seq("pk"), Some(graft.sources.Staging.fresh("q8d-lineitem")))
+      writeBucketed(graft.Tables(spark, dir, "part")
+          .select(col("p_partkey").as("pk"), col("p_brand")),
+        pt, 16, Seq("pk"), Some(graft.sources.Staging.fresh("q8d-part")))
+    }
+    bucketedJoin(spark, lt, pt, Seq("pk"))
+      .groupBy("p_brand")
+      .agg(round(sum("l_quantity"), 6).as("sum_qty"), count(lit(1)).as("cnt"))
+      .orderBy("p_brand")
+  }
 
   /** Hive-style partitioned parquet layout (`.../col=value/...`) — the
     * data-lake output shape. Readers filtering on the partition column

@@ -426,4 +426,30 @@ object Similarity {
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
+
+  /** Per-label mean-pooled, L2-normalized centroid embeddings — the
+    * "class prototype" / cluster-summary shape (the same computation an
+    * IVF re-train or a per-domain corpus embedding needs). The sum runs
+    * through [[graft.functions.VecSum]], a typed mergeable Aggregator
+    * whose shuffle payload is ONE dim-length buffer per (partition,
+    * label) — at 100 TB that is |labels|·dim doubles over the wire,
+    * versus |rows|·dim for the posexplode+groupBy(label, dim)
+    * formulation. Output exploded to (label, dim, pooled) rows purely for
+    * the cross-engine comparison. */
+  def meanPoolByLabel(spark: SparkSession, dir: String): DataFrame = {
+    val vecSum = udaf(graft.functions.VecSum)
+    val pooled = Tables(spark, dir, "embeddings")
+      .groupBy("label")
+      .agg(vecSum(col("embedding").cast("array<double>")).as("vsum"),
+        count(lit(1)).as("n"))
+      .select(col("label"),
+        transform(col("vsum"), x => x / col("n")).as("mean"))
+      .withColumn("nrm",
+        sqrt(aggregate(col("mean"), lit(0.0), (acc, x) => acc + x * x)))
+    pooled
+      .select(col("label"),
+        posexplode(transform(col("mean"), x => round(x / col("nrm"), 6))))
+      .select(col("label"), col("pos").as("dim"), col("col").as("pooled"))
+      .orderBy("label", "dim")
+  }
 }
