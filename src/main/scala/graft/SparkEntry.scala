@@ -778,5 +778,72 @@ object SparkEntry {
         |       count(c.ts) AS clicks_1h
         |FROM e LEFT JOIN c ON c.ts >= e.ts AND c.ts < e.te
         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
+    // the engine's 10 power iterations unrolled as sequential CTEs — a full
+    // cross-engine hash match of the iterative algorithm, not a spot check.
+    // 8-dp rounding tolerates the engines' different double-sum orders
+    // (divergence ~1e-15 « the 1e-8 rounding grid).
+    "q88_pagerank" -> {
+      val graph =
+        """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+          |      GROUP BY 1, 2 HAVING count(*) >= 3),
+          |und AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1),
+          |w AS (SELECT und.src, und.dst, 1.0 / deg.d AS w FROM und JOIN deg USING (src)),
+          |n AS (SELECT count(DISTINCT src) AS c FROM w),
+          |p0 AS (SELECT DISTINCT src AS v, 1.0 / (SELECT c FROM n) AS r FROM w)""".stripMargin
+      val steps = (1 to 10).map { i =>
+        s"""p$i AS (SELECT w.dst AS v,
+           |  (1.0 - 0.85) / (SELECT c FROM n) + 0.85 * sum(p${i - 1}.r * w.w) AS r
+           |  FROM w JOIN p${i - 1} ON w.src = p${i - 1}.v GROUP BY w.dst)""".stripMargin
+      }.mkString(",\n")
+      s"$graph,\n$steps\nSELECT v, round(r, 8) AS rank FROM p10 ORDER BY v"
+    },
+    // e carries u < v, so each triangle {a<b<c} matches exactly once as
+    // (a,b)(b,c)+(a,c) — the closing edge lookup is the same forward shape
+    // the engine runs, minus the degree orientation it needs for skew
+    "q89_triangles" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        |SELECT vertex, count(*) AS triangles FROM (
+        |  SELECT a AS vertex FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |GROUP BY vertex ORDER BY vertex""".stripMargin,
+    // exact all-pairs levenshtein — a hash match proves the deletion-
+    // neighborhood blocking lost no pair on the fixture
+    "q8a_fuzzy_join" ->
+      """SELECT a.c_custkey AS id_a, b.c_custkey AS id_b,
+        |       levenshtein(a.c_name, b.c_name) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY id_a, id_b""".stripMargin,
+    // CMS overestimates only, so the sketch shortlist ⊇ the true heavy
+    // hitters and the exact re-count filter makes the result EQUAL the
+    // plain GROUP BY HAVING — which is therefore the oracle
+    "q8b_cms_heavy" ->
+      """SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |GROUP BY 1 HAVING count(*) >= 45 ORDER BY 1""".stripMargin,
+    // parallel unnests zip in DuckDB: (dim, value) rows → avg per (label,
+    // dim) = the engine's vsum/n; then the same L2 normalization
+    "q8c_embed_pool" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |u AS (SELECT label, unnest(range(len(v))) AS dim, unnest(v) AS x FROM e),
+        |m AS (SELECT label, dim, avg(x) AS mean FROM u GROUP BY 1, 2),
+        |n2 AS (SELECT label, sqrt(sum(mean * mean)) AS nrm FROM m GROUP BY 1)
+        |SELECT m.label, CAST(m.dim AS INT) AS dim,
+        |       round(m.mean / n2.nrm, 6) AS pooled
+        |FROM m JOIN n2 USING (label) ORDER BY label, dim""".stripMargin,
+    // the bucketed zero-shuffle join must equal the plain join+aggregate
+    "q8d_bucketed_join" ->
+      """SELECT p_brand, round(sum(l_quantity), 6) AS sum_qty, count(*) AS cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 }

@@ -40,12 +40,22 @@ object Staging {
 
   private def register(p: Path): Path = { registered.add(p); p }
 
-  /** The fixed, emptied staging dir for (tag, key) — deterministic name so
-    * a crashed run's leftovers are overwritten by the next run, not
-    * accumulated next to. */
+  /** One token per JVM: concurrent graft processes (bench + verify, forked
+    * test JVMs) must not share staged dirs — a fixed cross-process name
+    * would let one process's delete-then-rewrite race another's read. */
+  private val jvmToken = java.lang.Long.toHexString(
+    java.lang.ProcessHandle.current().pid())
+
+  /** The fixed (within this JVM), emptied staging dir for (tag, key) —
+    * stable name per process so a re-stage within a run overwrites instead
+    * of accumulating. The key itself (sanitized) is part of the name, so
+    * distinct keys can never collide the way a bare 32-bit hash could; the
+    * hash is kept only to disambiguate keys that sanitize identically. */
   private def fixedDir(tag: String, key: String): Path = {
     val h = Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(key))
-    val p = Paths.get(System.getProperty("java.io.tmpdir"), s"graft-stage-$tag-$h")
+    val safeKey = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+    val p = Paths.get(System.getProperty("java.io.tmpdir"),
+      s"graft-stage-$jvmToken-$tag-$safeKey-$h")
     deleteRecursively(p)
     Files.createDirectories(register(p))
   }
