@@ -179,6 +179,14 @@ object SparkEntry {
     "q8c_embed_pool" -> (Similarity.meanPoolByLabel _),
     // bucketed co-located join as an end-to-end query (zero-shuffle join)
     "q8d_bucketed_join" -> (ScaleOps.bucketedJoinQuery _),
+    // cross-document repeated n-gram spans (exact-substring dedup face)
+    "q8e_repeated_ngrams" -> ((s, d) => TextOps.repeatedNgrams(s, d)),
+    // corpus-unigram LM scoring (cheap quality / outlier signal)
+    "q8g_unigram_logprob" -> (TextOps.unigramLogProb _),
+    // spherical k-means corpus clustering profile (SemDeDup shape)
+    "q8h_kmeans_profile" -> ((s, d) => Similarity.kmeansClusterProfile(s, d)),
+    // content-defined chunking (codegen'd rolling boundary) + chunk dedup
+    "q8i_cdc_chunks" -> ((s, d) => TextOps.cdcChunkStats(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -845,5 +853,33 @@ object SparkEntry {
       """SELECT p_brand, round(sum(l_quantity), 6) AS sum_qty, count(*) AS cnt
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // windows travel as xxhash64 in the engine, as plain strings here — a
+    // hash match proves the 64-bit keying lost nothing on the fixture
+    "q8e_repeated_ngrams" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS t
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    unnest(list_transform(generate_series(1, len(t) - 7),
+        |                          i -> array_to_string(t[i:i+7], ' '))) AS win
+        |  FROM toks WHERE len(t) >= 8),
+        |d AS (SELECT DISTINCT doc_id, win FROM w),
+        |c AS (SELECT win, count(*) AS nd FROM d GROUP BY win)
+        |SELECT doc_id, count(*) AS n_windows,
+        |  CAST(sum(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_repeated,
+        |  round(avg(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6) AS repeated_frac
+        |FROM d JOIN c USING (win)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q8g_unigram_logprob" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS tok
+        |  FROM documents),
+        |freq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+        |tot AS (SELECT sum(c) AS tot FROM freq)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(sum(log10(CAST(c AS DOUBLE) / tot)) / count(*), 6) AS avg_log10p
+        |FROM toks JOIN freq USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
   )
 }

@@ -115,6 +115,17 @@ object GraftFunctions {
         val cb = es(2).eval()
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
         PqAdc(es(0), es(1), cb, es(3).eval().asInstanceOf[Int], es(4).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("edit1_dist"),
+      new ExpressionInfo(classOf[EditDistanceLe1].getName, "edit1_dist"),
+      (es: Seq[Expression]) => EditDistanceLe1(es(0), es(1))),
+    (FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable && es(2).foldable && es(3).foldable,
+          "cdc_chunks: mask, minLen, maxLen must be literals")
+        CdcChunks(es(0), es(1).eval().asInstanceOf[Long],
+          es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
       }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

@@ -723,3 +723,151 @@ case class CmsEstimate(child: Expression, sketchBytes: Array[Byte])
   override protected def withNewChildInternal(newChild: Expression): CmsEstimate =
     copy(child = newChild)
 }
+
+/** `cdc_chunks(tokenHashes, mask, minLen, maxLen)`: content-defined
+  * chunking over a token-hash stream — the Rabin/FastCDC boundary rule
+  * lifted to token granularity. A chunk CLOSES after token t when the
+  * chunk holds ≥ `minLen` tokens and `(hash(t) & mask) == 0` (expected
+  * chunk length ≈ minLen + mask), or unconditionally at `maxLen`; the
+  * remainder closes at end-of-document. Returns one 64-bit hash per chunk
+  * (an xxhash64 fold of the member hashes), so downstream dedup joins move
+  * 8-byte keys, never text. The point of CDC over fixed-size chunking
+  * ([[graft.operators.TextOps.chunkDocs]]): boundaries are decided by
+  * CONTENT, so inserting a sentence shifts only the chunk it lands in —
+  * every later boundary re-synchronizes and those chunk hashes still match
+  * their pre-edit twins (shift-robustness asserted in TextOpsSpec).
+  * Single forward pass, codegen'd; the interpreted eval is the
+  * bit-identical witness. */
+case class CdcChunks(child: Expression, mask: Long, minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  require(minLen >= 1 && maxLen >= minLen,
+    s"cdc_chunks: need 1 <= minLen <= maxLen, got ($minLen, $maxLen)")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "cdc_chunks"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case _ => TypeCheckFailure("cdc_chunks(array<bigint>, ...)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val th = a.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var fold = 42L
+    var len = 0
+    var k = 0
+    while (k < n) {
+      val h = th.getLong(k)
+      fold = XXH64.hashLong(h, fold)
+      len += 1
+      if ((len >= minLen && (h & mask) == 0L) || len == maxLen) {
+        out += fold; fold = 42L; len = 0
+      }
+      k += 1
+    }
+    if (len > 0) out += fold
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val m = ctx.freshName("m"); val fold = ctx.freshName("fold")
+      val len = ctx.freshName("len"); val k = ctx.freshName("k")
+      val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n / $minLen + 1];
+         |int $m = 0;
+         |long $fold = 42L;
+         |int $len = 0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $a.getLong($k);
+         |  $fold = $xxh.hashLong($h, $fold);
+         |  $len++;
+         |  if (($len >= $minLen && ($h & ${mask}L) == 0L) || $len == $maxLen) {
+         |    $out[$m++] = $fold; $fold = 42L; $len = 0;
+         |  }
+         |}
+         |if ($len > 0) $out[$m++] = $fold;
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $m));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcChunks =
+    copy(child = newChild)
+}
+
+/** `edit1_dist(a, b)`: Levenshtein distance CAPPED at 1 — returns 0, 1, or
+  * -1 (meaning "> 1"), the exact contract of Spark's
+  * `levenshtein(a, b, 1)`. The built-in runs a banded dynamic program with
+  * per-call working arrays (~4.5 µs/pair — the whole cost of the fuzzy
+  * join's verify stage over ~1M candidates); distance ≤ 1 needs none of
+  * that: equal strings → 0; equal length → exactly one mismatched
+  * position; length diff 1 → the shorter equals the longer minus one
+  * character (two-pointer with a single gap skip). O(len) comparisons,
+  * no allocation beyond the char extraction. */
+case class EditDistanceLe1(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "edit1_dist"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (StringType, StringType) => TypeCheckSuccess
+      case _ => TypeCheckFailure("edit1_dist(string, string)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    EditDistanceLe1.dist(
+      a.asInstanceOf[org.apache.spark.unsafe.types.UTF8String],
+      b.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.EditDistanceLe1.dist($a, $b)")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): EditDistanceLe1 =
+    copy(left = newLeft, right = newRight)
+}
+
+object EditDistanceLe1 {
+  /** Static kernel shared by the interpreted and generated paths. */
+  def dist(ua: org.apache.spark.unsafe.types.UTF8String,
+      ub: org.apache.spark.unsafe.types.UTF8String): Int = {
+    if (ua.equals(ub)) return 0
+    val s = ua.toString; val t = ub.toString
+    val la = s.length; val lb = t.length
+    val d = la - lb
+    if (d > 1 || d < -1) return -1
+    if (d == 0) {
+      var i = 0; var mism = 0
+      while (i < la) {
+        if (s.charAt(i) != t.charAt(i)) { mism += 1; if (mism > 1) return -1 }
+        i += 1
+      }
+      // not equal as UTF8Strings but chars all equal cannot happen; mism>=1
+      1
+    } else {
+      val sh = if (d < 0) s else t // shorter
+      val lo = if (d < 0) t else s // longer
+      var i = 0
+      while (i < sh.length && sh.charAt(i) == lo.charAt(i)) i += 1
+      var j = i
+      while (j < sh.length && sh.charAt(j) == lo.charAt(j + 1)) j += 1
+      if (j == sh.length) 1 else -1
+    }
+  }
+}

@@ -30,29 +30,54 @@ object FuzzyJoin {
     * (default 1). Candidates from the deletion neighborhood, verified with
     * Spark's threshold form of `levenshtein` (early-exits past the bound).
     * Oracle: DuckDB's exact all-pairs `levenshtein` — a hash match proves
-    * the blocking lost nothing on the fixture. */
+    * the blocking lost nothing on the fixture.
+    *
+    * Plan notes (vs the first-cut HOF formulation): the variant list is
+    * built by exploding a POSITION range and deriving each deletion with
+    * plain `substring`/`concat` — scalar expressions that stay inside
+    * WholeStageCodegen, where `transform(sequence(...), i -> ...)` ran
+    * interpreted lambdas (2.3 s → ~0.2 s on the sf0.1 neighborhood build).
+    * The join key is `xxhash64(variant)` (8 bytes) rather than the variant
+    * string, both join sides are the same plan so the shuffle is written
+    * once and read twice (ReusedExchange), and the exact-distance filter
+    * runs BEFORE deduplication so the final `distinct` shuffles only true
+    * pairs with a narrow (id, id, dist) key instead of every wide
+    * candidate row. Hash collisions cannot create false accepts (the
+    * levenshtein verify rejects them); they can only add candidates.
+    */
   def customerNamePairs(spark: SparkSession, dir: String,
       maxDist: Int = 1): DataFrame = {
     require(maxDist == 1, "deletion neighborhood implemented for k = 1")
     val c = Tables(spark, dir, "customer")
       .select(col("c_custkey").as("id"), col("c_name").as("name"))
-    val nbh = c.select(col("id"), col("name"),
-      explode(array_distinct(expr(
-        """array_append(
-          |  transform(sequence(1, length(name)),
-          |    i -> concat(substr(name, 1, i - 1), substr(name, i + 1, length(name)))),
-          |  name)""".stripMargin))).as("variant"))
+    // p = 0 keeps the string itself; p >= 1 deletes character p. Deleting
+    // ANY character of a run of equal characters yields the same variant
+    // ("…000…" has one deletion variant, not three) — emitting them all
+    // would square per-variant multiplicity through the self-join — so
+    // only the LAST position of each run emits: each distinct variant
+    // exactly once, as a filter instead of an array_distinct pass.
+    val nbh = c
+      .select(col("id"), col("name"),
+        explode(sequence(lit(0), length(col("name")))).as("p"))
+      .where(col("p") === 0 || col("p") === length(col("name")) ||
+        col("name").substr(col("p"), lit(1)) =!=
+          col("name").substr(col("p") + 1, lit(1)))
+      .select(col("id"), col("name"),
+        xxhash64(when(col("p") === 0, col("name")).otherwise(concat(
+          col("name").substr(lit(1), col("p") - 1),
+          col("name").substr(col("p") + 1, length(col("name")))))).as("vh"))
+    graft.functions.GraftFunctions.register(spark)
     val cand = nbh.as("a")
-      .join(nbh.as("b"),
-        col("a.variant") === col("b.variant") && col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("a.name").as("name_a"),
-        col("b.id").as("id_b"), col("b.name").as("name_b"))
-      .distinct()
+      .join(nbh.as("b"), col("a.vh") === col("b.vh") && col("a.id") < col("b.id"))
     cand
+      // edit1_dist == levenshtein(a, b, 1) by contract (0 / 1 / -1), but
+      // O(len) two-pointer instead of the banded DP — the verify stage was
+      // ~4.5 µs/pair of levenshtein over every candidate
       .withColumn("dist",
-        levenshtein(col("name_a"), col("name_b"), maxDist).cast("long"))
+        call_function("edit1_dist", col("a.name"), col("b.name")).cast("long"))
       .where(col("dist") >= 0 && col("dist") <= maxDist)
-      .select("id_a", "id_b", "dist")
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"), col("dist"))
+      .distinct()
       .orderBy("id_a", "id_b")
   }
 }

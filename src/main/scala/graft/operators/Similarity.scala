@@ -427,6 +427,42 @@ object Similarity {
       .limit(k)
   }
 
+  /** Corpus k-means cluster profile — clustering as a first-class curation
+    * operator (the SemDeDup / domain-discovery shape), not just the IVF
+    * index internals: train the deterministic spherical quantizer
+    * ([[sphericalKMeans]] — stride init, sample-trained, bit-stable
+    * reruns), assign every embedding to its argmax-cosine cell via one
+    * broadcast of the k×dim centroid matrix, and profile each cluster:
+    * population, mean/min within-cluster cosine (coherence), and the
+    * member closest to the centroid (the cluster's exemplar doc). The
+    * corpus never shuffles — assignment is a map over the scan, and the
+    * profile is one partial+final aggregate keyed by cell (≤ k groups).
+    * At 100 TB this is exactly the pass that writes the
+    * partition-by-centroid layout that q4a's probes then prune. */
+  def kmeansClusterProfile(spark: SparkSession, dir: String,
+      nCells: Int = 16, iters: Int = 5): DataFrame = {
+    import spark.implicits._
+    val e = normalized(spark, dir).cache()
+    val cents = sphericalKMeans(e, nCells, iters)
+    val centroids = spark.createDataset(
+        cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("cell", "cv")
+    val assignW = Window.partitionBy("vec_id")
+      .orderBy(col("csim").desc, col("cell"))
+    e.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("cell"),
+        (cdot(col("v"), col("cv")) / col("norm")).as("csim")) // |cv| = 1
+      .withColumn("r", row_number().over(assignW))
+      .where(col("r") === 1)
+      .groupBy("cell").agg(
+        count(lit(1)).as("n_members"),
+        round(avg(col("csim")), 4).as("avg_cos"),
+        round(min(col("csim")), 4).as("min_cos"),
+        min_by(col("vec_id"), struct(negate(col("csim")), col("vec_id")))
+          .as("exemplar"))
+      .orderBy("cell")
+  }
+
   /** Per-label mean-pooled, L2-normalized centroid embeddings — the
     * "class prototype" / cluster-summary shape (the same computation an
     * IVF re-train or a per-domain corpus embedding needs). The sum runs

@@ -271,6 +271,89 @@ object TextOps {
         md5(col("col").cast("binary")).as("chunk_md5"))
       .orderBy("doc_id", "chunk_id")
 
+  /** Cross-document repeated n-gram spans — the exact-substring face of
+    * dedup (Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better"): every distinct word `n`-gram window of every document,
+    * counted across the corpus; a window seen in ≥ 2 documents is a
+    * repeated span. Per document: window count, how many of its windows
+    * recur elsewhere, and the repeated fraction (the doc's verbatim-overlap
+    * exposure). Mechanically a two-level aggregation — (doc, window) →
+    * window df → join back — in which windows travel ONLY as xxhash64
+    * keys: the shuffle moves 8-byte hashes, never window text, so the
+    * shape is the word-count shuffle at any scale (collisions at 64 bits
+    * are ~n²/2⁶⁵ — immaterial against corpus-level fractions, and the
+    * DuckDB oracle, which compares on the true strings, agrees on the
+    * fixture). The df side is (distinct windows) rows — for a corpus with
+    * real repetition it concentrates exactly where the data does. */
+  def repeatedNgrams(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val wins = Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
+      .where(size(col("tokens")) >= n)
+      .select(col("doc_id"), explode(array_distinct(transform(
+        sequence(lit(0), size(col("tokens")) - n),
+        i => xxhash64(concat_ws(" ", slice(col("tokens"), i + 1, lit(n))))))).as("wh"))
+    val df = wins.groupBy("wh").agg(count(lit(1)).as("nd"))
+    wins.join(df, "wh")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_windows"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_repeated"),
+        round(avg(when(col("nd") > 1, 1.0).otherwise(0.0)), 6).as("repeated_frac"))
+      .orderBy("doc_id")
+  }
+
+  /** Corpus-unigram language-model scoring — the classic cheap quality /
+    * outlier signal: p(token) is its corpus relative frequency, a document
+    * scores the mean log₁₀ p of its tokens (more negative ⇒ rarer
+    * vocabulary). Two passes over the same exploded tokens: a frequency
+    * aggregation (map-side combined word count), then a broadcast join of
+    * the frequency table back onto the token stream — the frequency
+    * relation is VOCABULARY-sized, orders of magnitude smaller than the
+    * corpus, which is why the scoring join broadcasts and the corpus never
+    * shuffles at all. At 100 TB the vocabulary table would be built once
+    * and reused across scoring runs (same lifecycle as the IVF centroids).
+    * Oracle: identical arithmetic in DuckDB (sum of log10 over doubles,
+    * rounded to 6dp after the divide). */
+  def unigramLogProb(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("tok"))
+    val freq = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // total token count folded in as a literal-free cross join of a 1-row
+    // aggregate (broadcast, not collected — keeps the plan lazy/composable)
+    val total = freq.agg(sum("c").as("tot"))
+    toks.join(broadcast(freq), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_tokens"),
+        round(sum(log10(col("c").cast("double") / col("tot"))) / count(lit(1)), 6)
+          .as("avg_log10p"))
+      .orderBy("doc_id")
+  }
+
+  /** Content-defined chunk dedup statistics: tokens → xxhash64 stream →
+    * [[graft.functions.CdcChunks]] boundaries (mask 7 ⇒ ~11-token expected
+    * chunks, clamped to [4, 32]) → per-document chunk count plus how many
+    * of its chunks also occur in ANOTHER document. The CDC twin of
+    * [[repeatedNgrams]]: variable-width spans that survive insertions
+    * (boundaries re-synchronize on content), against the same two-level
+    * hash-keyed aggregation shape. The chunker is a single-pass codegen'd
+    * expression; nothing wider than (doc_id, chunk_hash) ever shuffles. */
+  def cdcChunkStats(spark: SparkSession, dir: String, mask: Long = 7L,
+      minLen: Int = 4, maxLen: Int = 32): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val chunks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
+      .where(size(col("tokens")) > 0)
+      .select(col("doc_id"), explode(array_distinct(call_function("cdc_chunks",
+        transform(col("tokens"), t => xxhash64(t)),
+        lit(mask), lit(minLen), lit(maxLen)))).as("ch"))
+    val df = chunks.groupBy("ch").agg(count(lit(1)).as("nd"))
+    chunks.join(df, "ch")
+      .groupBy("doc_id").agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("nd") > 1, 1L).otherwise(0L)).as("n_shared"))
+      .orderBy("doc_id")
+  }
+
   /** Token-offset packing: documents in doc_id order are laid into
     * fixed-budget token bins by their global start offset — the
     * deterministic sharding step before sequence packing. The global
