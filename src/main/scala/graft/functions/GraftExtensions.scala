@@ -116,6 +116,12 @@ object GraftFunctions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
         PqAdc(es(0), es(1), cb, es(3).eval().asInstanceOf[Int], es(4).eval().asInstanceOf[Int])
       }),
+    (FunctionIdentifier("shingle_hashes"),
+      new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable, "shingle_hashes: k must be a literal")
+        ShingleHashes(es(0), es(1).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("edit1_dist"),
       new ExpressionInfo(classOf[EditDistanceLe1].getName, "edit1_dist"),
       (es: Seq[Expression]) => EditDistanceLe1(es(0), es(1))),

@@ -871,3 +871,83 @@ object EditDistanceLe1 {
     }
   }
 }
+
+/** `shingle_hashes(tokens, k)`: SORTED DISTINCT 64-bit hashes of the word
+  * k-shingles of a token array, in one pass — the base relation of the
+  * whole dedup family (MinHash, OPH, LSH banding, exact Jaccard). Replaces
+  * a `sort_array(array_distinct(transform(sequence(...),
+  * i -> xxhash64(concat_ws(" ", slice(tokens, i, k))))))` tree whose
+  * per-window lambda dispatch + string building dominated the shingle
+  * build. Each token is hashed ONCE from its UTF-8 bytes, each window is
+  * an xxhash64 chain over its k token hashes (no concatenated strings —
+  * and the chain is unambiguous where `concat_ws` aliases "a b"+"c" with
+  * "a"+"b c"), then sort + dedupe in place. Window rule matches the HOF
+  * form exactly: positions 0..max(n-k, 0), the final windows clamped to
+  * the array end — a doc shorter than k yields its single partial
+  * shingle. Downstream only needs injectivity (Jaccard over distinct
+  * sets) and sortedness (two-pointer `sorted_intersect_count`); the
+  * DuckDB q45 oracle recomputes Jaccard on RAW string 3-grams, so the
+  * hash swap stays pinned cross-engine. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"shingle_hashes: k >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckSuccess
+      case _ => TypeCheckFailure("shingle_hashes(array<string>, k literal)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    ShingleHashes.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |${ev.value} = graft.functions.ShingleHashes.compute($a, $k);
+    """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  /** Static kernel shared by the interpreted and generated paths. */
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    if (n == 0) return new GenericArrayData(Array.emptyLongArray)
+    // hash every token once from its UTF-8 bytes
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = tokens.getUTF8String(i)
+      th(i) = XXH64.hashUnsafeBytes(t.getBaseObject, t.getBaseOffset, t.numBytes, 42L)
+      i += 1
+    }
+    val nWin = math.max(n - k, 0) + 1
+    val w = new Array[Long](nWin)
+    i = 0
+    while (i < nWin) {
+      val end = math.min(i + k, n)
+      var f = 42L
+      var j = i
+      while (j < end) { f = XXH64.hashLong(th(j), f); j += 1 }
+      w(i) = f
+      i += 1
+    }
+    java.util.Arrays.sort(w)
+    // in-place dedupe of the sorted run
+    var m = 1
+    i = 1
+    while (i < nWin) {
+      if (w(i) != w(m - 1)) { w(m) = w(i); m += 1 }
+      i += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(w, m))
+  }
+}

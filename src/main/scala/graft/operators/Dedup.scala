@@ -32,10 +32,24 @@ object Dedup {
   private[operators] def tokensCol(text: Column): Column =
     filter(split(lower(text), "\\s+"), t => length(t) > 0)
 
-  /** Word k-shingles as a SORTED distinct array of xxhash64 values —
-    * sorted so pairwise intersection runs through the codegen'd two-pointer
-    * `sorted_intersect_count` instead of hash-based array_intersect. */
+  /** Word k-shingles as a SORTED distinct array of 64-bit hashes — sorted
+    * so pairwise intersection runs through the codegen'd two-pointer
+    * `sorted_intersect_count` instead of hash-based array_intersect. One
+    * codegen pass ([[graft.functions.ShingleHashes]]: hash each token
+    * once, xxhash64-chain per window, sort+dedupe in place) — the HOF
+    * sort_array∘array_distinct∘transform∘concat_ws∘slice tree it replaces
+    * built a string per window through interpreted lambdas and dominated
+    * the dedup family's base-relation build. Downstream depends only on
+    * injectivity + sortedness (Jaccard over distinct sets); the q45 oracle
+    * recomputes Jaccard from RAW string 3-grams in DuckDB, pinning the
+    * semantics across the hash swap. */
   private[operators] def shingleHashes(tokens: Column, k: Int): Column =
+    call_function("shingle_hashes", tokens, lit(k))
+
+  /** The pre-codegen HOF formulation — kept as the window-rule witness for
+    * the spec (same window positions/clamping; hash values differ by
+    * design), never on the query path. */
+  private[operators] def shingleHashesLambda(tokens: Column, k: Int): Column =
     sort_array(array_distinct(transform(
       sequence(lit(0), greatest(size(tokens) - k, lit(0))),
       i => xxhash64(concat_ws(" ", slice(tokens, i + 1, lit(k)))))))

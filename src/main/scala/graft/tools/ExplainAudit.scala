@@ -22,7 +22,12 @@ object ExplainAudit {
       // TopKPerGroupExec (no WindowExec, no sort)
       "q61_events_ranked", "q66_topk_per_group_native", "q67_asof_join",
       "q68_range_join", "q47_ann_lsh", "q59_ann_pq", "q75_session_window",
-      "q1a_pivot", "q1c_column_stats").foreach { name =>
+      "q1a_pivot", "q1c_column_stats",
+      // round-5: codegen'd variant-gen fuzzy join (edit1_dist verify),
+      // hash-keyed repeated-ngram two-level agg, broadcast LM scoring,
+      // one-pass shingle_hashes under the LSH pair join, CDC chunking
+      "q8a_fuzzy_join", "q8e_repeated_ngrams", "q8g_unigram_logprob",
+      "q42_minhash_pairs", "q8i_cdc_chunks").foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))

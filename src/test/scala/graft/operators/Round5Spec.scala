@@ -118,6 +118,40 @@ class Round5Spec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("shingle_hashes: sorted, distinct, and set-isomorphic to raw windows") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "x", "yy", "zzz")
+    val docs = (0 until 30).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))))
+    val got = docs.toDF("id", "tokens")
+      .select(col("id"), Dedup.shingleHashes(col("tokens"), 3).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    def rawWindows(t: Seq[String]): Set[Seq[String]] =
+      if (t.isEmpty) Set.empty
+      else (0 to math.max(t.length - 3, 0)).map(i => t.slice(i, i + 3)).toSet
+    docs.foreach { case (id, toks) =>
+      val sh = got(id)
+      assert(sh == sh.sorted && sh.distinct == sh, s"doc $id sorted+distinct")
+      val raw = rawWindows(toks)
+      assert(sh.size == raw.size, s"doc $id: ${sh.size} hashes vs ${raw.size} windows")
+    }
+    // cross-doc: intersect counts through the expression match raw-window
+    // intersect counts (the property every Jaccard consumer relies on)
+    graft.functions.GraftFunctions.register(spark)
+    val inter = docs.toDF("id", "tokens")
+      .select(col("id"), Dedup.shingleHashes(col("tokens"), 3).as("sh"))
+    val cnts = inter.as("a").join(inter.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id"), col("b.id"),
+        call_function("sorted_intersect_count", col("a.sh"), col("b.sh")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val rawMap = docs.toMap
+    cnts.foreach { case ((a, b), c) =>
+      val expect = rawWindows(rawMap(a)).intersect(rawWindows(rawMap(b))).size
+      assert(c == expect, s"pair ($a,$b): $c vs raw $expect")
+    }
+  }
+
   test("fuzzy join finds exactly the brute-force distance-1 pairs") {
     val names = Tables(spark, sfDir, "customer")
       .select(col("c_custkey"), col("c_name")).collect()
