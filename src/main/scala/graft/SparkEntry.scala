@@ -187,6 +187,9 @@ object SparkEntry {
     "q8h_kmeans_profile" -> ((s, d) => Similarity.kmeansClusterProfile(s, d)),
     // content-defined chunking (codegen'd rolling boundary) + chunk dedup
     "q8i_cdc_chunks" -> ((s, d) => TextOps.cdcChunkStats(s, d)),
+    // DataSourceV2 multi-char-delim reader (column pruning + filter
+    // pushdown in the scan); shares q09's oracle through the round trip
+    "q8f_dsv2_source" -> (graft.sources.DelimV2.distinctFlags _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -205,7 +208,8 @@ object SparkEntry {
       ("q75_session_window" -> m("q62_sessionize")) +
       ("q7c_events_orc_source" -> m("q60_events_hourly")) +
       ("q7d_salted_join" -> m("q14_sql_api")) +
-      ("q84_binaryfile_source" -> m("q50_text_stats"))
+      ("q84_binaryfile_source" -> m("q50_text_stats")) +
+      ("q8f_dsv2_source" -> m("q09_distinct"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
