@@ -116,6 +116,12 @@ object GraftFunctions {
           .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
         PqAdc(es(0), es(1), cb, es(3).eval().asInstanceOf[Int], es(4).eval().asInstanceOf[Int])
       }),
+    (FunctionIdentifier("band_hashes"),
+      new ExpressionInfo(classOf[BandHashes].getName, "band_hashes"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable, "band_hashes: bands must be a literal")
+        BandHashes(es(0), es(1).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("shingle_hashes"),
       new ExpressionInfo(classOf[ShingleHashes].getName, "shingle_hashes"),
       (es: Seq[Expression]) => {

@@ -951,3 +951,72 @@ object ShingleHashes {
     new GenericArrayData(java.util.Arrays.copyOf(w, m))
   }
 }
+
+/** `band_hashes(sig, bands)`: one 64-bit key per LSH band — band j is an
+  * xxhash64 fold of signature rows [j·r, (j+1)·r), r = len/bands. Replaces
+  * the `transform(sequence(...), j -> xxhash64(concat_ws(",",
+  * transform(slice(sig, ...), cast-to-string))))` tree that built a comma
+  * string per band through interpreted lambdas (bands × r string casts +
+  * a concat per row). Any injective key of the band's row values yields
+  * identical banding behavior — two signatures share a band key iff their
+  * r rows match (modulo 64-bit collisions, which only ADD candidates and
+  * are removed by the exact-Jaccard verify). */
+case class BandHashes(child: Expression, bands: Int)
+    extends UnaryExpression {
+
+  require(bands >= 1, s"band_hashes: bands >= 1, got $bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "band_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case _ => TypeCheckFailure("band_hashes(array<bigint>, bands literal)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val sig = a.asInstanceOf[ArrayData]
+    val n = sig.numElements()
+    val r = math.max(n / bands, 1)
+    val out = new Array[Long](bands)
+    var j = 0
+    while (j < bands) {
+      var f = 42L
+      var i = j * r
+      val end = math.min(i + r, n)
+      while (i < end) { f = XXH64.hashLong(sig.getLong(i), f); i += 1 }
+      out(j) = f
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val xxh = classOf[XXH64].getName
+      val n = ctx.freshName("n"); val r = ctx.freshName("r")
+      val out = ctx.freshName("out"); val j = ctx.freshName("j")
+      val f = ctx.freshName("f"); val i = ctx.freshName("i")
+      val end = ctx.freshName("end")
+      s"""
+         |int $n = $a.numElements();
+         |int $r = java.lang.Math.max($n / $bands, 1);
+         |long[] $out = new long[$bands];
+         |for (int $j = 0; $j < $bands; $j++) {
+         |  long $f = 42L;
+         |  int $end = java.lang.Math.min($j * $r + $r, $n);
+         |  for (int $i = $j * $r; $i < $end; $i++) {
+         |    $f = $xxh.hashLong($a.getLong($i), $f);
+         |  }
+         |  $out[$j] = $f;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): BandHashes =
+    copy(child = newChild)
+}

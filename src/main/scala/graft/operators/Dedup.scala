@@ -94,13 +94,16 @@ object Dedup {
     sigCache.clear()
   }
 
-  /** documents + `sh` (shingle-hash set) column, cached per (session, dir). */
+  /** (doc_id, sh) shingle-hash relation, cached per (session, dir). Only
+    * the hash set is pinned — tokens are consumed by `shingle_hashes`
+    * inside the build and never needed downstream, so caching them would
+    * double the pinned bytes for nothing. */
   private def shingled(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     shingleCache.computeIfAbsent((spark, dir), _ =>
       Tables(spark, dir, "documents")
-        .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
-        .withColumn("sh", shingleHashes(col("tokens"), 3))
+        .select(col("doc_id"),
+          shingleHashes(tokensCol(col("text")), 3).as("sh"))
         .cache())
   }
 
@@ -130,14 +133,17 @@ object Dedup {
   /** MinHash+LSH near-duplicate pairs: band the signature, bucket-join on
     * (band, bandHash), then verify candidates with EXACT Jaccard on the
     * shingle sets. Output: pairs with jaccard ≥ minJaccard. */
-  /** LSH band table of a signature frame: (doc_id, band, bh). */
+  /** LSH band table of a signature frame: (doc_id, band, bh). Band keys
+    * come from [[graft.functions.BandHashes]] — one codegen fold per band
+    * over the signature rows, replacing the per-band comma-string
+    * construction (Bands × RowsPerBand casts + a concat per row through
+    * interpreted lambdas). Banding semantics are unchanged: keys collide
+    * iff the band's signature rows match (64-bit hash collisions only add
+    * candidates, which the exact-Jaccard verify removes). */
   private def bandsOf(sig: DataFrame): DataFrame =
     sig.select(col("doc_id"),
-        explode(transform(sequence(lit(0), lit(Bands - 1)), j =>
-          struct(j.as("band"), xxhash64(concat_ws(",", transform(
-            slice(col("sig"), j * RowsPerBand + 1, lit(RowsPerBand)),
-            _.cast("string")))).as("bh")))).as("b"))
-      .select(col("doc_id"), col("b.band"), col("b.bh"))
+        posexplode(call_function("band_hashes", col("sig"), lit(Bands))))
+      .select(col("doc_id"), col("pos").as("band"), col("col").as("bh"))
 
   /** Exact-Jaccard verification of a candidate pair set against the
     * shingle sets, threshold + canonical ordering. */
