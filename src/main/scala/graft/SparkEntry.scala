@@ -190,6 +190,9 @@ object SparkEntry {
     // DataSourceV2 multi-char-delim reader (column pruning + filter
     // pushdown in the scan); shares q09's oracle through the round trip
     "q8f_dsv2_source" -> (graft.sources.DelimV2.distinctFlags _),
+    // synchronous deterministic label propagation — the distributed
+    // community tier beside GN (rows-only; GraphSpec invariants)
+    "q8j_lpa_communities" -> ((s, d) => GraphOps.communitiesLpa(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).

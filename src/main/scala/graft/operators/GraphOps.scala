@@ -608,6 +608,51 @@ object GraphOps {
     pr.select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
   }
 
+  /** Community detection via synchronous label propagation (LPA) — the
+    * DISTRIBUTED community tier next to [[communities]]' exact
+    * driver-coordinated Girvan–Newman: GN is the reference's semantics for
+    * curated graphs; LPA is what actually runs on a graph too large to
+    * betweenness-sweep — O(iters) shuffles of the edge list and nothing
+    * driver-side at all. Deterministic throughout: labels start as vertex
+    * ids, each round every vertex adopts the SMALLEST label among its
+    * neighbors' most-frequent labels (classic tie-break; no randomized
+    * update order), updates are synchronous, and the rank vector is
+    * `localCheckpoint`ed per round exactly as [[pageRank]] — plan depth
+    * stays one superstep. Labels can only move within a connected
+    * component, so the result PARTITION refines connected components
+    * (GraphSpec invariant); a two-clique bridge graph resolves to the two
+    * cliques. Fixed iteration cap (LPA can oscillate on bipartite
+    * structure; the cap is the standard remedy and keeps reruns
+    * bit-stable). */
+  def communitiesLpa(spark: SparkSession, dir: String, iters: Int = 10,
+      minShared: Int = 3): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir, minShared).select("u", "v")
+    communitiesLpaOf(e0, iters)
+  }
+
+  /** [[communitiesLpa]] over an explicit undirected edge list. */
+  private[graft] def communitiesLpaOf(e0: DataFrame, iters: Int): DataFrame = {
+    val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u"), col("v")).cache()
+    var labels = nbrs.select(col("u").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      labels = nbrs.join(labels, nbrs("v") === labels("vertex"))
+        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+        // most-frequent neighbor label, ties to the smallest label:
+        // min over the (-cnt, label) ordering
+        .groupBy(col("u")).agg(
+          min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
+            .as("label"))
+        .select(col("u").as("vertex"), col("label"))
+        .localCheckpoint()
+    }
+    nbrs.unpersist()
+    labels.select(col("vertex"), col("label").as("community"))
+      .orderBy("vertex")
+  }
+
   /** Per-vertex triangle counts via the "forward" (degree-ordered)
     * algorithm: edges are oriented from the lower-(degree, id) endpoint to
     * the higher, wedges are enumerated per source over its ORIENTED
