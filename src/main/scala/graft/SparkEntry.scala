@@ -193,6 +193,11 @@ object SparkEntry {
     // synchronous deterministic label propagation — the distributed
     // community tier beside GN (rows-only; GraphSpec invariants)
     "q8j_lpa_communities" -> ((s, d) => GraphOps.communitiesLpa(s, d)),
+    // Efraimidis-Spirakis weighted sampling on the portable arithmetic
+    // uniform — global top-k by key, no per-source shuffle
+    "q8k_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
+    // FULL OUTER with danglers on both sides (null semantics + side tag)
+    "q8l_full_outer" -> ((s, d) => Relational.fullOuterParts(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -877,6 +882,28 @@ object SparkEntry {
         |  round(avg(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6) AS repeated_frac
         |FROM d JOIN c USING (win)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q8k_weighted_sample" ->
+      """SELECT doc_id, source, w,
+        |       round(pow(u, 1.0 / w), 6) AS skey
+        |FROM (SELECT doc_id, source,
+        |        CAST(CASE source WHEN 'src0' THEN 4.0 WHEN 'src1' THEN 2.0
+        |             ELSE 1.0 END AS DOUBLE) AS w,
+        |        ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+        |      FROM documents)
+        |ORDER BY skey DESC, doc_id LIMIT 100""".stripMargin,
+    "q8l_full_outer" ->
+      """WITH returned AS (
+        |  SELECT l_partkey, count(*) AS n_returns FROM lineitem
+        |  WHERE l_returnflag = 'R' GROUP BY l_partkey),
+        |branded AS (
+        |  SELECT p_partkey, round(p_retailprice, 6) AS price FROM part
+        |  WHERE p_brand = 'Brand#11')
+        |SELECT coalesce(l_partkey, p_partkey) AS partkey, n_returns, price,
+        |  CASE WHEN l_partkey IS NOT NULL AND p_partkey IS NOT NULL THEN 'both'
+        |       WHEN l_partkey IS NOT NULL THEN 'returned_only'
+        |       ELSE 'brand_only' END AS side
+        |FROM returned FULL JOIN branded ON l_partkey = p_partkey
+        |ORDER BY partkey""".stripMargin,
     "q8g_unigram_logprob" ->
       """WITH toks AS (SELECT doc_id,
         |    unnest(list_filter(string_split_regex(lower(text), '\s+'),

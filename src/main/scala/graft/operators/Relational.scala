@@ -437,4 +437,29 @@ object Relational {
       .where(col("cnt") >= threshold)
       .orderBy("l_partkey")
   }
+
+  /** q8l: FULL OUTER join with danglers on BOTH sides — parts returned in
+    * lineitem (flag R) against parts of one brand: a returned part of
+    * another brand dangles left, a never-returned brand part dangles
+    * right. The nullable columns stay NULL (the join's null semantics are
+    * the point); `side` labels the provenance. Same broadcast-ability as
+    * any dimension join — FULL OUTER only forbids broadcasting the side
+    * that must produce unmatched rows, and Catalyst picks accordingly. */
+  def fullOuterParts(spark: SparkSession, dir: String,
+      brand: String = "Brand#11"): DataFrame = {
+    val returned = Tables(spark, dir, "lineitem")
+      .where(col("l_returnflag") === "R")
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_returns"))
+    val branded = Tables(spark, dir, "part")
+      .where(col("p_brand") === brand)
+      .select(col("p_partkey"), round(col("p_retailprice"), 6).as("price"))
+    returned.join(branded, col("l_partkey") === col("p_partkey"), "full_outer")
+      .select(
+        coalesce(col("l_partkey"), col("p_partkey")).as("partkey"),
+        col("n_returns"), col("price"),
+        when(col("l_partkey").isNotNull && col("p_partkey").isNotNull, "both")
+          .when(col("l_partkey").isNotNull, "returned_only")
+          .otherwise("brand_only").as("side"))
+      .orderBy("partkey")
+  }
 }

@@ -62,4 +62,26 @@ object Sampling {
         Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
       .select("doc_id", "split")
       .orderBy("doc_id")
+
+  /** q8k: deterministic weighted sampling without replacement
+    * (Efraimidis–Spirakis A-Res): each row draws key = u^(1/w) from the
+    * SAME pure-arithmetic uniform as [[hashFraction]] (so the draw is a
+    * function of the row id — rerun/append-stable and oracle-able), and
+    * the sample is the global top-k by key. Expected composition is
+    * proportional to the per-source weights WITHOUT a shuffle per source:
+    * the plan is scan → map (key) → TakeOrderedAndProject (per-partition
+    * k-heaps + driver merge of k rows) — at 100 TB the only thing that
+    * moves is partitions × k rows. Ranking uses the 6-dp-rounded key with
+    * doc_id tie-break (cross-engine stable, same discipline as the ANN
+    * rank shape). */
+  def weightedSample(spark: SparkSession, dir: String, k: Int = 100): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val w = when(col("source") === "src0", 4.0)
+      .when(col("source") === "src1", 2.0)
+      .otherwise(1.0)
+    docs.select(col("doc_id"), col("source"), w.as("w"),
+        round(pow(hashFraction(col("doc_id")), lit(1.0) / w), 6).as("skey"))
+      .orderBy(col("skey").desc, col("doc_id"))
+      .limit(k)
+  }
 }

@@ -204,4 +204,28 @@ class Round5Spec extends AnyFunSuite with SparkSuite {
       assert(comps.length == 1, s"community $label spans components $comps")
     }
   }
+
+  test("weighted sample equals the driver-side A-Res recompute") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    def weight(src: String) =
+      if (src == "src0") 4.0 else if (src == "src1") 2.0 else 1.0
+    def key(id: Long, w: Double) = {
+      val u = java.lang.Math.floorMod(id * 2654435761L, 4294967296L) / 4294967296.0
+      BigDecimal(math.pow(u, 1.0 / w))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val expect = docs.map { case (id, src) => (id, src, key(id, weight(src))) }
+      .sortBy { case (id, _, k) => (-k, id) }.take(100)
+      .map { case (id, src, k) => (id, src, k) }
+    val got = Sampling.weightedSample(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    assert(got.sameElements(expect))
+    // composition: the weighted sources are over-represented vs uniform
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    val uniform = 100.0 / docs.map(_._2).distinct.length
+    assert(bySrc.getOrElse("src0", 0) > uniform,
+      s"src0 ${bySrc.get("src0")} should exceed uniform $uniform")
+  }
 }
