@@ -198,6 +198,11 @@ object SparkEntry {
     "q8k_weighted_sample" -> ((s, d) => Sampling.weightedSample(s, d)),
     // FULL OUTER with danglers on both sides (null semantics + side tag)
     "q8l_full_outer" -> ((s, d) => Relational.fullOuterParts(s, d)),
+    // gap-filled hourly resample: dense generated axis, zero-fill +
+    // carry-forward interpolation
+    "q8m_resample_gapfill" -> (Events.hourlyGapfill _),
+    // survivorship dedup: keep the highest-quality member per group
+    "q8n_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -882,6 +887,23 @@ object SparkEntry {
         |  round(avg(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6) AS repeated_frac
         |FROM d JOIN c USING (win)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q8m_resample_gapfill" ->
+      """WITH counts AS (
+        |  SELECT CAST(floor(epoch(date_trunc('hour', ts)) ) AS BIGINT) AS hour_s,
+        |         event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+        |  FROM events GROUP BY 1, 2),
+        |span AS (SELECT event_type, min(hour_s) AS lo, max(hour_s) AS hi
+        |         FROM counts GROUP BY 1),
+        |axis AS (SELECT event_type,
+        |                unnest(generate_series(lo, hi, 3600)) AS hour_s
+        |         FROM span)
+        |SELECT a.event_type, a.hour_s, coalesce(c.n, 0) AS n,
+        |  last_value(c.avg_value IGNORE NULLS) OVER (
+        |    PARTITION BY a.event_type ORDER BY a.hour_s
+        |    ROWS UNBOUNDED PRECEDING) AS filled_avg
+        |FROM axis a LEFT JOIN counts c
+        |  ON a.event_type = c.event_type AND a.hour_s = c.hour_s
+        |ORDER BY a.event_type, a.hour_s""".stripMargin,
     "q8k_weighted_sample" ->
       """SELECT doc_id, source, w,
         |       round(pow(u, 1.0 / w), 6) AS skey

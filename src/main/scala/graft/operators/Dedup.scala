@@ -279,6 +279,27 @@ object Dedup {
     * Composes three engine operators into one declarative-plus-CC job —
     * at 100 TB both stages are the bucketed/bounded shapes proven by
     * their own queries (q42, q32). */
+  /** Survivorship on top of [[dedupGroups]]: instead of the structural
+    * min-id keeper, keep the HIGHEST-QUALITY member of each near-dup
+    * group ([[TextOps.textStats]] quality score, ties to the smaller
+    * doc_id) — the policy a real corpus dedup ships, expressed as one
+    * max_by over the group join. Output one row per grouped doc with its
+    * group, quality, and the chosen survivor. */
+  def dedupSurvivors(spark: SparkSession, dir: String,
+      minJaccard: Double = 0.5): DataFrame = {
+    val groups = dedupGroups(spark, dir, minJaccard)
+      .select(col("doc_id"), col("group_id"))
+    val quality = TextOps.textStats(spark, dir).select(col("doc_id"), col("quality"))
+    val joined = groups.join(quality, "doc_id")
+    val survivors = joined.groupBy("group_id").agg(
+      min_by(col("doc_id"), struct(negate(col("quality")), col("doc_id")))
+        .as("survivor"))
+    joined.join(survivors, "group_id")
+      .select(col("doc_id"), col("group_id"), col("quality"),
+        (col("doc_id") === col("survivor")).as("keep"))
+      .orderBy("group_id", "doc_id")
+  }
+
   def dedupGroups(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     val edges = minhashPairs(spark, dir, minJaccard)

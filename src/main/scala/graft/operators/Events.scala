@@ -24,6 +24,33 @@ object Events {
         round(avg("value"), 6).as("avg_value"))
       .orderBy("hour_s", "event_type")
 
+  /** q8m: gap-filled hourly resample — the time-series completeness
+    * operator: one row for EVERY hour of the observed span per event
+    * type, zero-filled where no events landed and with the last non-empty
+    * hour's avg carried forward (the interpolation a monitoring/feature
+    * pipeline wants). Dense timeline = one `sequence()` explode per event
+    * type off a 1-row-per-type aggregate — the dense axis is generated,
+    * never shuffled; the carry-forward is a last_value window per type
+    * over hours (bounded partitions: types × span). */
+  def hourlyGapfill(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), round(avg("value"), 6).as("avg_value"))
+    val span = counts.groupBy("event_type")
+      .agg(min("hour_s").as("lo"), max("hour_s").as("hi"))
+    val axis = span.select(col("event_type"),
+      explode(sequence(col("lo"), col("hi"), lit(3600L))).as("hour_s"))
+    val w = Window.partitionBy("event_type").orderBy("hour_s")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    axis.join(counts, Seq("event_type", "hour_s"), "left")
+      .select(col("event_type"), col("hour_s"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("avg_value"), ignoreNulls = true).over(w).as("filled_avg"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** q73: [[hourly]]'s aggregation fed from a JSON-LINES round-trip of the
     * events table ([[graft.sources.JsonLines]]) instead of parquet —
     * shares q60's oracle, proving the JSON source end-to-end (schema-pinned

@@ -228,4 +228,34 @@ class Round5Spec extends AnyFunSuite with SparkSuite {
     assert(bySrc.getOrElse("src0", 0) > uniform,
       s"src0 ${bySrc.get("src0")} should exceed uniform $uniform")
   }
+
+  test("gapfill emits a dense hourly axis with carry-forward") {
+    val rows = Events.hourlyGapfill(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    rows.groupBy(_._1).foreach { case (tpe, rs) =>
+      val hours = rs.map(_._2).sorted
+      assert(hours.zip(hours.tail).forall { case (a, b) => b - a == 3600L },
+        s"$tpe axis must be dense")
+      // first row of each type is an observed hour (span starts there)
+      assert(rs.minBy(_._2)._3 > 0, s"$tpe span starts at an observed hour")
+      // carry-forward: every row has a filled value once the span started
+      assert(rs.forall(_._4.isDefined), s"$tpe filled_avg never null")
+    }
+    assert(rows.exists(_._3 == 0L), "fixture should contain gap hours")
+  }
+
+  test("dedup survivors keep the max-quality member of each group") {
+    val rows = Dedup.dedupSurvivors(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._2).foreach { case (gid, members) =>
+      val keepers = members.filter(_._4)
+      assert(keepers.length == 1, s"group $gid: exactly one survivor")
+      val bestQ = members.map(_._3).max
+      assert(keepers.head._3 == bestQ, s"group $gid survivor quality")
+      val tied = members.filter(_._3 == bestQ).map(_._1).min
+      assert(keepers.head._1 == tied, s"group $gid ties to min doc_id")
+    }
+  }
 }
