@@ -196,4 +196,75 @@ object GraftProperties extends Properties("graft") {
         math.abs(closed - pairwise) < 1e-9 && math.abs(closed) <= 1.0
       }
     }
+
+  // ---- round-5 expression kernels (pure JVM statics — no session) ----
+
+  private def bruteLevenshtein(a: String, b: String): Int = {
+    val d = Array.tabulate(a.length + 1, b.length + 1) { (i, j) =>
+      if (i == 0) j else if (j == 0) i else 0
+    }
+    for (i <- 1 to a.length; j <- 1 to b.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (a(i - 1) == b(j - 1)) 0 else 1))
+    d(a.length)(b.length)
+  }
+
+  private val genWord: Gen[String] =
+    Gen.listOf(Gen.oneOf('a', 'b', 'c', '0', '1')).map(_.mkString).map(_.take(12))
+
+  property("edit1_dist == levenshtein capped at 1 (incl. near-miss edits)") =
+    forAll(genWord, genWord, Gen.choose(0, 3)) { (a, base, nEdits) =>
+      // exercise the boundary: b = base mutated 0..3 times
+      val rnd = new scala.util.Random(base.hashCode ^ nEdits)
+      var b = base
+      (0 until nEdits).foreach { _ =>
+        if (b.isEmpty) b = "a"
+        else rnd.nextInt(3) match {
+          case 0 => val i = rnd.nextInt(b.length) // substitute
+            b = b.updated(i, ('a' + rnd.nextInt(3)).toChar)
+          case 1 => val i = rnd.nextInt(b.length + 1) // insert
+            b = b.take(i) + ('a' + rnd.nextInt(3)).toChar + b.drop(i)
+          case 2 => val i = rnd.nextInt(b.length) // delete
+            b = b.take(i) + b.drop(i + 1)
+        }
+      }
+      import org.apache.spark.unsafe.types.UTF8String
+      val got = graft.functions.EditDistanceLe1.dist(
+        UTF8String.fromString(a), UTF8String.fromString(b))
+      val lev = bruteLevenshtein(a, b)
+      got == (if (lev <= 1) lev else -1)
+    }
+
+  private val genTokenHashes: Gen[Array[Long]] =
+    Gen.listOf(Gen.choose(Long.MinValue, Long.MaxValue)).map(_.toArray)
+
+  property("cdc_chunks: chunk count bounds and concatenation-stability") =
+    forAll(genTokenHashes) { th =>
+      import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+      val out = graft.functions.CdcChunks(
+          org.apache.spark.sql.catalyst.expressions.Literal(1L), 7L, 4, 32)
+        .nullSafeEval(new GenericArrayData(th)).asInstanceOf[ArrayData]
+      val n = out.numElements()
+      // ceil(len/32) <= chunks <= ceil(len/4)+... (every chunk 4..32 tokens
+      // except the final remainder >= 1)
+      (th.isEmpty && n == 0) || (!th.isEmpty &&
+        n >= (th.length + 31) / 32 && n <= (th.length + 3) / 4 + 1)
+    }
+
+  property("band_hashes: keys equal iff the band's signature rows equal") =
+    forAll(Gen.listOfN(8, Gen.choose(-100L, 100L)),
+           Gen.listOfN(8, Gen.choose(-100L, 100L))) { (sa, sb) =>
+      import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+      def bands(sig: Seq[Long]): Seq[Long] =
+        graft.functions.BandHashes(
+            org.apache.spark.sql.catalyst.expressions.Literal(1L), 4)
+          .nullSafeEval(new GenericArrayData(sig.toArray))
+          .asInstanceOf[ArrayData].toLongArray().toSeq
+      val (ba, bb) = (bands(sa), bands(sb))
+      (0 until 4).forall { j =>
+        val rowsEqual = sa.slice(j * 2, j * 2 + 2) == sb.slice(j * 2, j * 2 + 2)
+        // equal rows => equal keys (collisions can only ADD equality)
+        !rowsEqual || ba(j) == bb(j)
+      }
+    }
 }
