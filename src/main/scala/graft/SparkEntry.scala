@@ -203,6 +203,28 @@ object SparkEntry {
     "q8m_resample_gapfill" -> (Events.hourlyGapfill _),
     // survivorship dedup: keep the highest-quality member per group
     "q8n_dedup_survivors" -> ((s, d) => Dedup.dedupSurvivors(s, d)),
+    // ordered conversion funnel (stage-k strictly after stage-(k-1))
+    "q8o_funnel" -> (Events.funnel _),
+    // first-seen-day cohorts × day-offset active-user retention
+    "q8p_cohort_retention" -> ((s, d) => Events.cohortRetention(s, d)),
+    // email/digit-run redaction (deterministic planted PII, mirrored oracle)
+    "q8q_pii_scrub" -> (TextOps.piiScrub _),
+    // per-document token-distribution Shannon entropy (quality signal)
+    "q8r_token_entropy" -> (TextOps.tokenEntropy _),
+    // percent_rank + cume_dist distribution-position windows
+    "q8s_percent_rank" -> (Relational.percentRankBal _),
+    // UNPIVOT/melt — pivot round-trip lands on the plain GROUP BY
+    "q8t_unpivot" -> (Relational.unpivotTotals _),
+    // source-mixture temperature weights (w ∝ n^α) for epoch sampling
+    "q8u_mixture_weights" -> ((s, d) => Sampling.mixtureWeights(s, d)),
+    // two-phase distributed Pareto frontier (local sweep → global sweep)
+    "q8v_skyline" -> (Skyline.skylineQuery _),
+    // train/val token-distribution Jensen–Shannon drift (bits)
+    "q8w_jsd_drift" -> (TextOps.jsdDrift _),
+    // exact interpolated MEDIAN per group beside avg
+    "q8x_median" -> (Relational.medianBal _),
+    // correlated LATERAL subquery (ORDER BY + LIMIT), decorrelated
+    "q8y_lateral_topk" -> (Relational.lateralTopCustomer _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -937,5 +959,123 @@ object SparkEntry {
         |  round(sum(log10(CAST(c AS DOUBLE) / tot)) / count(*), 6) AS avg_log10p
         |FROM toks JOIN freq USING (tok) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q8o_funnel" ->
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY 1),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click
+        |      FROM events e JOIN v ON e.user_id = v.user_id
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY 1),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+        |      FROM events e JOIN c ON e.user_id = c.user_id
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY 1)
+        |SELECT * FROM (
+        |  SELECT 1 AS stage, 'view' AS event_type, count(*) AS users FROM v
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*) FROM p)
+        |ORDER BY stage""".stripMargin,
+    "q8p_cohort_retention" ->
+      """WITH ev AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s
+        |  FROM events),
+        |coh AS (SELECT user_id, min(day_s) AS cohort_s FROM ev GROUP BY 1)
+        |SELECT cohort_s,
+        |  CAST((ev.day_s - coh.cohort_s) / 86400 AS INT) AS offset_d,
+        |  count(DISTINCT ev.user_id) AS users
+        |FROM ev JOIN coh ON ev.user_id = coh.user_id
+        |WHERE (ev.day_s - coh.cohort_s) / 86400 <= 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q8q_pii_scrub" ->
+      """WITH planted AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0
+        |         THEN 'contact user' || doc_id || '@example.com ref ' ||
+        |              (doc_id * 7919) || ' ' || text
+        |         ELSE text END AS t
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    CAST(len(regexp_extract_all(t, '[a-z0-9._-]+@[a-z0-9-]+\.[a-z]{2,}'))
+        |         AS INT) AS n_emails,
+        |    regexp_replace(t, '[a-z0-9._-]+@[a-z0-9-]+\.[a-z]{2,}',
+        |                   '<EMAIL>', 'g') AS t2
+        |  FROM planted)
+        |SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t2, '[0-9][0-9][0-9]+')) AS INT)
+        |    AS n_digit_runs,
+        |  regexp_replace(t2, '[0-9][0-9][0-9]+', '<NUM>', 'g') AS clean_text
+        |FROM e ORDER BY doc_id""".stripMargin,
+    "q8r_token_entropy" ->
+      """WITH tok AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |tot AS (SELECT doc_id, sum(c) AS n, count(*) AS vocab
+        |        FROM tf GROUP BY 1)
+        |SELECT tf.doc_id, CAST(n AS BIGINT) AS n_tokens,
+        |  CAST(vocab AS BIGINT) AS vocab,
+        |  round(-sum(c / n * log2(c / n)), 6) AS entropy_bits
+        |FROM tf JOIN tot ON tf.doc_id = tot.doc_id
+        |GROUP BY tf.doc_id, n, vocab ORDER BY tf.doc_id""".stripMargin,
+    "q8s_percent_rank" ->
+      """SELECT c_custkey, c_mktsegment, c_acctbal,
+        |  round(percent_rank() OVER w, 6) AS pr,
+        |  round(cume_dist() OVER w, 6) AS cd
+        |FROM customer
+        |WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+        |ORDER BY c_mktsegment, c_custkey""".stripMargin,
+    "q8t_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus AS status,
+        |       round(sum(o_totalprice), 6) AS total
+        |FROM orders GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q8u_mixture_weights" ->
+      """WITH s AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+        |z AS (SELECT sum(pow(n, 0.7)) AS z FROM s)
+        |SELECT source, n, round(pow(n, 0.7) / z, 6) AS weight,
+        |       round(pow(n, 0.7) / z * 10000, 2) AS expected_docs
+        |FROM s CROSS JOIN z ORDER BY source""".stripMargin,
+    "q8v_skyline" ->
+      """WITH m AS (SELECT l_partkey, round(sum(l_quantity), 6) AS qty,
+        |                  round(avg(l_extendedprice), 6) AS price
+        |           FROM lineitem GROUP BY 1)
+        |SELECT l_partkey, CAST(qty AS DOUBLE) AS qty,
+        |       CAST(price AS DOUBLE) AS price
+        |FROM m a
+        |WHERE NOT EXISTS (SELECT 1 FROM m b
+        |  WHERE b.qty >= a.qty AND b.price <= a.price
+        |    AND (b.qty > a.qty OR b.price < a.price))
+        |ORDER BY l_partkey""".stripMargin,
+    "q8w_jsd_drift" ->
+      """WITH d AS (SELECT CASE
+        |    WHEN (doc_id * 2654435761) % 4294967296 / 4294967296.0 < 0.9
+        |    THEN 'train' ELSE 'val' END AS part, text FROM documents),
+        |tok AS (SELECT part,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS token FROM d),
+        |c AS (SELECT token,
+        |        sum(CASE WHEN part = 'train' THEN 1 ELSE 0 END) AS ca,
+        |        sum(CASE WHEN part = 'val' THEN 1 ELSE 0 END) AS cb
+        |      FROM tok GROUP BY 1),
+        |t AS (SELECT sum(ca) AS na, sum(cb) AS nb FROM c),
+        |pq AS (SELECT ca / na AS p, cb / nb AS q,
+        |              (ca / na + cb / nb) / 2 AS m FROM c CROSS JOIN t)
+        |SELECT CAST((SELECT count(*) FROM c) AS BIGINT) AS vocab,
+        |       CAST((SELECT na FROM t) AS BIGINT) AS n_train,
+        |       CAST((SELECT nb FROM t) AS BIGINT) AS n_val,
+        |       round((sum(CASE WHEN p > 0 THEN p * log2(p / m) ELSE 0 END) +
+        |              sum(CASE WHEN q > 0 THEN q * log2(q / m) ELSE 0 END)) / 2,
+        |             6) AS jsd_bits
+        |FROM pq""".stripMargin,
+    "q8x_median" ->
+      """SELECT c_mktsegment, round(median(c_acctbal), 6) AS med_bal,
+        |       round(avg(c_acctbal), 6) AS avg_bal, count(*) AS n
+        |FROM customer GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q8y_lateral_topk" ->
+      """SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+        |ORDER BY n_nationkey""".stripMargin,
   )
 }

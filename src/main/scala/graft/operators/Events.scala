@@ -340,6 +340,57 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** q8o: ordered conversion funnel view → click → purchase. A user counts
+    * at stage k only if the stage-k event happens STRICTLY AFTER their
+    * stage-(k-1) entry time (the product-analytics semantics — unordered
+    * "did all three ever" overcounts). Each stage is one user-keyed
+    * aggregate plus one equi-join on user_id: k stages = k shuffles on the
+    * same key, so at 100 TB AQE reuses the user_id partitioning and the
+    * per-stage relations shrink monotonically (stage k+1 joins against
+    * stage k's survivors only, never the full event log). */
+  def funnel(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select("user_id", "event_type", "ts")
+    def firstAfter(stage: String, prev: DataFrame, prevT: String,
+        out: String): DataFrame =
+      ev.where(col("event_type") === stage)
+        .join(prev, "user_id")
+        .where(col("ts") > col(prevT))
+        .groupBy("user_id").agg(min("ts").as(out))
+    val view = ev.where(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("t_view"))
+    val click = firstAfter("click", view, "t_view", "t_click")
+    val purchase = firstAfter("purchase", click, "t_click", "t_purchase")
+    def stageRow(n: Int, name: String, d: DataFrame): DataFrame =
+      d.agg(count(lit(1)).as("users"))
+        .select(lit(n).as("stage"), lit(name).as("event_type"), col("users"))
+    stageRow(1, "view", view)
+      .unionByName(stageRow(2, "click", click))
+      .unionByName(stageRow(3, "purchase", purchase))
+      .orderBy("stage")
+  }
+
+  /** q8p: cohort retention — users grouped by first-seen day, then for
+    * each day offset 0..7 the count of cohort members active that day.
+    * Two user-keyed aggregates and one join; the output is bounded by
+    * days × 8 regardless of event volume, and the cohort relation
+    * (one row per user) broadcasts long before the event log does. Days
+    * travel as epoch seconds (cross-engine-stable representation). */
+  def cohortRetention(spark: SparkSession, dir: String, maxOffset: Int = 7): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"))
+    val cohorts = ev.groupBy("user_id").agg(min("day_s").as("cohort_s"))
+    ev.join(cohorts, "user_id")
+      .select(col("cohort_s"),
+        ((col("day_s") - col("cohort_s")) / 86400L).cast("int").as("offset_d"),
+        col("user_id"))
+      .where(col("offset_d") <= maxOffset)
+      .groupBy("cohort_s", "offset_d")
+      .agg(countDistinct("user_id").as("users"))
+      .orderBy("cohort_s", "offset_d")
+  }
+
   /** Gap-based sessionization (30-min inactivity): classic lag + running
     * sum of session-boundary markers, then per-session rollup. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {

@@ -462,4 +462,66 @@ object Relational {
           .otherwise("brand_only").as("side"))
       .orderBy("partkey")
   }
+
+  /** q8s: distribution-position windows — percent_rank + cume_dist of each
+    * customer's balance within its market segment (the normalized-rank
+    * features a scoring pipeline derives). Sort order inside the window is
+    * fully pinned (balance, then key) so both engines rank identically.
+    * One partitioned window: segment-keyed shuffle, per-partition sort —
+    * no global sort at any scale. */
+  def percentRankBal(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+    Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_acctbal"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy("c_mktsegment", "c_custkey")
+  }
+
+  /** q8t: UNPIVOT/melt — the wide-to-long reshape dual of q1a's PIVOT,
+    * proven as a round trip: per-priority order totals pivoted to one
+    * column per status, melted back with `Dataset.unpivot`, which must
+    * land exactly on the plain GROUP BY (priority, status) — the oracle.
+    * Absent combinations surface as NULL cells in the wide form and are
+    * dropped on melt, mirroring their absence from the long form. */
+  def unpivotTotals(spark: SparkSession, dir: String): DataFrame = {
+    val wide = Tables(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(round(sum("o_totalprice"), 6))
+    wide.unpivot(Array(col("o_orderpriority")),
+        Array(col("F"), col("O"), col("P")), "status", "total")
+      .where(col("total").isNotNull)
+      .orderBy("o_orderpriority", "status")
+  }
+
+  /** q8x: exact MEDIAN per group (interpolated 0.5-percentile — both
+    * engines average the middle pair on even counts), beside avg to show
+    * the robust/non-robust center pair. Exact medians need the per-group
+    * values together: one segment-keyed shuffle; for 100 TB sketch-grade
+    * accuracy the approx-quantile route is q19. */
+  def medianBal(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer")
+      .groupBy("c_mktsegment")
+      .agg(round(median(col("c_acctbal")), 6).as("med_bal"),
+        round(avg("c_acctbal"), 6).as("avg_bal"),
+        count(lit(1)).as("n"))
+      .orderBy("c_mktsegment")
+
+  /** q8y: correlated LATERAL subquery — each nation joined laterally to
+    * its top customer by balance (per-row dependent subquery with ORDER BY
+    * + LIMIT). Catalyst decorrelates this into a ranked window join — the
+    * same shape q66 executes natively — so the "loop over rows" surface
+    * syntax runs as one distributed plan, no per-row execution. */
+  def lateralTopCustomer(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "nation").createOrReplaceTempView("nation_l")
+    Tables(spark, dir, "customer").createOrReplaceTempView("customer_l")
+    spark.sql(
+      """SELECT n.n_nationkey, n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation_l n,
+        |LATERAL (SELECT c_custkey, c_acctbal FROM customer_l c
+        |         WHERE c.c_nationkey = n.n_nationkey
+        |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
+        |ORDER BY n_nationkey""".stripMargin)
+  }
 }

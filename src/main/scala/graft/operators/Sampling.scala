@@ -84,4 +84,25 @@ object Sampling {
       .orderBy(col("skey").desc, col("doc_id"))
       .limit(k)
   }
+
+  /** q8u: source-mixture (temperature) sampling weights — w_s ∝ n_s^α,
+    * the standard multi-source rebalance (α<1 upweights small sources,
+    * α=1 is proportional): per-source weight and expected docs for one
+    * epoch of `epochDocs`. One source-keyed count (map-side combined),
+    * then a broadcast scalar normalizer — the corpus itself never
+    * shuffles, and the weights relation is sources-sized (tiny) at any
+    * corpus scale. These weights FEED [[weightedSample]] (q8k) as the
+    * per-source `w`. */
+  def mixtureWeights(spark: SparkSession, dir: String, alpha: Double = 0.7,
+      epochDocs: Long = 10000L): DataFrame = {
+    val n = Tables(spark, dir, "documents")
+      .groupBy("source").agg(count(lit(1)).as("n"))
+    val z = n.agg(sum(pow(col("n"), lit(alpha))).as("z"))
+    n.crossJoin(broadcast(z))
+      .select(col("source"), col("n"),
+        round(pow(col("n"), lit(alpha)) / col("z"), 6).as("weight"),
+        round(pow(col("n"), lit(alpha)) / col("z") * epochDocs, 2)
+          .as("expected_docs"))
+      .orderBy("source")
+  }
 }

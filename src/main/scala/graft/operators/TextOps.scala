@@ -385,4 +385,83 @@ object TextOps {
         floor(col("start_off") / budget).as("bin"))
       .orderBy("doc_id")
   }
+
+  /** q8q: PII scrubbing — redact email addresses and long digit runs, the
+    * hygiene pass a training corpus gets before anything else. Patterns
+    * are lookahead-free so the SAME regex runs under Java regex (Spark
+    * codegen'd `regexp_replace`) and RE2 (DuckDB oracle). The fixture
+    * text contains no PII, so a deterministic synthetic email + numeric id
+    * is planted on every 5th doc as a pure function of doc_id — mirrored
+    * exactly in the oracle — and the scrub then has real matches to find.
+    * Redaction order is pinned (emails first, then digit runs) so the
+    * digit-run count never double-counts digits inside an address.
+    * Per-row map over the corpus: no shuffle, trivially 100 TB-safe. */
+  def piiScrub(spark: SparkSession, dir: String): DataFrame = {
+    val email = "[a-z0-9._-]+@[a-z0-9-]+\\.[a-z]{2,}"
+    val digits = "[0-9][0-9][0-9]+"
+    val planted = when(pmod(col("doc_id"), lit(5)) === 0,
+      concat(lit("contact user"), col("doc_id"), lit("@example.com ref "),
+        col("doc_id") * lit(7919L), lit(" "), col("text")))
+      .otherwise(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), planted.as("t"))
+      .select(col("doc_id"),
+        size(regexp_extract_all(col("t"), lit(email), lit(0))).as("n_emails"),
+        regexp_replace(col("t"), email, "<EMAIL>").as("t2"))
+      .select(col("doc_id"), col("n_emails"),
+        size(regexp_extract_all(col("t2"), lit(digits), lit(0))).as("n_digit_runs"),
+        regexp_replace(col("t2"), digits, "<NUM>").as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** q8r: per-document token-distribution Shannon entropy (bits) — the
+    * information-density quality signal (degenerate low-entropy docs are
+    * boilerplate/spam; see also the repetition gate q81). Two token-keyed
+    * aggregates + one doc-keyed join; every stage is map-side-combinable
+    * and keyed by doc_id, so the shape is one shuffle wave at any scale.
+    * Σ-of-doubles is order-insensitive far below the 6-dp rounding. */
+  def tokenEntropy(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val tot = tf.groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("vocab"))
+    tf.join(tot, "doc_id")
+      .groupBy(col("doc_id"), col("n"), col("vocab"))
+      .agg(round(-sum(col("c") / col("n") * log2(col("c") / col("n"))), 6)
+        .as("entropy_bits"))
+      .select(col("doc_id"), col("n").as("n_tokens"), col("vocab"),
+        col("entropy_bits"))
+      .orderBy("doc_id")
+  }
+
+  /** q8w: train/validation token-distribution drift as Jensen–Shannon
+    * divergence (bits) — the dataset-shift monitor run between corpus
+    * snapshots or split halves. Split is the q57 pure-arithmetic hash (so
+    * the oracle reproduces it bit-for-bit); both distributions come out of
+    * ONE token-keyed aggregate (conditional sums), the totals relation is
+    * a broadcast scalar, and the JSD reduce is a global agg over the
+    * vocabulary — corpus text is read once and never re-shuffled. */
+  def jsdDrift(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .withColumn("part",
+        when(Sampling.hashFraction(col("doc_id")) < 0.9, "train")
+          .otherwise("val"))
+    val counts = docs
+      .select(col("part"), explode(Dedup.tokensCol(col("text"))).as("token"))
+      .groupBy("token").agg(
+        sum(when(col("part") === "train", 1L).otherwise(0L)).as("ca"),
+        sum(when(col("part") === "val", 1L).otherwise(0L)).as("cb"))
+    val tot = counts.agg(sum("ca").as("na"), sum("cb").as("nb"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("ca"), col("cb"), col("na"), col("nb"),
+        (col("ca") / col("na")).as("p"), (col("cb") / col("nb")).as("q"))
+      .withColumn("m", (col("p") + col("q")) / 2)
+      .agg(count(lit(1)).as("vocab"),
+        max("na").as("n_train"), max("nb").as("n_val"),
+        round((sum(when(col("p") > 0, col("p") * log2(col("p") / col("m")))
+            .otherwise(0.0)) +
+          sum(when(col("q") > 0, col("q") * log2(col("q") / col("m")))
+            .otherwise(0.0))) / 2, 6).as("jsd_bits"))
+  }
 }

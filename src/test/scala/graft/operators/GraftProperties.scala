@@ -267,4 +267,27 @@ object GraftProperties extends Properties("graft") {
         !rowsEqual || ba(j) == bb(j)
       }
     }
+
+  // ---- distributed skyline (q8v) ----
+
+  private val genPoints: Gen[List[(Long, Double, Double)]] =
+    Gen.listOf(Gen.zip(Gen.choose(0, 20), Gen.choose(0, 20))).map(
+      _.zipWithIndex.map { case ((q, p), i) => (i.toLong, q.toDouble, p.toDouble) })
+
+  property("skyline sweep == brute-force Pareto frontier (max q, min p)") =
+    forAll(genPoints) { pts =>
+      val got = Skyline.sweep(pts.iterator).toSet
+      val brute = pts.filter { a =>
+        !pts.exists(b => b._2 >= a._2 && b._3 <= a._3 &&
+          (b._2 > a._2 || b._3 < a._3))
+      }.toSet
+      got == brute
+    }
+
+  property("skyline: local sweeps then global sweep == one global sweep") =
+    forAll(genPoints, Gen.choose(1, 4)) { (pts, nparts) =>
+      val chunk = math.max(1, pts.size / nparts + 1)
+      val local = pts.grouped(chunk).flatMap(g => Skyline.sweep(g.iterator))
+      Skyline.sweep(local).toSet == Skyline.sweep(pts.iterator).toSet
+    }
 }
