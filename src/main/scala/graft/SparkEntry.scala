@@ -225,6 +225,12 @@ object SparkEntry {
     "q8x_median" -> (Relational.medianBal _),
     // correlated LATERAL subquery (ORDER BY + LIMIT), decorrelated
     "q8y_lateral_topk" -> (Relational.lateralTopCustomer _),
+    // single-source BFS hop distances (frontier join per superstep)
+    "q8z_sssp" -> ((s, d) => GraphOps.sssp(s, d)),
+    // deterministic per-group mode (rank-1-of-count; TopKRewrite-routed)
+    "q9a_mode" -> (Relational.modeNation _),
+    // equal-width histogram with broadcast min/max bounds
+    "q9b_histogram" -> ((s, d) => Relational.histogramTotals(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1077,5 +1083,38 @@ object SparkEntry {
         |         WHERE c.c_nationkey = n.n_nationkey
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
         |ORDER BY n_nationkey""".stripMargin,
+    // BFS over the q30 edge list; the d < 50 cap mirrors the engine's
+    // maxIters so a deeper-than-cap graph fails the compare loudly
+    "q8z_sssp" ->
+      """WITH RECURSIVE cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |src AS (SELECT min(u) AS s FROM und),
+        |walk(vertex, d) AS (
+        |  SELECT s, 0 FROM src
+        |  UNION
+        |  SELECT und.v, walk.d + 1 FROM und JOIN walk ON und.u = walk.vertex
+        |  WHERE walk.d < 50
+        |)
+        |SELECT vertex, CAST(min(d) AS INT) AS dist
+        |FROM walk GROUP BY vertex ORDER BY vertex""".stripMargin,
+    "q9a_mode" ->
+      """SELECT c_mktsegment, mode_nation, n FROM (
+        |  SELECT c_mktsegment, c_nationkey AS mode_nation, count(*) AS n,
+        |         row_number() OVER (PARTITION BY c_mktsegment
+        |           ORDER BY count(*) DESC, c_nationkey) AS rn
+        |  FROM customer GROUP BY c_mktsegment, c_nationkey)
+        |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    "q9b_histogram" ->
+      """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
+        |            FROM orders),
+        |b AS (SELECT least(CAST(floor((o_totalprice - lo) / ((hi - lo) / 20))
+        |                   AS INT), 19) AS bin, lo, hi
+        |      FROM orders CROSS JOIN mm)
+        |SELECT CAST(bin AS INT) AS bin, count(*) AS n,
+        |       round(min(lo + bin * (hi - lo) / 20), 6) AS bin_lo
+        |FROM b GROUP BY bin ORDER BY bin""".stripMargin,
   )
 }

@@ -695,6 +695,44 @@ object GraphOps {
     counts.orderBy("vertex")
   }
 
+  /** q8z: single-source shortest paths (unweighted hop counts) from the
+    * minimum vertex id — the one graph primitive the family still lacked
+    * (CC/PR/LPA/betweenness/triangles are all here). Frontier BFS: each
+    * superstep joins ONLY the frontier (vertices discovered last round)
+    * to the adjacency, anti-joins out already-settled vertices, and
+    * `localCheckpoint`s both relations so plan depth stays one superstep
+    * (the q88 lesson). Work per round is frontier-size × avg degree, not
+    * V × E; rounds = eccentricity of the source. Unreachable vertices are
+    * absent (same in the oracle). `maxIters` bounds the walk; a graph
+    * with true eccentricity beyond it would fail the oracle LOUDLY rather
+    * than silently truncate both sides, because the oracle's recursive
+    * CTE carries the same cap. */
+  def sssp(spark: SparkSession, dir: String, minShared: Int = 3,
+      maxIters: Int = 50): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir, minShared).select("u", "v")
+    val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))).cache()
+    val src = nbrs.agg(min("u")).head.getLong(0)
+    var dist = spark.range(1)
+      .select(lit(src).as("vertex"), lit(0).as("dist"))
+      .localCheckpoint()
+    var frontier = dist
+    var iter = 0
+    while (iter < maxIters && !frontier.isEmpty) {
+      frontier = frontier.join(nbrs, frontier("vertex") === nbrs("u"))
+        .select(col("v").as("vertex"), (col("dist") + 1).as("dist"))
+        .groupBy("vertex").agg(min("dist").as("dist"))
+        .join(dist.select(col("vertex").as("settled")),
+          col("vertex") === col("settled"), "left_anti")
+        .localCheckpoint()
+      if (!frontier.isEmpty)
+        dist = dist.unionAll(frontier).localCheckpoint()
+      iter += 1
+    }
+    nbrs.unpersist()
+    dist.select(col("vertex"), col("dist").cast("int").as("dist"))
+      .orderBy("vertex")
+  }
+
   /** Modularity search trace: Q at each coarse removal step — exposes G5 as
     * a queryable result (deterministic; rows-only check). */
   def modularityCurve(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {

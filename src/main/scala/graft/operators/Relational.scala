@@ -508,6 +508,43 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy("c_mktsegment")
 
+  /** q9a: deterministic per-group MODE — most frequent nation per market
+    * segment, ties broken to the smallest key (an engine must pin tie
+    * order or the result is run-dependent; Spark's built-in `mode` and
+    * DuckDB's leave ties unspecified, so the engine formulation IS the
+    * rank-1-of-count window). The row_number pattern is rewritten by
+    * [[graft.plans.TopKRewrite]] onto the native TopKPerGroup operator —
+    * mode rides the same bounded-heap physical plan as q61/q66. */
+  def modeNation(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "customer")
+      .groupBy("c_mktsegment", "c_nationkey").agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("c_mktsegment")
+      .orderBy(col("n").desc, col("c_nationkey"))
+    counts.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("c_mktsegment"), col("c_nationkey").as("mode_nation"), col("n"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** q9b: equal-width histogram of order totals — the profiling primitive
+    * behind length/price-distribution dashboards. Global min/max is a
+    * broadcast scalar; binning is pure arithmetic replayed identically in
+    * the oracle (same IEEE ops in the same order), and the top edge
+    * clamps into the last bin. One scan + one tiny agg + one bin-keyed
+    * agg — nothing here grows with data volume except the scan. */
+  def histogramTotals(spark: SparkSession, dir: String, bins: Int = 20): DataFrame = {
+    val o = Tables(spark, dir, "orders").select(col("o_totalprice").as("x"))
+    val mm = o.agg(min("x").as("lo"), max("x").as("hi"))
+    o.crossJoin(broadcast(mm))
+      .select(col("lo"), col("hi"),
+        least(floor((col("x") - col("lo")) / ((col("hi") - col("lo")) / bins)),
+          lit(bins - 1)).cast("int").as("bin"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        round(min(col("lo") + col("bin") * (col("hi") - col("lo")) / bins), 6)
+          .as("bin_lo"))
+      .orderBy("bin")
+  }
+
   /** q8y: correlated LATERAL subquery — each nation joined laterally to
     * its top customer by balance (per-row dependent subquery with ORDER BY
     * + LIMIT). Catalyst decorrelates this into a ranked window join — the

@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, Expression, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, WindowExpression}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, IntegerLiteral, LessThan, LessThanOrEqual, RowNumber, SortOrder, WindowExpression}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Project, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
 
@@ -39,6 +39,17 @@ object TopKRewrite extends Rule[LogicalPlan]
         if a.exprId == rank.exprId => Some(k)
       case LessThan(a: AttributeReference, IntegerLiteral(k))
         if a.exprId == rank.exprId => Some(k - 1)
+      // reversed operand order (k >= rn / k > rn)
+      case GreaterThanOrEqual(IntegerLiteral(k), a: AttributeReference)
+        if a.exprId == rank.exprId => Some(k)
+      case GreaterThan(IntegerLiteral(k), a: AttributeReference)
+        if a.exprId == rank.exprId => Some(k - 1)
+      // rn = 1 is exactly top-1 (row_number is never < 1); rn = k for
+      // k > 1 is NOT a prefix and must keep its Window
+      case EqualTo(a: AttributeReference, IntegerLiteral(1))
+        if a.exprId == rank.exprId => Some(1)
+      case EqualTo(IntegerLiteral(1), a: AttributeReference)
+        if a.exprId == rank.exprId => Some(1)
       case _ => None
     }
 

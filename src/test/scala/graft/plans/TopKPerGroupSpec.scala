@@ -75,6 +75,24 @@ class TopKPerGroupSpec extends AnyFunSuite with SparkSuite
       }.filter(r => r._3 > 50 && r._2 > 1).toSet
     assert(compound.select("g", "rn", "score", "id").collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3))).toSet == cExpect)
+    // rn = 1 (the mode / arg-max idiom, q9a) IS a prefix and rewrites;
+    // rn = 2 is NOT a prefix and must keep its Window
+    val eq1 = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+      .where(col("rn") === 1)
+    assert(collect(eq1.queryExecution.executedPlan) {
+      case e: TopKPerGroupExec => e }.nonEmpty, "rn = 1 should rewrite")
+    val eq1Expect = (0 until 1000).map(i => (i % 7L, (i * 37) % 101, i.toLong))
+      .groupBy(_._1).map { case (g, rows) =>
+        (g, rows.minBy(r => (-r._2, r._3))._3) }.toSet
+    assert(eq1.select("g", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet == eq1Expect)
+    val eq2 = df.withColumn("rn", row_number().over(
+        Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
+      .where(col("rn") === 2)
+    assert(collect(eq2.queryExecution.executedPlan) {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }.nonEmpty, "rn = 2 is not a prefix and should keep the window")
     // a filter on something other than the rank must NOT be rewritten
     val other = df.withColumn("rn", row_number().over(
         Window.partitionBy("g").orderBy(col("score").desc, col("id"))))
