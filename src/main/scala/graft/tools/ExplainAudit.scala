@@ -27,7 +27,12 @@ object ExplainAudit {
       // hash-keyed repeated-ngram two-level agg, broadcast LM scoring,
       // one-pass shingle_hashes under the LSH pair join, CDC chunking
       "q8a_fuzzy_join", "q8e_repeated_ngrams", "q8g_unigram_logprob",
-      "q42_minhash_pairs", "q8i_cdc_chunks").foreach { name =>
+      "q42_minhash_pairs", "q8i_cdc_chunks",
+      // round-5 late additions: funnel's shrinking same-key joins, the
+      // two-phase skyline (mapPartitions, no shuffle until the frontier
+      // union), JSD's single token-keyed aggregate, mode planning as
+      // TopKPerGroupExec via the rn = 1 rewrite
+      "q8o_funnel", "q8v_skyline", "q8w_jsd_drift", "q9a_mode").foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
