@@ -708,8 +708,13 @@ object GraphOps {
     * than silently truncate both sides, because the oracle's recursive
     * CTE carries the same cap. */
   def sssp(spark: SparkSession, dir: String, minShared: Int = 3,
-      maxIters: Int = 50): DataFrame = {
-    val e0 = coPurchaseEdges(spark, dir, minShared).select("u", "v")
+      maxIters: Int = 50): DataFrame =
+    ssspOf(coPurchaseEdges(spark, dir, minShared).select("u", "v"), maxIters)
+
+  /** [[sssp]] over an explicit undirected (u, v) edge list; source = the
+    * minimum vertex id present. */
+  private[graft] def ssspOf(e0: DataFrame, maxIters: Int): DataFrame = {
+    val spark = e0.sparkSession
     val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))).cache()
     val src = nbrs.agg(min("u")).head.getLong(0)
     var dist = spark.range(1)

@@ -21,6 +21,24 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(m == Map((0L, 1L) -> 3.0, (0L, 2L) -> 3.0, (0L, 3L) -> 3.0))
   }
 
+  test("BFS sssp: hand graphs with known hop distances") {
+    import spark.implicits._
+    def distances(edges: Seq[(Long, Long)]): Map[Long, Int] =
+      GraphOps.ssspOf(edges.toDF("u", "v"), maxIters = 50)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // path 1-2-3-4: distances from 1 are 0,1,2,3
+    assert(distances(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
+    // star from center 0: all leaves at 1
+    assert(distances(Seq((0L, 1L), (0L, 2L), (0L, 3L))) ==
+      Map(0L -> 0, 1L -> 1, 2L -> 1, 3L -> 1))
+    // cycle 1-2-4-3-1: opposite corner at 2 via either route
+    assert(distances(Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))) ==
+      Map(1L -> 0, 2L -> 1, 3L -> 1, 4L -> 2))
+    // disconnected: component of the min vertex only — 5,6 absent
+    assert(distances(Seq((1L, 2L), (5L, 6L))) == Map(1L -> 0, 2L -> 1))
+  }
+
   test("edge betweenness splits shortest-path credit on a 4-cycle") {
     // 1-2, 1-3, 2-4, 3-4: by symmetry each edge carries 1 (adjacent pair)
     // + 0.5 (split from (1,4)) + 0.5 (split from (2,3)) = 2.0
