@@ -231,6 +231,10 @@ object SparkEntry {
     "q9a_mode" -> (Relational.modeNation _),
     // equal-width histogram with broadcast min/max bounds
     "q9b_histogram" -> ((s, d) => Relational.histogramTotals(s, d)),
+    // streaming CDC apply (latest-wins state per key), drained end-to-end;
+    // shares q72's oracle (max-of-struct state is arrival-order-free)
+    "q9c_cdc_stream" -> ((s, d) =>
+      graft.streaming.CdcStream.upsertFromFiles(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -250,7 +254,8 @@ object SparkEntry {
       ("q7c_events_orc_source" -> m("q60_events_hourly")) +
       ("q7d_salted_join" -> m("q14_sql_api")) +
       ("q84_binaryfile_source" -> m("q50_text_stats")) +
-      ("q8f_dsv2_source" -> m("q09_distinct"))
+      ("q8f_dsv2_source" -> m("q09_distinct")) +
+      ("q9c_cdc_stream" -> m("q72_upsert"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
