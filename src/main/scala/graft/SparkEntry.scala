@@ -858,6 +858,29 @@ object SparkEntry {
       }.mkString(",\n")
       s"$graph,\n$steps\nSELECT v, round(r, 8) AS rank FROM p10 ORDER BY v"
     },
+    // synchronous LPA unrolled round-by-round (the q88 technique): every
+    // round is most-frequent-neighbor-label with ties to the smallest
+    // label — row_number(ORDER BY cnt DESC, label) = the engine's
+    // min_by(label, (-cnt, label)). Same iteration count as the engine,
+    // so the oracle pins all 10 supersteps exactly.
+    "q8j_lpa_communities" -> {
+      val graph =
+        """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+          |      GROUP BY 1, 2 HAVING count(*) >= 3),
+          |und AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+          |l0 AS (SELECT DISTINCT u AS vertex, u AS label FROM und)""".stripMargin
+      val rounds = (1 to 10).map { i =>
+        s"""l$i AS (SELECT u AS vertex, label FROM (
+           |  SELECT und.u, l${i - 1}.label, count(*) AS cnt,
+           |    row_number() OVER (PARTITION BY und.u
+           |      ORDER BY count(*) DESC, l${i - 1}.label) AS rn
+           |  FROM und JOIN l${i - 1} ON und.v = l${i - 1}.vertex
+           |  GROUP BY und.u, l${i - 1}.label) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"$graph,\n$rounds\nSELECT vertex, label AS community FROM l10 ORDER BY vertex"
+    },
     // e carries u < v, so each triangle {a<b<c} matches exactly once as
     // (a,b)(b,c)+(a,c) — the closing edge lookup is the same forward shape
     // the engine runs, minus the degree orientation it needs for skew
