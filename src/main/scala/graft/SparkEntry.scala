@@ -235,6 +235,9 @@ object SparkEntry {
     // shares q72's oracle (max-of-struct state is arrival-order-free)
     "q9c_cdc_stream" -> ((s, d) =>
       graft.streaming.CdcStream.upsertFromFiles(s, d)),
+    // item-item CF recommendations: binary cosine on co-occurrence,
+    // native top-k per item (TopKRewrite window)
+    "q9d_item_recs" -> ((s, d) => Recommend.itemItemTopK(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1135,6 +1138,22 @@ object SparkEntry {
         |           ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey)
         |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    "q9d_item_recs" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |nu AS (SELECT p, count(*) AS n FROM cp GROUP BY 1),
+        |pairs AS (SELECT a.p AS i, b.p AS j, count(*) AS shared
+        |          FROM cp a JOIN cp b ON a.c = b.c AND a.p < b.p
+        |          GROUP BY 1, 2 HAVING count(*) >= 2),
+        |sims AS (SELECT i, j, round(shared / sqrt(ni.n * nj.n), 6) AS sim
+        |         FROM pairs JOIN nu ni ON pairs.i = ni.p
+        |                    JOIN nu nj ON pairs.j = nj.p),
+        |directed AS (SELECT i, j, sim FROM sims
+        |             UNION ALL SELECT j, i, sim FROM sims)
+        |SELECT i AS part, CAST(rn AS INT) AS rn, j AS rec, sim FROM (
+        |  SELECT i, j, sim, row_number() OVER (
+        |    PARTITION BY i ORDER BY sim DESC, j) AS rn FROM directed)
+        |WHERE rn <= 5 ORDER BY part, rn""".stripMargin,
     "q9b_histogram" ->
       """WITH mm AS (SELECT min(o_totalprice) AS lo, max(o_totalprice) AS hi
         |            FROM orders),

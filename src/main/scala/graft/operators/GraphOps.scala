@@ -50,11 +50,29 @@ object GraphOps {
     * serve stale results if a fixture were rewritten in-place. */
   def clearCaches(): Unit = {
     import scala.jdk.CollectionConverters._
-    (edgeCache.values.asScala ++ btwCache.values.asScala)
+    (edgeCache.values.asScala ++ btwCache.values.asScala ++
+        cpCache.values.asScala)
       .foreach(df => scala.util.Try(df.unpersist()))
     edgeCache.clear()
     btwCache.clear()
+    cpCache.clear()
   }
+
+  private val cpCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  /** Distinct customer–part incidence (c, p) — the shared base relation of
+    * the co-purchase graph AND item-item CF ([[Recommend]]); cached per
+    * (session, dir) so the lineitem⋈orders distinct is paid once across
+    * both families. Same materialized-view rationale as [[edgeCache]]. */
+  private[operators] def incidence(spark: SparkSession, dir: String): DataFrame =
+    cpCache.computeIfAbsent((spark, dir), _ => {
+      val l = Tables(spark, dir, "lineitem")
+      val o = Tables(spark, dir, "orders")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+        .distinct().cache()
+    })
 
   /** Undirected co-purchase edges (u < v, with shared-part count), cached
     * per (session, dir, minShared) — see [[edgeCache]]. */
@@ -63,11 +81,7 @@ object GraphOps {
       _ => buildCoPurchaseEdges(spark, dir, minShared).cache())
 
   private def buildCoPurchaseEdges(spark: SparkSession, dir: String, minShared: Int): DataFrame = {
-    val l = Tables(spark, dir, "lineitem")
-    val o = Tables(spark, dir, "orders")
-    val cp = l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
-      .distinct()
+    val cp = incidence(spark, dir)
     val a = cp.as("a"); val b = cp.as("b")
     a.join(b, col("a.p") === col("b.p") && col("a.c") < col("b.c"))
       .groupBy(col("a.c").as("u"), col("b.c").as("v"))
