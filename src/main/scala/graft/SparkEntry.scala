@@ -238,6 +238,10 @@ object SparkEntry {
     // item-item CF recommendations: binary cosine on co-occurrence,
     // native top-k per item (TopKRewrite window)
     "q9d_item_recs" -> ((s, d) => Recommend.itemItemTopK(s, d)),
+    // k-core peeling to fixpoint (dense-substructure primitive)
+    "q9e_kcore" -> ((s, d) => GraphOps.kCore(s, d)),
+    // trailing-window z-score anomaly per event type
+    "q9f_hourly_anomaly" -> (Events.hourlyAnomaly _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1138,6 +1142,43 @@ object SparkEntry {
         |           ORDER BY count(*) DESC, c_nationkey) AS rn
         |  FROM customer GROUP BY c_mktsegment, c_nationkey)
         |WHERE rn = 1 ORDER BY c_mktsegment""".stripMargin,
+    // k-core peeling unrolled 30 rounds (idempotent at fixpoint — extra
+    // rounds are no-ops; a deeper peel than the unroll fails loudly).
+    // MATERIALIZED is load-bearing: each round's relation is referenced
+    // three times, and without it DuckDB re-expands the whole chain
+    // exponentially (file-handle exhaustion on the leaf scans).
+    "q9e_kcore" -> {
+      val base =
+        """WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |e0 AS MATERIALIZED (SELECT a.c AS u, b.c AS v
+          |       FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+          |       GROUP BY 1, 2 HAVING count(*) >= 3)""".stripMargin
+      val rounds = (1 to 30).map { i =>
+        s"""k$i AS MATERIALIZED (SELECT vx FROM (
+           |    SELECT u AS vx FROM e${i - 1} UNION ALL SELECT v FROM e${i - 1})
+           |  GROUP BY vx HAVING count(*) >= 3),
+           |e$i AS MATERIALIZED (SELECT u, v FROM e${i - 1}
+           |  WHERE u IN (SELECT vx FROM k$i) AND v IN (SELECT vx FROM k$i))""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT vertex, count(*) AS core_degree FROM (
+         |  SELECT u AS vertex FROM e30 UNION ALL SELECT v FROM e30)
+         |GROUP BY vertex ORDER BY vertex""".stripMargin
+    },
+    "q9f_hourly_anomaly" ->
+      """WITH c AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |    AS hour_s, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2)
+        |SELECT hour_s, event_type, n, round(mu, 6) AS mu, round(sd, 6) AS sd,
+        |  CASE WHEN sd > 0 THEN round((n - mu) / sd, 6) END AS z
+        |FROM (SELECT hour_s, event_type, n,
+        |        avg(n) OVER w AS mu, stddev_samp(n) OVER w AS sd
+        |      FROM c
+        |      WINDOW w AS (PARTITION BY event_type ORDER BY hour_s
+        |                   ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+        |ORDER BY event_type, hour_s""".stripMargin,
     "q9d_item_recs" ->
       """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),

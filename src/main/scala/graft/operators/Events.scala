@@ -391,6 +391,28 @@ object Events {
       .orderBy("cohort_s", "offset_d")
   }
 
+  /** q9f: hourly anomaly score — each hour's event count z-scored against
+    * the trailing 24 OBSERVED hours (exclusive of the current hour, so a
+    * spike can't mask itself), per event type. The monitoring primitive a
+    * pipeline runs on its own throughput. One hour-keyed aggregate + one
+    * type-partitioned window; both engines compute z from the unrounded
+    * trailing mean/stddev and round once at the end. Hours with no
+    * trailing history (or zero variance) yield NULL z in both engines. */
+  def hourlyAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("event_type").orderBy("hour_s")
+      .rowsBetween(-24, -1)
+    val mu = avg("n").over(w)
+    val sd = stddev_samp(col("n")).over(w)
+    counts.select(col("hour_s"), col("event_type"), col("n"),
+        round(mu, 6).as("mu"), round(sd, 6).as("sd"),
+        when(sd > 0, round((col("n") - mu) / sd, 6)).as("z"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** Gap-based sessionization (30-min inactivity): classic lag + running
     * sum of session-boundary markers, then per-session rollup. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {

@@ -39,6 +39,37 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     assert(distances(Seq((1L, 2L), (5L, 6L))) == Map(1L -> 0, 2L -> 1))
   }
 
+  test("k-core peeling: hand graphs with known cores") {
+    import spark.implicits._
+    // run BOTH tiers (driver bucket peel / distributed semi-join rounds)
+    // and assert they agree before returning
+    def core(edges: Seq[(Long, Long)], k: Int): Map[Long, Long] = {
+      val driver = GraphOps.kCoreOf(edges.toDF("u", "v"), k, maxRounds = 30)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val dist = GraphOps.kCoreOf(edges.toDF("u", "v"), k, maxRounds = 30,
+          driverEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(driver == dist, s"tier mismatch: $driver vs $dist")
+      driver
+    }
+    // triangle + pendant: 2-core is the triangle (pendant peeled, which
+    // does NOT drop vertex 3 below degree 2)
+    val triPend = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L))
+    assert(core(triPend, 2) == Map(1L -> 2, 2L -> 2, 3L -> 2))
+    // path graph has no 2-core: peeling the endpoints cascades until empty
+    assert(core(Seq((1L, 2L), (2L, 3L), (3L, 4L)), 2) == Map.empty)
+    // K4 is its own 3-core
+    val k4 = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L))
+    assert(core(k4, 3) == Map(1L -> 3, 2L -> 3, 3L -> 3, 4L -> 3))
+    // two triangles joined by one bridge edge: 2-core keeps both triangles
+    // (bridge endpoints have degree 3) but the bridge itself survives too,
+    // so degrees reflect the bridged subgraph
+    val bridged = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L),
+      (4L, 5L), (5L, 6L), (4L, 6L))
+    assert(core(bridged, 2) ==
+      Map(1L -> 2, 2L -> 2, 3L -> 3, 4L -> 3, 5L -> 2, 6L -> 2))
+  }
+
   test("edge betweenness splits shortest-path credit on a 4-cycle") {
     // 1-2, 1-3, 2-4, 3-4: by symmetry each edge carries 1 (adjacent pair)
     // + 0.5 (split from (1,4)) + 0.5 (split from (2,3)) = 2.0
