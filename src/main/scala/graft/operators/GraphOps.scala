@@ -726,10 +726,24 @@ object GraphOps {
     ssspOf(coPurchaseEdges(spark, dir, minShared).select("u", "v"), maxIters)
 
   /** [[sssp]] over an explicit undirected (u, v) edge list; source = the
-    * minimum vertex id present. */
-  private[graft] def ssspOf(e0: DataFrame, maxIters: Int): DataFrame = {
+    * minimum vertex id present. Tiered like [[componentsAuto]]/[[kCoreOf]]:
+    * BFS costs one scheduling quantum per LEVEL, so below `driverEdgeLimit`
+    * the O(V+E) array BFS on the driver wins outright; above it, the
+    * frontier-join propagation (GraphSpec asserts tier equality). */
+  private[graft] def ssspOf(e0: DataFrame, maxIters: Int,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
     val spark = e0.sparkSession
-    val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v"))).cache()
+    import spark.implicits._
+    val cached = e0.cache()
+    if (cached.count() <= driverEdgeLimit) {
+      val edges = cached.as[(Long, Long)].collect()
+      return spark.createDataset(driverBfs(edges, maxIters).toSeq)
+        .toDF("vertex", "dist")
+        .select(col("vertex"), col("dist").cast("int").as("dist"))
+        .orderBy("vertex")
+    }
+    val nbrs = cached
+      .unionAll(cached.select(col("v").as("u"), col("u").as("v"))).cache()
     val src = nbrs.agg(min("u")).head.getLong(0)
     var dist = spark.range(1)
       .select(lit(src).as("vertex"), lit(0).as("dist"))
@@ -750,6 +764,31 @@ object GraphOps {
     nbrs.unpersist()
     dist.select(col("vertex"), col("dist").cast("int").as("dist"))
       .orderBy("vertex")
+  }
+
+  /** Exact in-memory BFS from the minimum vertex id; hop distances of the
+    * reachable component, capped at `maxIters` (mirrors the distributed
+    * tier's superstep cap). */
+  private[graft] def driverBfs(edges: Array[(Long, Long)],
+      maxIters: Int): Map[Long, Int] = {
+    if (edges.isEmpty) return Map.empty
+    val adj = scala.collection.mutable.Map.empty[Long,
+      scala.collection.mutable.ArrayBuffer[Long]]
+    edges.foreach { case (u, v) =>
+      adj.getOrElseUpdate(u, scala.collection.mutable.ArrayBuffer.empty) += v
+      adj.getOrElseUpdate(v, scala.collection.mutable.ArrayBuffer.empty) += u
+    }
+    val src = adj.keysIterator.min
+    val dist = scala.collection.mutable.Map(src -> 0)
+    var frontier = List(src)
+    var d = 0
+    while (frontier.nonEmpty && d < maxIters) {
+      d += 1
+      frontier = frontier.flatMap(adj(_)).filter { n =>
+        if (dist.contains(n)) false else { dist(n) = d; true }
+      }
+    }
+    dist.toMap
   }
 
   /** q9e: k-core of the co-purchase graph — iterative peeling: drop every

@@ -23,9 +23,17 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
 
   test("BFS sssp: hand graphs with known hop distances") {
     import spark.implicits._
-    def distances(edges: Seq[(Long, Long)]): Map[Long, Int] =
-      GraphOps.ssspOf(edges.toDF("u", "v"), maxIters = 50)
+    // run BOTH tiers (driver array BFS / distributed frontier joins) and
+    // assert they agree before returning
+    def distances(edges: Seq[(Long, Long)]): Map[Long, Int] = {
+      val driver = GraphOps.ssspOf(edges.toDF("u", "v"), maxIters = 50)
         .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      val dist = GraphOps.ssspOf(edges.toDF("u", "v"), maxIters = 50,
+          driverEdgeLimit = 0L)
+        .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+      assert(driver == dist, s"tier mismatch: $driver vs $dist")
+      driver
+    }
     // path 1-2-3-4: distances from 1 are 0,1,2,3
     assert(distances(Seq((1L, 2L), (2L, 3L), (3L, 4L))) ==
       Map(1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3))
