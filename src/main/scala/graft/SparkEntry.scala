@@ -242,6 +242,10 @@ object SparkEntry {
     "q9e_kcore" -> ((s, d) => GraphOps.kCore(s, d)),
     // trailing-window z-score anomaly per event type
     "q9f_hourly_anomaly" -> (Events.hourlyAnomaly _),
+    // first-order Markov transition matrix over per-user event sequences
+    "q9g_transitions" -> (Events.eventTransitions _),
+    // vocabulary-growth (Heaps) curve: cumulative tokens vs distinct vocab
+    "q9h_vocab_growth" -> (TextOps.vocabGrowth _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1167,6 +1171,34 @@ object SparkEntry {
          |  SELECT u AS vertex FROM e30 UNION ALL SELECT v FROM e30)
          |GROUP BY vertex ORDER BY vertex""".stripMargin
     },
+    "q9g_transitions" ->
+      """WITH nxt AS (SELECT event_type,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS next_type
+        |  FROM events),
+        |c AS (SELECT event_type AS from_type, next_type AS to_type,
+        |        count(*) AS n
+        |      FROM nxt WHERE next_type IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_type, to_type, n,
+        |  round(n / sum(n) OVER (PARTITION BY from_type), 6) AS p
+        |FROM c ORDER BY from_type, to_type""".stripMargin,
+    "q9h_vocab_growth" ->
+      """WITH toks AS (SELECT doc_id,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |                       x -> len(x) > 0)) AS token
+        |  FROM documents),
+        |fd AS (SELECT token, min(doc_id) AS first_doc FROM toks GROUP BY 1),
+        |np AS (SELECT first_doc, count(*) AS new_terms FROM fd GROUP BY 1),
+        |tp AS (SELECT doc_id,
+        |    len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                    x -> len(x) > 0)) AS n_tokens
+        |  FROM documents)
+        |SELECT tp.doc_id,
+        |  CAST(sum(n_tokens) OVER w AS BIGINT) AS cum_tokens,
+        |  CAST(sum(coalesce(new_terms, 0)) OVER w AS BIGINT) AS cum_vocab
+        |FROM tp LEFT JOIN np ON tp.doc_id = np.first_doc
+        |WINDOW w AS (ORDER BY tp.doc_id ROWS UNBOUNDED PRECEDING)
+        |ORDER BY tp.doc_id""".stripMargin,
     "q9f_hourly_anomaly" ->
       """WITH c AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
         |    AS hour_s, event_type, count(*) AS n

@@ -413,6 +413,28 @@ object Events {
       .orderBy("event_type", "hour_s")
   }
 
+  /** q9g: event-type transition matrix — count and row-probability of
+    * each (from → to) consecutive pair per user (the first-order Markov
+    * path-analysis primitive behind "what do users do next"). Order
+    * within a user is fully pinned (ts, then event_id) so both engines
+    * pair identically. One user-keyed window + one tiny (types²) agg;
+    * the probability normalizer is a partition-of-types window over that
+    * tiny relation. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val perFrom = Window.partitionBy("from_type")
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("next_type", lead("event_type", 1).over(byTime))
+      .where(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"),
+        col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / sum("n").over(perFrom), 6).as("p"))
+      .orderBy("from_type", "to_type")
+  }
+
   /** Gap-based sessionization (30-min inactivity): classic lag + running
     * sum of session-boundary markers, then per-session rollup. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {

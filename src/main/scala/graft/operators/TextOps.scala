@@ -435,6 +435,34 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q9h: vocabulary-growth (Heaps) curve — cumulative corpus tokens vs
+    * cumulative distinct vocabulary at each document, in doc_id order.
+    * The sub-linear growth is the curve capacity/tokenizer planning reads
+    * off. Each token's vocabulary contribution is its FIRST document
+    * (one token-keyed min), so the curve is two prefix sums over a
+    * docs-sized relation. The single global window here is the fixture
+    * form; at corpus scale the identical prefix sums run as q86's
+    * two-level block scan ([[packSequences]]). */
+  def vocabGrowth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+    val firstDoc = docs
+      .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("token"))
+      .groupBy("token").agg(min("doc_id").as("first_doc"))
+    val newPerDoc = firstDoc.groupBy("first_doc")
+      .agg(count(lit(1)).as("new_terms"))
+    val w = Window.orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    docs.select(col("doc_id"), size(Dedup.tokensCol(col("text"))).as("n_tokens"))
+      .join(newPerDoc, col("doc_id") === col("first_doc"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("new_terms"), lit(0L)).as("new_terms"))
+      .select(col("doc_id"),
+        sum("n_tokens").over(w).as("cum_tokens"),
+        sum("new_terms").over(w).as("cum_vocab"))
+      .orderBy("doc_id")
+  }
+
   /** q8w: train/validation token-distribution drift as Jensen–Shannon
     * divergence (bits) — the dataset-shift monitor run between corpus
     * snapshots or split halves. Split is the q57 pure-arithmetic hash (so
