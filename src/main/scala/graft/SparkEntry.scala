@@ -246,6 +246,8 @@ object SparkEntry {
     "q9g_transitions" -> (Events.eventTransitions _),
     // vocabulary-growth (Heaps) curve: cumulative tokens vs distinct vocab
     "q9h_vocab_growth" -> (TextOps.vocabGrowth _),
+    // DSv2 AGGREGATE pushdown: count/min/max served from the scan
+    "q9i_dsv2_agg" -> (graft.sources.DelimV2.aggStats _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1171,6 +1173,9 @@ object SparkEntry {
          |  SELECT u AS vertex FROM e30 UNION ALL SELECT v FROM e30)
          |GROUP BY vertex ORDER BY vertex""".stripMargin
     },
+    "q9i_dsv2_agg" ->
+      """SELECT count(*) AS n, min(l_quantity) AS min_qty,
+        |       max(l_extendedprice) AS max_price FROM lineitem""".stripMargin,
     "q9g_transitions" ->
       """WITH nxt AS (SELECT event_type,
         |    lead(event_type) OVER (PARTITION BY user_id

@@ -6,7 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
 import org.apache.spark.sql.types._
@@ -72,15 +73,19 @@ private[sources] class DelimTable(tableSchema: StructType,
 
 private[sources] class DelimScanBuilder(full: StructType, path: String,
     delim: String) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
+  private var aggs: Array[(String, Int, DataType)] = Array.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the caller's requested order; fields resolve by NAME to
-    // their positions in the full schema at read time
-    required = requiredSchema
+    // their positions in the full schema at read time. When an aggregation
+    // was pushed, Spark prunes to the AGGREGATED schema — ignored, the agg
+    // scan defines its own output.
+    if (aggs.isEmpty) required = requiredSchema
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -96,7 +101,86 @@ private[sources] class DelimScanBuilder(full: StructType, path: String,
 
   override def pushedFilters(): Array[Filter] = pushed
 
-  override def build(): Scan = new DelimScan(full, required, pushed, path, delim)
+  /** Aggregate pushdown (`SupportsPushDownAggregates`): global (ungrouped)
+    * COUNT(*) / MIN(col) / MAX(col) are computed INSIDE the reader — one
+    * partial row per file partition, no row materialization at all — and
+    * Spark's final aggregate merges the partials (partial pushdown, the
+    * correctness-safe default: `supportCompletePushDown` stays false
+    * because multiple part files each emit their own partial). Composes
+    * with pushed filters: partials are computed over passing lines only. */
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    // an EMPTY aggregation list arrives when a count() sits above the
+    // pushed aggregate and pruning removed every inner expression —
+    // accepting it vacuously would make build() return the row scan while
+    // Spark expects a zero-column agg scan ("unexpected number of columns")
+    if (aggregation.groupByExpressions.nonEmpty ||
+        aggregation.aggregateExpressions.isEmpty) return false
+    def field(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[(Int, DataType)] = e match {
+      case nr: NamedReference if nr.fieldNames.length == 1 &&
+          full.fieldNames.contains(nr.fieldNames()(0)) =>
+        val i = full.fieldIndex(nr.fieldNames()(0))
+        Some((i, full.fields(i).dataType))
+      case _ => None
+    }
+    val compiled: Array[Option[(String, Int, DataType)]] =
+      aggregation.aggregateExpressions.map {
+        case _: CountStar => Some(("count", -1, LongType: DataType))
+        case m: Min => field(m.column).map { case (i, t) => ("min", i, t) }
+        case m: Max => field(m.column).map { case (i, t) => ("max", i, t) }
+        case _ => None
+      }
+    if (compiled.contains(None)) false
+    else { aggs = compiled.flatten; true }
+  }
+
+  override def build(): Scan =
+    if (aggs.nonEmpty) new DelimAggScan(full, aggs, pushed, path, delim)
+    else new DelimScan(full, required, pushed, path, delim)
+}
+
+private[sources] object DelimFiles {
+  /** Part files under `path` (or `path` itself), sorted for determinism. */
+  def list(path: String): Seq[String] = {
+    val p = java.nio.file.Paths.get(path)
+    if (java.nio.file.Files.isDirectory(p)) {
+      val s = java.nio.file.Files.list(p)
+      try s.iterator().asScala
+        .filter(f => java.nio.file.Files.isRegularFile(f))
+        .map(_.toString).filterNot(f =>
+          f.endsWith(".crc") || f.endsWith("_SUCCESS")).toList.sorted
+      finally s.close()
+    } else Seq(p.toString)
+  }
+
+  /** Parse one raw field to the Spark-internal value for `dt` (empty →
+    * null, mirroring the `concat_ws` writer's null encoding). */
+  def parseField(raw: String, dt: DataType): Any =
+    if (raw == null || raw.isEmpty) null
+    else dt match {
+      case LongType => raw.toLong
+      case IntegerType => raw.toInt
+      case DoubleType => raw.toDouble
+      case FloatType => raw.toFloat
+      case StringType => UTF8String.fromString(raw)
+      case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
+      case TimestampType => // "yyyy-MM-dd HH:mm:ss[.S]" (Spark cast format)
+        java.sql.Timestamp.valueOf(raw).getTime * 1000L +
+          (java.sql.Timestamp.valueOf(raw).getNanos / 1000L) % 1000L
+      case other => sys.error(s"graft-delim: unsupported type $other")
+    }
+
+  /** Total order used by pushed MIN/MAX — matches Spark's ordering for
+    * the supported types (UTF8String is binary-comparable). */
+  def lt(a: Any, b: Any, dt: DataType): Boolean = dt match {
+    case LongType => a.asInstanceOf[Long] < b.asInstanceOf[Long]
+    case IntegerType => a.asInstanceOf[Int] < b.asInstanceOf[Int]
+    case DoubleType => a.asInstanceOf[Double] < b.asInstanceOf[Double]
+    case FloatType => a.asInstanceOf[Float] < b.asInstanceOf[Float]
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String]) < 0
+    case other => sys.error(s"graft-delim: agg pushdown unsupported for $other")
+  }
 }
 
 private[sources] class DelimScan(full: StructType, required: StructType,
@@ -107,22 +191,107 @@ private[sources] class DelimScan(full: StructType, required: StructType,
   override def description(): String =
     s"graft-delim $path delim='$delim' pushed=${pushed.mkString(",")}"
 
-  override def planInputPartitions(): Array[InputPartition] = {
-    val p = java.nio.file.Paths.get(path)
-    val files: Seq[String] =
-      if (java.nio.file.Files.isDirectory(p)) {
-        val s = java.nio.file.Files.list(p)
-        try s.iterator().asScala
-          .filter(f => java.nio.file.Files.isRegularFile(f))
-          .map(_.toString).filterNot(f =>
-            f.endsWith(".crc") || f.endsWith("_SUCCESS")).toList
-        finally s.close()
-      } else Seq(p.toString)
-    files.sorted.map(f => DelimInputPartition(f): InputPartition).toArray
-  }
+  override def planInputPartitions(): Array[InputPartition] =
+    DelimFiles.list(path).map(f => DelimInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
     DelimReaderFactory(full, required, pushed, delim)
+}
+
+/** Scan for pushed global aggregates: one PARTIAL row per file partition
+  * (count / min / max over passing lines), no row materialization. */
+private[sources] class DelimAggScan(full: StructType,
+    aggs: Array[(String, Int, DataType)], pushed: Array[Filter],
+    path: String, delim: String) extends Scan with Batch {
+
+  override def readSchema(): StructType =
+    StructType(aggs.zipWithIndex.map { case ((kind, _, dt), i) =>
+      StructField(s"${kind}_$i", dt, nullable = true)
+    }.toIndexedSeq)
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-delim-agg $path pushedAggs=" +
+      aggs.map { case (k, p, _) => if (p < 0) k else s"$k(${full.fieldNames(p)})" }
+        .mkString(",")
+
+  override def planInputPartitions(): Array[InputPartition] =
+    DelimFiles.list(path).map(f => DelimInputPartition(f): InputPartition).toArray
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    DelimAggReaderFactory(full, aggs, pushed, delim)
+}
+
+private[sources] case class DelimAggReaderFactory(full: StructType,
+    aggs: Array[(String, Int, DataType)], pushed: Array[Filter], delim: String)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new DelimAggPartitionReader(
+      partition.asInstanceOf[DelimInputPartition].file, full, aggs, pushed, delim)
+}
+
+/** Single-pass partial aggregation over one file: split, filter on raw
+  * fields, fold count/min/max — emits exactly one row. */
+private[sources] class DelimAggPartitionReader(file: String, full: StructType,
+    aggs: Array[(String, Int, DataType)], pushed: Array[Filter], delim: String)
+    extends PartitionReader[InternalRow] {
+
+  private val pattern = Pattern.compile(Pattern.quote(delim))
+  private val fullIndex = full.fieldNames.zipWithIndex.toMap
+  private val rawChecks: Array[(Int, String)] = pushed.collect {
+    case EqualTo(a, v: String) => (fullIndex(a), v)
+    case IsNotNull(a) => (fullIndex(a), null)
+  }
+
+  private var done = false
+  private var row: InternalRow = _
+
+  override def next(): Boolean = {
+    if (done) return false
+    var count = 0L
+    val acc = new Array[Any](aggs.length)
+    val lines = java.nio.file.Files.lines(java.nio.file.Paths.get(file))
+    try {
+      val it = lines.iterator()
+      while (it.hasNext) {
+        val parts = pattern.split(it.next(), -1)
+        if (passes(parts)) {
+          count += 1
+          var i = 0
+          while (i < aggs.length) {
+            val (kind, pos, dt) = aggs(i)
+            if (pos >= 0 && pos < parts.length) {
+              val v = DelimFiles.parseField(parts(pos), dt)
+              if (v != null && (acc(i) == null ||
+                  (kind == "min" && DelimFiles.lt(v, acc(i), dt)) ||
+                  (kind == "max" && DelimFiles.lt(acc(i), v, dt))))
+                acc(i) = v
+            }
+            i += 1
+          }
+        }
+      }
+    } finally lines.close()
+    row = InternalRow.fromSeq(aggs.zipWithIndex.map { case ((kind, _, _), i) =>
+      if (kind == "count") count else acc(i)
+    }.toIndexedSeq)
+    done = true
+    true
+  }
+
+  private def passes(parts: Array[String]): Boolean = {
+    var i = 0
+    while (i < rawChecks.length) {
+      val (pos, want) = rawChecks(i)
+      if (pos >= parts.length) return false
+      if (want != null && parts(pos) != want) return false
+      i += 1
+    }
+    true
+  }
+
+  override def get(): InternalRow = row
+  override def close(): Unit = ()
 }
 
 private[sources] case class DelimInputPartition(file: String) extends InputPartition
@@ -182,20 +351,7 @@ private[sources] class DelimPartitionReader(file: String, full: StructType,
     while (i < cols.length) {
       val (pos, dt) = cols(i)
       val raw = if (pos < parts.length) parts(pos) else null
-      values(i) =
-        if (raw == null || raw.isEmpty) null
-        else dt match {
-          case LongType => raw.toLong
-          case IntegerType => raw.toInt
-          case DoubleType => raw.toDouble
-          case FloatType => raw.toFloat
-          case StringType => UTF8String.fromString(raw)
-          case DateType => java.time.LocalDate.parse(raw).toEpochDay.toInt
-          case TimestampType => // "yyyy-MM-dd HH:mm:ss[.S]" (Spark cast format)
-            java.sql.Timestamp.valueOf(raw).getTime * 1000L +
-              (java.sql.Timestamp.valueOf(raw).getNanos / 1000L) % 1000L
-          case other => sys.error(s"graft-delim: unsupported type $other")
-        }
+      values(i) = DelimFiles.parseField(raw, dt)
       i += 1
     }
     InternalRow.fromSeq(values.toIndexedSeq)
@@ -238,4 +394,16 @@ object DelimV2 {
     lineitemV2(spark, dir)
       .select("l_returnflag", "l_linestatus").distinct()
       .orderBy("l_returnflag", "l_linestatus")
+
+  /** q9i: global COUNT/MIN/MAX served by AGGREGATE PUSHDOWN — the scan's
+    * readSchema is the 3-column partial-agg schema (spec-asserted), so no
+    * lineitem row is ever materialized: each file partition folds its
+    * lines into one partial row and Spark's final aggregate merges them. */
+  def aggStats(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.expr
+    lineitemV2(spark, dir).agg(
+      expr("count(*)").as("n"),
+      expr("min(l_quantity)").as("min_qty"),
+      expr("max(l_extendedprice)").as("max_price"))
+  }
 }

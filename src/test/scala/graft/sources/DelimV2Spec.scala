@@ -1,13 +1,15 @@
 package graft.sources
 
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper
 import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkSuite, Tables}
 
 /** DataSourceV2 `::` reader: round-trip fidelity, column pruning reaching
-  * the scan, and pushed-filter behavior. */
-class DelimV2Spec extends AnyFunSuite with SparkSuite {
+  * the scan, pushed-filter and pushed-aggregate behavior. */
+class DelimV2Spec extends AnyFunSuite with SparkSuite
+    with AdaptiveSparkPlanHelper {
 
   private def v2 = DelimV2.lineitemV2(spark, sfDir)
 
@@ -46,6 +48,59 @@ class DelimV2Spec extends AnyFunSuite with SparkSuite {
     val want = Tables(spark, sfDir, "lineitem")
       .where(col("l_returnflag") === "R").count()
     assert(n == want, s"pushed-filter count $n vs parquet $want")
+  }
+
+  test("aggregate pushdown: count/min/max served from the scan, exact result") {
+    val q = DelimV2.aggStats(spark, sfDir)
+    q.collect() // finalize adaptive plan
+    val scans = collect(q.queryExecution.executedPlan) {
+      case b: BatchScanExec => b
+    }
+    assert(scans.nonEmpty, "expected a BatchScanExec")
+    val scan = scans.head.scan
+    assert(scan.description().contains(
+      "pushedAggs=count,min(l_quantity),max(l_extendedprice)"),
+      s"agg not pushed: ${scan.description()}")
+    // the scan's schema is the 3-column partial-agg schema, NOT lineitem's
+    assert(scan.readSchema().fields.length == 3,
+      s"scan read ${scan.readSchema().fieldNames.mkString(",")}")
+    val r = q.collect().head
+    val want = Tables(spark, sfDir, "lineitem").agg(
+      expr("count(*)"), expr("min(l_quantity)"),
+      expr("max(l_extendedprice)")).collect().head
+    assert(r.getLong(0) == want.getLong(0) &&
+      r.getDouble(1) == want.getDouble(1) &&
+      r.getDouble(2) == want.getDouble(2), s"pushed agg $r vs parquet $want")
+  }
+
+  test("count() above the pushed aggregate does not break planning") {
+    // pruning empties the inner aggregation list — pushAggregation must
+    // reject it (regression: vacuous accept returned the row scan while
+    // Spark expected a zero-column agg scan)
+    assert(DelimV2.aggStats(spark, sfDir).count() == 1L)
+  }
+
+  test("unsupported aggregates (avg, grouped) fall back to the row scan") {
+    val grouped = v2.groupBy("l_returnflag").agg(expr("count(*)").as("n"))
+    grouped.collect()
+    val gScan = collect(grouped.queryExecution.executedPlan) {
+      case b: BatchScanExec => b }.head.scan
+    assert(!gScan.description().contains("pushedAggs"),
+      s"grouped agg must not push: ${gScan.description()}")
+    val avg = v2.agg(expr("avg(l_quantity)").as("a"))
+    avg.collect()
+    val aScan = collect(avg.queryExecution.executedPlan) {
+      case b: BatchScanExec => b }.head.scan
+    assert(!aScan.description().contains("pushedAggs"),
+      s"avg must not push: ${aScan.description()}")
+    // and both still compute correctly through the row path
+    val got = grouped.orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val want = Tables(spark, sfDir, "lineitem")
+      .groupBy("l_returnflag").agg(expr("count(*)").as("n"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got == want)
   }
 
   test("q8f equals q09 shape (distinct flag/status through the V2 source)") {
