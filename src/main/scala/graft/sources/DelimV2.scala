@@ -74,11 +74,19 @@ private[sources] class DelimTable(tableSchema: StructType,
 private[sources] class DelimScanBuilder(full: StructType, path: String,
     delim: String) extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit {
 
   private var required: StructType = full
   private var pushed: Array[Filter] = Array.empty
   private var aggs: Array[(String, Int, DataType)] = Array.empty
+  private var limit: Int = -1
+
+  /** Limit pushdown (`SupportsPushDownLimit`): each partition stops
+    * READING after `limit` passing lines — partial pushdown
+    * (`isPartiallyPushed` stays true), Spark's own Limit still applies the
+    * exact global cut. Turns LIMIT k over a huge file set into k lines
+    * read per partition instead of a full scan. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     // preserve the caller's requested order; fields resolve by NAME to
@@ -136,7 +144,7 @@ private[sources] class DelimScanBuilder(full: StructType, path: String,
 
   override def build(): Scan =
     if (aggs.nonEmpty) new DelimAggScan(full, aggs, pushed, path, delim)
-    else new DelimScan(full, required, pushed, path, delim)
+    else new DelimScan(full, required, pushed, path, delim, limit)
 }
 
 private[sources] object DelimFiles {
@@ -184,18 +192,20 @@ private[sources] object DelimFiles {
 }
 
 private[sources] class DelimScan(full: StructType, required: StructType,
-    pushed: Array[Filter], path: String, delim: String) extends Scan with Batch {
+    pushed: Array[Filter], path: String, delim: String,
+    limit: Int = -1) extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"graft-delim $path delim='$delim' pushed=${pushed.mkString(",")}"
+    s"graft-delim $path delim='$delim' pushed=${pushed.mkString(",")}" +
+      (if (limit >= 0) s" pushedLimit=$limit" else "")
 
   override def planInputPartitions(): Array[InputPartition] =
     DelimFiles.list(path).map(f => DelimInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DelimReaderFactory(full, required, pushed, delim)
+    DelimReaderFactory(full, required, pushed, delim, limit)
 }
 
 /** Scan for pushed global aggregates: one PARTIAL row per file partition
@@ -297,19 +307,22 @@ private[sources] class DelimAggPartitionReader(file: String, full: StructType,
 private[sources] case class DelimInputPartition(file: String) extends InputPartition
 
 private[sources] case class DelimReaderFactory(full: StructType,
-    required: StructType, pushed: Array[Filter], delim: String)
-    extends PartitionReaderFactory {
+    required: StructType, pushed: Array[Filter], delim: String,
+    limit: Int = -1) extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DelimPartitionReader(
-      partition.asInstanceOf[DelimInputPartition].file, full, required, pushed, delim)
+      partition.asInstanceOf[DelimInputPartition].file, full, required, pushed,
+      delim, limit)
 }
 
 /** Per-partition line reader: split once, evaluate pushed filters on the
   * raw fields, then parse ONLY the required positions. */
 private[sources] class DelimPartitionReader(file: String, full: StructType,
-    required: StructType, pushed: Array[Filter], delim: String)
-    extends PartitionReader[InternalRow] {
+    required: StructType, pushed: Array[Filter], delim: String,
+    limit: Int = -1) extends PartitionReader[InternalRow] {
+
+  private var emitted = 0L
 
   private val pattern = Pattern.compile(Pattern.quote(delim))
   private val fullIndex = full.fieldNames.zipWithIndex.toMap
@@ -327,9 +340,10 @@ private[sources] class DelimPartitionReader(file: String, full: StructType,
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    if (limit >= 0 && emitted >= limit) return false
     while (it.hasNext) {
       val parts = pattern.split(it.next(), -1)
-      if (passes(parts)) { current = toRow(parts); return true }
+      if (passes(parts)) { current = toRow(parts); emitted += 1; return true }
     }
     false
   }

@@ -103,6 +103,26 @@ class DelimV2Spec extends AnyFunSuite with SparkSuite
     assert(got == want)
   }
 
+  test("limit pushdown: the scan advertises the limit and rows stay exact") {
+    val q = v2.select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").limit(7)
+    // orderBy prevents limit pushdown (sort needs all rows) — use a bare
+    // limit for the plan assertion, the ordered one for value-correctness
+    val bare = v2.select("l_orderkey").limit(7)
+    bare.collect()
+    val scan = collect(bare.queryExecution.executedPlan) {
+      case b: BatchScanExec => b }.head.scan
+    assert(scan.description().contains("pushedLimit=7"),
+      s"limit not pushed: ${scan.description()}")
+    assert(bare.count() == 7)
+    val got = q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    val want = Tables(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_linenumber")
+      .orderBy("l_orderkey", "l_linenumber").limit(7)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq
+    assert(got == want)
+  }
+
   test("q8f equals q09 shape (distinct flag/status through the V2 source)") {
     val got = DelimV2.distinctFlags(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
