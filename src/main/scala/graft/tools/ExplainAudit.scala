@@ -32,7 +32,10 @@ object ExplainAudit {
       // two-phase skyline (mapPartitions, no shuffle until the frontier
       // union), JSD's single token-keyed aggregate, mode planning as
       // TopKPerGroupExec via the rn = 1 rewrite
-      "q8o_funnel", "q8v_skyline", "q8w_jsd_drift", "q9a_mode").foreach { name =>
+      "q8o_funnel", "q8v_skyline", "q8w_jsd_drift", "q9a_mode",
+      // q9d: CF co-occurrence + native top-k; q9i: the scan IS the
+      // aggregate (pushedAggs in the BatchScan, 3-column readSchema)
+      "q9d_item_recs", "q9i_dsv2_agg").foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
