@@ -290,4 +290,49 @@ object GraftProperties extends Properties("graft") {
       val local = pts.grouped(chunk).flatMap(g => Skyline.sweep(g.iterator))
       Skyline.sweep(local).toSet == Skyline.sweep(pts.iterator).toSet
     }
+
+  // ---- driver graph tiers (q8z / q9e) vs brute-force references ----
+  // (reuses the file's canonical genEdges: distinct u < v pairs)
+
+  property("driverKCore == naive whole-graph peel") =
+    forAll(genEdges, Gen.choose(1, 4)) { (edges, k) =>
+      // naive reference: recompute all degrees, drop every vertex < k,
+      // restrict edges, repeat until stable
+      var es = edges.toSet
+      var stable = false
+      while (!stable) {
+        val deg = es.toSeq.flatMap(e => Seq(e._1, e._2))
+          .groupBy(identity).view.mapValues(_.size.toLong).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val next = es.filter(e => keep(e._1) && keep(e._2))
+        stable = next == es
+        es = next
+      }
+      val want = es.toSeq.flatMap(e => Seq(e._1, e._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+      GraphOps.driverKCore(edges, k) == want
+    }
+
+  property("driverBfs == brute shortest hop distances from min vertex") =
+    forAll(genEdges) { edges =>
+      edges.isEmpty || {
+        // brute reference: repeated relaxation over all edges (Bellman-Ford
+        // with unit weights) from the minimum vertex id
+        val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+        val src = verts.min
+        val dist = scala.collection.mutable.Map(src -> 0)
+        var changed = true
+        while (changed) {
+          changed = false
+          for ((u, v) <- edges; (a, b) <- Seq((u, v), (v, u))) {
+            dist.get(a).foreach { da =>
+              if (dist.get(b).forall(_ > da + 1)) {
+                dist(b) = da + 1; changed = true
+              }
+            }
+          }
+        }
+        GraphOps.driverBfs(edges, maxIters = 100) == dist.toMap
+      }
+    }
 }
