@@ -248,6 +248,8 @@ object SparkEntry {
     "q9h_vocab_growth" -> (TextOps.vocabGrowth _),
     // DSv2 AGGREGATE pushdown: count/min/max served from the scan
     "q9i_dsv2_agg" -> (graft.sources.DelimV2.aggStats _),
+    // higher-order array functions (transform/aggregate/filter), no explode
+    "q9j_hof_stats" -> (TextOps.tokenLengthStats _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1176,6 +1178,17 @@ object SparkEntry {
     "q9i_dsv2_agg" ->
       """SELECT count(*) AS n, min(l_quantity) AS min_qty,
         |       max(l_extendedprice) AS max_price FROM lineitem""".stripMargin,
+    "q9j_hof_stats" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS tk
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(tk) AS INT) AS n_tokens,
+        |  round(CAST(list_sum(list_transform(tk, x -> len(x))) AS DOUBLE)
+        |        / len(tk), 6) AS avg_len,
+        |  CAST(list_max(list_transform(tk, x -> len(x))) AS INT) AS max_len,
+        |  CAST(len(list_filter(tk, x -> len(x) >= 7)) AS INT) AS n_long
+        |FROM t WHERE len(tk) > 0 ORDER BY doc_id""".stripMargin,
     "q9g_transitions" ->
       """WITH nxt AS (SELECT event_type,
         |    lead(event_type) OVER (PARTITION BY user_id

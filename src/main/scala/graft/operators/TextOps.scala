@@ -463,6 +463,26 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** q9j: per-document token-length morphology via HIGHER-ORDER array
+    * functions — `transform`/`aggregate`/`filter` lambdas evaluated
+    * per-row with no explode (the array never leaves the row), mirrored
+    * exactly by DuckDB's list_transform/list_sum/list_filter. The HOF
+    * surface was exercised inside operators; this pins it cross-engine
+    * as a query. Pure map over the scan — no shuffle. */
+  def tokenLengthStats(spark: SparkSession, dir: String): DataFrame = {
+    val lens = transform(col("t"), x => length(x))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("t"))
+      .where(size(col("t")) > 0)
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        round(aggregate(lens, lit(0), (a, x) => a + x).cast("double") /
+          size(col("t")), 6).as("avg_len"),
+        array_max(lens).as("max_len"),
+        size(filter(col("t"), x => length(x) >= 7)).as("n_long"))
+      .orderBy("doc_id")
+  }
+
   /** q8w: train/validation token-distribution drift as Jensen–Shannon
     * divergence (bits) — the dataset-shift monitor run between corpus
     * snapshots or split halves. Split is the q57 pure-arithmetic hash (so
