@@ -6,10 +6,10 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.sources.{EqualTo, Filter, IsNotNull}
+import org.apache.spark.sql.sources.{EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -193,7 +193,11 @@ private[sources] object DelimFiles {
 
 private[sources] class DelimScan(full: StructType, required: StructType,
     pushed: Array[Filter], path: String, delim: String,
-    limit: Int = -1) extends Scan with Batch {
+    limit: Int = -1) extends Scan with Batch with SupportsRuntimeFiltering {
+
+  // runtime IN-sets per field position (allowed RAW strings), delivered by
+  // Spark's dynamic pruning AFTER the build side of a join materializes
+  private var runtimeIn: Array[(Int, Set[String])] = Array.empty
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -201,11 +205,35 @@ private[sources] class DelimScan(full: StructType, required: StructType,
     s"graft-delim $path delim='$delim' pushed=${pushed.mkString(",")}" +
       (if (limit >= 0) s" pushedLimit=$limit" else "")
 
+  /** Runtime filtering (`SupportsRuntimeFiltering`) — the DSv2 face of
+    * dynamic partition pruning: when this scan is the probe side of a
+    * join whose build side carries a selective filter, Spark delivers the
+    * build side's join-key values as an `In` filter at EXECUTION time and
+    * the reader drops non-matching lines on the raw field, before
+    * parsing. Offered for types whose cast-to-string is canonical (the
+    * writer's encoding), so raw-string comparison equals typed
+    * comparison. */
+  override def filterAttributes(): Array[NamedReference] =
+    // resolved against the scan OUTPUT → advertise pruned columns only
+    required.fields.collect {
+      case f if f.dataType == StringType || f.dataType == LongType ||
+          f.dataType == IntegerType => Expressions.column(f.name)
+    }
+
+  override def filter(filters: Array[Filter]): Unit = {
+    runtimeIn = filters.collect {
+      case In(a, vs) if full.fieldNames.contains(a) =>
+        (full.fieldIndex(a),
+          vs.iterator.filter(_ != null).map(_.toString).toSet)
+    }
+    DelimV2.lastRuntimeFilter = filters.mkString(",") // diagnostic (spec)
+  }
+
   override def planInputPartitions(): Array[InputPartition] =
     DelimFiles.list(path).map(f => DelimInputPartition(f): InputPartition).toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    DelimReaderFactory(full, required, pushed, delim, limit)
+    DelimReaderFactory(full, required, pushed, delim, limit, runtimeIn)
 }
 
 /** Scan for pushed global aggregates: one PARTIAL row per file partition
@@ -308,19 +336,21 @@ private[sources] case class DelimInputPartition(file: String) extends InputParti
 
 private[sources] case class DelimReaderFactory(full: StructType,
     required: StructType, pushed: Array[Filter], delim: String,
-    limit: Int = -1) extends PartitionReaderFactory {
+    limit: Int = -1, runtimeIn: Array[(Int, Set[String])] = Array.empty)
+    extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new DelimPartitionReader(
       partition.asInstanceOf[DelimInputPartition].file, full, required, pushed,
-      delim, limit)
+      delim, limit, runtimeIn)
 }
 
 /** Per-partition line reader: split once, evaluate pushed filters on the
   * raw fields, then parse ONLY the required positions. */
 private[sources] class DelimPartitionReader(file: String, full: StructType,
     required: StructType, pushed: Array[Filter], delim: String,
-    limit: Int = -1) extends PartitionReader[InternalRow] {
+    limit: Int = -1, runtimeIn: Array[(Int, Set[String])] = Array.empty)
+    extends PartitionReader[InternalRow] {
 
   private var emitted = 0L
 
@@ -356,6 +386,12 @@ private[sources] class DelimPartitionReader(file: String, full: StructType,
       if (want != null && parts(pos) != want) return false
       i += 1
     }
+    i = 0
+    while (i < runtimeIn.length) {
+      val (pos, allowed) = runtimeIn(i)
+      if (pos >= parts.length || !allowed.contains(parts(pos))) return false
+      i += 1
+    }
     true
   }
 
@@ -380,6 +416,10 @@ private[sources] class DelimPartitionReader(file: String, full: StructType,
 object DelimV2 {
   import org.apache.spark.sql.{DataFrame, SparkSession}
   import org.apache.spark.sql.functions._
+
+  /** Diagnostic only (read by DelimV2Spec): the last runtime filter the
+    * scan received, proving dynamic pruning reached the source. */
+  @volatile private[sources] var lastRuntimeFilter: String = ""
 
   /** Stage `table` as multi-part `::`-delimited text once per JVM. */
   private[graft] def stage(spark: SparkSession, dir: String,

@@ -123,6 +123,37 @@ class DelimV2Spec extends AnyFunSuite with SparkSuite
     assert(got == want)
   }
 
+  test("runtime filtering (dynamic pruning) reaches the source and stays exact") {
+    DelimV2.lastRuntimeFilter = ""
+    import spark.implicits._
+    // the V2 scan carries no stats, so force the DPP benefit estimate to
+    // the ratio fallback; the build side must RETAIN a selective Filter
+    // node, so it reads parquet (a literal local Seq constant-folds into
+    // a bare LocalRelation and DPP sees no selective predicate)
+    spark.conf.set("spark.sql.optimizer.dynamicPartitionPruning.useStats", "false")
+    spark.conf.set(
+      "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio", "100.0")
+    val dim = Tables(spark, sfDir, "part")
+      .where(col("p_brand") === "Brand#11").select("p_partkey", "p_brand")
+    val q = v2.join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand").agg(expr("count(*)").as("n"))
+    val got =
+      try q.collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      finally {
+        spark.conf.unset("spark.sql.optimizer.dynamicPartitionPruning.useStats")
+        spark.conf.unset(
+          "spark.sql.optimizer.dynamicPartitionPruning.fallbackFilterRatio")
+      }
+    val want = Tables(spark, sfDir, "lineitem")
+      .join(Tables(spark, sfDir, "part")
+        .where(col("p_brand") === "Brand#11"),
+        col("l_partkey") === col("p_partkey"))
+      .agg(expr("count(*)")).collect().head.getLong(0)
+    assert(got == Seq(("Brand#11", want)), s"got $got want $want")
+    assert(DelimV2.lastRuntimeFilter.contains("l_partkey"),
+      s"runtime filter never reached the scan: '${DelimV2.lastRuntimeFilter}'")
+  }
+
   test("q8f equals q09 shape (distinct flag/status through the V2 source)") {
     val got = DelimV2.distinctFlags(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1))).toSeq
