@@ -250,6 +250,10 @@ object SparkEntry {
     "q9i_dsv2_agg" -> (graft.sources.DelimV2.aggStats _),
     // higher-order array functions (transform/aggregate/filter), no explode
     "q9j_hof_stats" -> (TextOps.tokenLengthStats _),
+    // RFM quartile segmentation of purchasing users
+    "q9k_rfm" -> (Events.rfmSegments _),
+    // per-type hourly-volume OLS trend via regr_* aggregates
+    "q9l_trend" -> (Events.hourlyTrend _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1189,6 +1193,38 @@ object SparkEntry {
         |  CAST(list_max(list_transform(tk, x -> len(x))) AS INT) AS max_len,
         |  CAST(len(list_filter(tk, x -> len(x) >= 7)) AS INT) AS n_long
         |FROM t WHERE len(tk) > 0 ORDER BY doc_id""".stripMargin,
+    "q9k_rfm" ->
+      """WITH anchor AS (SELECT max(CAST(floor(epoch(date_trunc('day', ts)))
+        |    AS BIGINT)) AS anchor_s FROM events),
+        |rfm AS (SELECT user_id,
+        |    max(CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT))
+        |      AS last_day_s,
+        |    count(*) AS frequency, round(sum(value), 6) AS monetary
+        |  FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+        |base AS (SELECT user_id,
+        |    CAST((anchor_s - last_day_s) / 86400 AS INT) AS recency_d,
+        |    frequency, monetary
+        |  FROM rfm CROSS JOIN anchor)
+        |SELECT user_id, recency_d, frequency, monetary, r, f, m,
+        |       CAST(r AS VARCHAR) || CAST(f AS VARCHAR) || CAST(m AS VARCHAR)
+        |         AS segment
+        |FROM (SELECT *,
+        |        CAST(ntile(4) OVER (ORDER BY recency_d, user_id) AS INT) AS r,
+        |        CAST(ntile(4) OVER (ORDER BY frequency DESC, user_id) AS INT) AS f,
+        |        CAST(ntile(4) OVER (ORDER BY monetary DESC, user_id) AS INT) AS m
+        |      FROM base)
+        |ORDER BY user_id""".stripMargin,
+    "q9l_trend" ->
+      """WITH c AS (SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT)
+        |    AS hour_s, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |m AS (SELECT min(hour_s) AS lo FROM c)
+        |SELECT event_type, count(*) AS n_hours,
+        |  round(regr_slope(CAST(n AS DOUBLE), (hour_s - lo) / 3600.0), 6)
+        |    AS slope_per_hour,
+        |  round(regr_intercept(CAST(n AS DOUBLE), (hour_s - lo) / 3600.0), 6)
+        |    AS intercept
+        |FROM c CROSS JOIN m GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q9g_transitions" ->
       """WITH nxt AS (SELECT event_type,
         |    lead(event_type) OVER (PARTITION BY user_id

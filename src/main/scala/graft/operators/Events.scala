@@ -435,6 +435,60 @@ object Events {
       .orderBy("from_type", "to_type")
   }
 
+  /** q9k: RFM segmentation — recency / frequency / monetary per purchasing
+    * user, each quartiled (ntile) into 1..4 and concatenated to the
+    * classic 3-digit segment code. Rank inputs are rounded BEFORE ranking
+    * and every window order carries the user_id tie-break, so both
+    * engines cut identical quartiles. One user-keyed aggregate + three
+    * windows over the users relation (small by construction); at corpus
+    * scale the quartile cutoffs come from approx_percentile instead of a
+    * global sort — q19's sketch route. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val anchor = ev.agg(
+      max(unix_timestamp(date_trunc("day", col("ts")))).as("anchor_s"))
+    val rfm = ev.where(col("event_type") === "purchase")
+      .groupBy("user_id")
+      .agg(max(unix_timestamp(date_trunc("day", col("ts")))).as("last_day_s"),
+        count(lit(1)).as("frequency"),
+        round(sum("value"), 6).as("monetary"))
+      .crossJoin(broadcast(anchor))
+      .select(col("user_id"),
+        ((col("anchor_s") - col("last_day_s")) / 86400L).cast("int")
+          .as("recency_d"),
+        col("frequency"), col("monetary"))
+    val r = ntile(4).over(Window.orderBy(col("recency_d"), col("user_id")))
+    val f = ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id")))
+    val m = ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id")))
+    rfm.select(col("user_id"), col("recency_d"), col("frequency"),
+        col("monetary"), r.as("r"), f.as("f"), m.as("m"))
+      .withColumn("segment", concat(col("r"), col("f"), col("m")))
+      .orderBy("user_id")
+  }
+
+  /** q9l: hourly-volume trend per event type — closed-form OLS slope and
+    * intercept via the regr_* aggregate family over (hour index, count).
+    * Regression-as-aggregation: one pass, partial+final mergeable, no
+    * collect — how trend detection runs at any scale. The hour axis is
+    * re-based to the corpus start so intercepts stay O(counts) and the
+    * 6-dp rounding grid is far above either engine's summation-order
+    * noise. */
+  def hourlyTrend(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val lo = counts.agg(min("hour_s").as("lo"))
+    counts.crossJoin(broadcast(lo))
+      .select(col("event_type"), col("n").cast("double").as("y"),
+        ((col("hour_s") - col("lo")) / 3600.0).as("x"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_hours"),
+        round(regr_slope(col("y"), col("x")), 6).as("slope_per_hour"),
+        round(regr_intercept(col("y"), col("x")), 6).as("intercept"))
+      .orderBy("event_type")
+  }
+
   /** Gap-based sessionization (30-min inactivity): classic lag + running
     * sum of session-boundary markers, then per-session rollup. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
