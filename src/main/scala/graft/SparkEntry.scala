@@ -254,6 +254,8 @@ object SparkEntry {
     "q9k_rfm" -> (Events.rfmSegments _),
     // per-type hourly-volume OLS trend via regr_* aggregates
     "q9l_trend" -> (Events.hourlyTrend _),
+    // sessions-as-baskets: support/lift between co-occurring event types
+    "q9m_session_lift" -> ((s, d) => Events.sessionLift(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1193,6 +1195,29 @@ object SparkEntry {
         |  CAST(list_max(list_transform(tk, x -> len(x))) AS INT) AS max_len,
         |  CAST(len(list_filter(tk, x -> len(x) >= 7)) AS INT) AS n_long
         |FROM t WHERE len(tk) > 0 ORDER BY doc_id""".stripMargin,
+    "q9m_session_lift" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |         OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000 THEN 1 ELSE 0 END AS is_new
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |s AS (SELECT *, sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                  ROWS UNBOUNDED PRECEDING) AS session_seq FROM x),
+        |p AS (SELECT DISTINCT user_id, session_seq, event_type FROM s),
+        |ns AS (SELECT count(*) AS n_sessions FROM
+        |        (SELECT DISTINCT user_id, session_seq FROM p)),
+        |sg AS (SELECT event_type, count(*) AS c FROM p GROUP BY 1),
+        |pr AS (SELECT a.event_type AS ta, b.event_type AS tb, count(*) AS n_ab
+        |       FROM p a JOIN p b ON a.user_id = b.user_id
+        |         AND a.session_seq = b.session_seq
+        |         AND a.event_type < b.event_type
+        |       GROUP BY 1, 2)
+        |SELECT ta, tb, n_ab,
+        |  round(n_ab / n_sessions, 6) AS support,
+        |  round(n_ab * n_sessions / (ca.c * cb.c), 6) AS lift
+        |FROM pr JOIN sg ca ON pr.ta = ca.event_type
+        |        JOIN sg cb ON pr.tb = cb.event_type
+        |        CROSS JOIN ns
+        |ORDER BY ta, tb""".stripMargin,
     "q9k_rfm" ->
       """WITH anchor AS (SELECT max(CAST(floor(epoch(date_trunc('day', ts)))
         |    AS BIGINT)) AS anchor_s FROM events),

@@ -489,6 +489,44 @@ object Events {
       .orderBy("event_type")
   }
 
+  /** q9m: within-session association lift between event types — the
+    * market-basket analysis (reference G1 family) applied to sessions as
+    * baskets: support and lift for every type pair co-occurring in a
+    * session. Bridges the sessionizer (q62's exact session assignment)
+    * and the co-occurrence counting shape (q21/q30: equi-join on the
+    * shared key + group-count, never a cross join). The pair relation is
+    * bounded by types², singles/totals are broadcast scalars. */
+  def sessionLift(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
+    val byTime = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val present = Tables(spark, dir, "events")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byTime))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapSec * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("is_new").over(
+        byTime.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select("user_id", "session_seq", "event_type").distinct()
+    val nS = present.select("user_id", "session_seq").distinct()
+      .agg(count(lit(1)).as("n_sessions"))
+    val singles = present.groupBy("event_type").agg(count(lit(1)).as("c"))
+    val pairs = present.as("a").join(present.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.session_seq") === col("b.session_seq") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(singles.select(col("event_type").as("ta"), col("c").as("ca")), "ta")
+      .join(singles.select(col("event_type").as("tb"), col("c").as("cb")), "tb")
+      .crossJoin(broadcast(nS))
+      .select(col("ta"), col("tb"), col("n_ab"),
+        round(col("n_ab") / col("n_sessions"), 6).as("support"),
+        round(col("n_ab") * col("n_sessions") / (col("ca") * col("cb")), 6)
+          .as("lift"))
+      .orderBy("ta", "tb")
+  }
+
   /** Gap-based sessionization (30-min inactivity): classic lag + running
     * sum of session-boundary markers, then per-session rollup. */
   def sessionize(spark: SparkSession, dir: String, gapSec: Long = 1800): DataFrame = {
