@@ -256,6 +256,10 @@ object SparkEntry {
     "q9l_trend" -> (Events.hourlyTrend _),
     // sessions-as-baskets: support/lift between co-occurring event types
     "q9m_session_lift" -> ((s, d) => Events.sessionLift(s, d)),
+    // HITS hubs/authorities on the bipartite customer-part incidence
+    "q9n_hits" -> ((s, d) => GraphOps.hits(s, d)),
+    // Benford first-digit audit (arithmetic digit, never string cast)
+    "q9o_benford" -> (Relational.benfordTotals _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -901,6 +905,42 @@ object SparkEntry {
            |  GROUP BY und.u, l${i - 1}.label) WHERE rn = 1)""".stripMargin
       }.mkString(",\n")
       s"$graph,\n$rounds\nSELECT vertex, label AS community FROM l10 ORDER BY vertex"
+    },
+    "q9o_benford" ->
+      """WITH c AS (SELECT CAST(floor(o_totalprice /
+        |      pow(10.0, floor(log10(o_totalprice)))) AS INT) AS digit
+        |    FROM orders WHERE o_totalprice > 0),
+        |g AS (SELECT digit, count(*) AS n FROM c GROUP BY digit),
+        |t AS (SELECT sum(n) AS total FROM g)
+        |SELECT digit, n, round(n / total, 6) AS frac,
+        |       round(log10(1.0 + 1.0 / digit), 6) AS benford
+        |FROM g CROSS JOIN t ORDER BY digit""".stripMargin,
+    // HITS unrolled round-by-round like q88/q8j; MATERIALIZED is again
+    // load-bearing (each half-step is referenced by the norm subquery AND
+    // the next half-step). 8-dp rounding clears the drift the per-step
+    // L2 normalizations compound.
+    "q9n_hits" -> {
+      val base =
+        """WITH cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |h0n AS MATERIALIZED (SELECT DISTINCT c, 1.0 AS h FROM cp)""".stripMargin
+      val rounds = (1 to 10).map { i =>
+        s"""a$i AS MATERIALIZED (SELECT p, sum(h) AS a
+           |  FROM cp JOIN h${i - 1}n USING (c) GROUP BY p),
+           |a${i}n AS MATERIALIZED (SELECT p,
+           |  a / (SELECT sqrt(sum(a * a)) FROM a$i) AS a FROM a$i),
+           |h$i AS MATERIALIZED (SELECT c, sum(a) AS h
+           |  FROM cp JOIN a${i}n USING (p) GROUP BY c),
+           |h${i}n AS MATERIALIZED (SELECT c,
+           |  h / (SELECT sqrt(sum(h * h)) FROM h$i) AS h FROM h$i)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT role, id, score FROM (
+         |  SELECT 'hub' AS role, c AS id, round(h, 8) AS score FROM h10n
+         |  UNION ALL
+         |  SELECT 'authority', p, round(a, 8) FROM a10n)
+         |ORDER BY role, id""".stripMargin
     },
     // e carries u < v, so each triangle {a<b<c} matches exactly once as
     // (a,b)(b,c)+(a,c) — the closing edge lookup is the same forward shape

@@ -877,6 +877,60 @@ object GraphOps {
     }.toMap
   }
 
+  /** q9n: HITS hubs & authorities over the BIPARTITE customer–part
+    * incidence (hub = customer whose purchases concentrate on
+    * authoritative parts, authority = part bought by strong hubs) — the
+    * second eigenvector-iteration primitive beside PageRank, and the one
+    * where bipartite structure actually matters (HITS on the undirected
+    * co-purchase graph would degenerate to hub ≡ authority). Per-round L2
+    * normalization is a pure rescaling of the power iteration, so the
+    * loop runs UNNORMALIZED — one incidence join + group-sum per half-
+    * step, one `localCheckpoint` per full round (the q88 planning
+    * lesson) — and divides by the L2 norm once at the end: the identical
+    * vector, at a third of the jobs the per-round-normalized form costs.
+    * Magnitude stays in double range for any realistic graph: values
+    * grow ≤ (max customer deg × max part deg)^iters, overflowing 1e308
+    * only past ~1e15 max-degree products over 10 rounds. The oracle
+    * unrolls all 10 rounds as MATERIALIZED CTEs (normalizing per round,
+    * which lands on the same direction), rounded at 8 dp — far above the
+    * engines' summation-order/scaling drift. */
+  def hits(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val inc = incidence(spark, dir)
+    var hub = inc.select(col("c")).distinct()
+      .withColumn("h", lit(1.0)).localCheckpoint()
+    // Tier the hub half-step: the hub vector is one row per customer and
+    // already MATERIALIZED (checkpointed), so while it fits the broadcast
+    // budget the cached incidence joins it partition-local — broadcasting
+    // a materialized checkpoint is cheap, whereas broadcasting the lazy
+    // mid-round auth aggregate would serialize the round behind a
+    // driver-side broadcast build (measured slower), so that half-step
+    // stays a shuffle join whose auth side reuses the groupBy("p")
+    // partitioning. Past the budget (hub.count() on the checkpoint is a
+    // no-op job) it degrades to the plain shuffle join, the same tier
+    // split as componentsAuto/betweenness.
+    val small = hub.count() <= 2000000L
+    def side(v: DataFrame): DataFrame = if (small) broadcast(v) else v
+    var auth: DataFrame = null
+    for (i <- 1 to iters) {
+      val a0 = inc.join(side(hub), "c").groupBy("p").agg(sum("h").as("a"))
+      // auth stays lazy inside the hub job except on the last round,
+      // where it is materialized for the output
+      val authStep = if (i == iters) { auth = a0.localCheckpoint(); auth }
+                     else a0
+      hub = inc.join(authStep, "p").groupBy("c").agg(sum("a").as("h"))
+        .localCheckpoint()
+    }
+    val hn = hub.agg(sqrt(sum(col("h") * col("h"))).as("nrm"))
+    val an = auth.agg(sqrt(sum(col("a") * col("a"))).as("nrm"))
+    hub.crossJoin(broadcast(hn))
+      .select(lit("hub").as("role"), col("c").as("id"),
+        round(col("h") / col("nrm"), 8).as("score"))
+      .unionByName(auth.crossJoin(broadcast(an))
+        .select(lit("authority").as("role"), col("p").as("id"),
+          round(col("a") / col("nrm"), 8).as("score")))
+      .orderBy("role", "id")
+  }
+
   /** Modularity search trace: Q at each coarse removal step — exposes G5 as
     * a queryable result (deterministic; rows-only check). */
   def modularityCurve(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {

@@ -545,6 +545,28 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** q9o: Benford first-significant-digit audit of order totals — the
+    * classic fabricated-data / data-quality screen: observed first-digit
+    * frequencies beside the Benford expectation log10(1 + 1/d). The
+    * first digit is computed ARITHMETICALLY (x / 10^floor(log10 x)) —
+    * never via cast-to-string, whose scientific-notation thresholds
+    * differ between engines. One scan + a 9-row aggregate. */
+  def benfordTotals(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val digit = floor(x / pow(lit(10.0), floor(log10(x)))).cast("int")
+    val counts = Tables(spark, dir, "orders")
+      .where(x > 0)
+      .select(digit.as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum("n").as("total"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("digit"), col("n"),
+        round(col("n") / col("total"), 6).as("frac"),
+        round(log(10.0, lit(1.0) + lit(1.0) / col("digit")), 6)
+          .as("benford"))
+      .orderBy("digit")
+  }
+
   /** q8y: correlated LATERAL subquery — each nation joined laterally to
     * its top customer by balance (per-row dependent subquery with ORDER BY
     * + LIMIT). Catalyst decorrelates this into a ranked window join — the
