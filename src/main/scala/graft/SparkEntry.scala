@@ -260,6 +260,12 @@ object SparkEntry {
     "q9n_hits" -> ((s, d) => GraphOps.hits(s, d)),
     // Benford first-digit audit (arithmetic digit, never string cast)
     "q9o_benford" -> (Relational.benfordTotals _),
+    // SCD type-2 history build from the event stream (runs → intervals)
+    "q9p_scd2" -> (Events.scd2History _),
+    // entity resolution: fuzzy match edges → CC → canonical entity id
+    "q9q_entities" -> ((s, d) => FuzzyJoin.entities(s, d)),
+    // z-order clustered layout round-trip, 2-d box predicate
+    "q9r_zorder_box" -> (ScaleOps.zorderedBoxQuery _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -942,6 +948,55 @@ object SparkEntry {
          |  SELECT 'authority', p, round(a, 8) FROM a10n)
          |ORDER BY role, id""".stripMargin
     },
+    // runs collapse identically in both engines: IS DISTINCT FROM is the
+    // lag-null-or-changed flag; timestamps travel as exact epoch micros
+    "q9p_scd2" ->
+      """WITH x AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) IS DISTINCT FROM event_type
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM events),
+        |p AS (SELECT user_id, event_type, ts,
+        |    CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS INT) AS version
+        |  FROM x),
+        |g AS (SELECT user_id, version, event_type AS state, min(ts) AS vf,
+        |        count(*) AS n_events FROM p GROUP BY 1, 2, 3)
+        |SELECT user_id, version, state,
+        |  epoch_us(vf) AS valid_from_us,
+        |  epoch_us(lead(vf) OVER (PARTITION BY user_id ORDER BY version))
+        |    AS valid_to_us,
+        |  lead(vf) OVER (PARTITION BY user_id ORDER BY version) IS NULL
+        |    AS is_current,
+        |  n_events
+        |FROM g ORDER BY user_id, version""".stripMargin,
+    // reachable-set closure over the exact all-pairs levenshtein edges;
+    // min reachable id = the engine's union-find min-id component label
+    "q9q_entities" ->
+      """WITH RECURSIVE e AS MATERIALIZED (
+        |  SELECT a.c_custkey AS u, b.c_custkey AS v
+        |  FROM customer a JOIN customer b
+        |    ON a.c_custkey < b.c_custkey
+        |   AND levenshtein(a.c_name, b.c_name) <= 1),
+        |und AS MATERIALIZED (
+        |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |reach(id, r) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+        |lab AS MATERIALIZED (
+        |  SELECT id, min(r) AS entity FROM reach GROUP BY id),
+        |sz AS (SELECT entity, count(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT id, entity, n_members FROM lab JOIN sz USING (entity)
+        |ORDER BY id""".stripMargin,
+    // the z-ordered round-trip must equal the plain filter + aggregate
+    "q9r_zorder_box" ->
+      """SELECT l_suppkey, count(*) AS cnt,
+        |       round(sum(l_quantity), 6) AS sum_qty,
+        |       round(sum(l_extendedprice), 6) AS sum_price
+        |FROM lineitem
+        |WHERE l_partkey BETWEEN 1 AND 50 AND l_suppkey BETWEEN 1 AND 5
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // e carries u < v, so each triangle {a<b<c} matches exactly once as
     // (a,b)(b,c)+(a,c) — the closing edge lookup is the same forward shape
     // the engine runs, minus the degree orientation it needs for skew

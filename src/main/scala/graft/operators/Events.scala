@@ -546,4 +546,38 @@ object Events {
         round(sum("value"), 6).as("sum_value"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** q9p: SCD type-2 history build — the warehouse/feature-store kernel
+    * that turns an ordered change stream into versioned validity
+    * intervals, which is what point-in-time-correct training joins (the
+    * q67/q74/q77 as-of family) consume. Each user's event-type sequence
+    * is collapsed into runs (state "versions"): a change flag via lag,
+    * a running sum numbers the versions, one group-agg takes each
+    * version's start and event count, and lead() closes the interval —
+    * NULL valid_to marks the current row, exactly the open-ended interval
+    * an as-of join probes. All windows partition by user, so at 100 TB
+    * this is one shuffle by user_id and no global window. Timestamps
+    * travel as epoch MICROSECONDS (exact integers in both engines —
+    * epoch seconds would collide sub-second changes, epoch_ns isn't
+    * portable to engines that truncate to micros). */
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables(spark, dir, "events")
+      .select("user_id", "ts", "event_id", "event_type")
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val prev = lag("event_type", 1).over(w)
+    val chg = when(prev.isNull || col("event_type") =!= prev, 1).otherwise(0)
+    val versioned = e.withColumn("version",
+      sum(chg).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("int"))
+    val runs = versioned
+      .groupBy(col("user_id"), col("version"), col("event_type").as("state"))
+      .agg(min("ts").as("vf"), count(lit(1)).as("n_events"))
+    val byVersion = Window.partitionBy("user_id").orderBy("version")
+    runs.withColumn("vt", lead("vf", 1).over(byVersion))
+      .select(col("user_id"), col("version"), col("state"),
+        unix_micros(col("vf")).as("valid_from_us"),
+        unix_micros(col("vt")).as("valid_to_us"),
+        col("vt").isNull.as("is_current"), col("n_events"))
+      .orderBy("user_id", "version")
+  }
 }

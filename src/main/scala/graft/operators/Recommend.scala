@@ -36,9 +36,15 @@ object Recommend {
       .join(nUsers.select(col("p").as("j"), col("n").as("nj")), "j")
       .select(col("i"), col("j"),
         round(col("shared") / sqrt(col("ni") * col("nj")), 6).as("sim"))
-    // both directions, then rank-k per source item on the rewritten window
-    val directed = sims.unionByName(
-      sims.select(col("j").as("i"), col("i").as("j"), col("sim")))
+    // both directions in ONE pass over the pair relation — a self-union
+    // would re-execute the expensive co-occurrence join per branch (the
+    // q31 double-join lesson); field names must match across the two
+    // structs or the array() won't type-check (the q89 lesson)
+    val directed = sims.select(explode(array(
+        struct(col("i").as("i"), col("j").as("j"), col("sim").as("sim")),
+        struct(col("j").as("i"), col("i").as("j"), col("sim").as("sim"))))
+        .as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.sim").as("sim"))
     val w = Window.partitionBy("i").orderBy(col("sim").desc, col("j"))
     directed.withColumn("rn", row_number().over(w))
       .where(col("rn") <= k)

@@ -188,4 +188,55 @@ object ScaleOps {
       .agg(count(lit(1)).as("cnt"), round(sum("l_quantity"), 6).as("sum_qty"))
       .orderBy("l_returnflag")
   }
+
+  /** Morton (z-order) key: interleave the low 32 bits of two non-negative
+    * keys — bit-spreading by shift/mask magic constants, pure codegen'd
+    * integer ops (no UDF, no loop). Rows close in BOTH dimensions land
+    * close on the z-curve, which is what makes multi-column min/max
+    * skipping work after range-partitioning by z. */
+  private def spreadBits(c: Column): Column = {
+    var x = c.cast("long").bitwiseAND(lit(0xFFFFFFFFL))
+    x = x.bitwiseOR(shiftleft(x, 16)).bitwiseAND(lit(0x0000FFFF0000FFFFL))
+    x = x.bitwiseOR(shiftleft(x, 8)).bitwiseAND(lit(0x00FF00FF00FF00FFL))
+    x = x.bitwiseOR(shiftleft(x, 4)).bitwiseAND(lit(0x0F0F0F0F0F0F0F0FL))
+    x = x.bitwiseOR(shiftleft(x, 2)).bitwiseAND(lit(0x3333333333333333L))
+    x.bitwiseOR(shiftleft(x, 1)).bitwiseAND(lit(0x5555555555555555L))
+  }
+
+  def zorderKey(a: Column, b: Column): Column =
+    spreadBits(a).bitwiseOR(shiftleft(spreadBits(b), 1))
+
+  /** q9r: z-order clustered layout, proven end-to-end — the multi-
+    * dimensional generalization of q83's single-column partition pruning.
+    * Hive-partitioning skips on ONE column; a 2-d box predicate
+    * (partkey × suppkey) over a layout clustered on either single column
+    * still reads ~everything on the other. Writing the fact table range-
+    * partitioned AND sorted by the interleaved [[zorderKey]] makes every
+    * file/row-group cover a small rectangle of (partkey, suppkey) space,
+    * so parquet min/max stats prune the box on BOTH columns at once — at
+    * 100 TB the dominant cost term is files opened, and this layout is
+    * the difference between reading the box and reading the table. The
+    * query itself filters the round-tripped layout (PushedFilters reach
+    * the scan; the z column is dropped before the write — it's a layout
+    * device, not data) and must equal the plain filter+aggregate over the
+    * original table, which is the oracle. */
+  def zorderedBoxQuery(spark: SparkSession, dir: String): DataFrame = {
+    val stage = graft.sources.Staging.once("q9r-zorder", dir) { out =>
+      graft.Tables(spark, dir, "lineitem")
+        .select("l_partkey", "l_suppkey", "l_quantity", "l_extendedprice")
+        .withColumn("z", zorderKey(col("l_partkey"), col("l_suppkey")))
+        .repartitionByRange(16, col("z"))
+        .sortWithinPartitions("z")
+        .drop("z")
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(stage)
+      .where(col("l_partkey").between(1, 50) &&
+        col("l_suppkey").between(1, 5))
+      .groupBy("l_suppkey")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum("l_quantity"), 6).as("sum_qty"),
+        round(sum("l_extendedprice"), 6).as("sum_price"))
+      .orderBy("l_suppkey")
+  }
 }

@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSuite, Tables}
+
+/** Round-5 second batch: SCD2 interval algebra, entity-resolution
+  * transitivity, the Morton key's bit math, and HITS' bipartite
+  * normalization invariants.
+  */
+class Round5bSpec extends AnyFunSuite with SparkSuite {
+
+  test("scd2 intervals are contiguous, exhaustive and close exactly once") {
+    val h = Events.scd2History(spark, sfDir).cache()
+    val rows = h.collect()
+    // every event is in exactly one version
+    val nEvents = Tables(spark, sfDir, "events").count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents)
+    // per user: versions 1..k, exactly one open (current) interval, and
+    // each interval's valid_to equals the next interval's valid_from
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("version"))
+      assert(sorted.map(_.getAs[Int]("version")).toSeq == (1 to rs.length),
+        s"user $u: version numbering has gaps")
+      assert(rs.count(_.getAs[Boolean]("is_current")) == 1,
+        s"user $u: not exactly one current row")
+      assert(sorted.last.getAs[Boolean]("is_current"))
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Long]("valid_to_us") == b.getAs[Long]("valid_from_us"),
+            s"user $u: interval gap between v${a.getAs[Int]("version")} and next")
+          // a run ends exactly where the state changes
+          assert(a.getAs[String]("state") != b.getAs[String]("state"),
+            s"user $u: adjacent versions share a state (runs not maximal)")
+        case _ => ()
+      }
+    }
+    h.unpersist()
+  }
+
+  test("entity labels are edge-consistent and canonical (min member id)") {
+    val ents = FuzzyJoin.entities(spark, sfDir).cache()
+    val label = ents.collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("entity")).toMap
+    // both endpoints of every match edge resolve to the same entity
+    val edges = FuzzyJoin.customerNamePairs(spark, sfDir).collect()
+    edges.foreach { r =>
+      val (a, b) = (r.getAs[Long]("id_a"), r.getAs[Long]("id_b"))
+      assert(label(a) == label(b), s"edge ($a,$b) splits entities")
+    }
+    // the label IS a member of its own cluster, and its minimum
+    label.groupBy(_._2).foreach { case (ent, members) =>
+      assert(members.keys.min == ent, s"entity $ent is not the min member")
+    }
+    // cluster sizes agree with the label multiset
+    val sizes = ents.collect()
+      .map(r => r.getAs[Long]("entity") -> r.getAs[Long]("n_members"))
+    val byLabel = label.values.groupBy(identity).view.mapValues(_.size).toMap
+    sizes.foreach { case (e, n) => assert(byLabel(e).toLong == n) }
+    ents.unpersist()
+  }
+
+  test("morton key interleaves bits (known values + order locality)") {
+    import spark.implicits._
+    val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (0xFFFFL, 0L),
+        (12345L, 54321L))
+      .toDF("a", "b")
+      .select(col("a"), col("b"),
+        ScaleOps.zorderKey(col("a"), col("b")).as("z"))
+    val z = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(z((0L, 0L)) == 0L)
+    assert(z((1L, 0L)) == 1L)      // a occupies even bit positions
+    assert(z((0L, 1L)) == 2L)      // b occupies odd bit positions
+    // 3 = 0b11, 5 = 0b101 → interleave(a=11, b=101) = b2 a2 b1 a1 b0 a0
+    //   = 1 0 0 1 1 1 = 0b100111 = 39
+    assert(z((3L, 5L)) == 39L)
+    assert(z((0xFFFFL, 0L)) == 0x55555555L) // 16 ones spread to even bits
+    // independent reference implementation for an arbitrary pair
+    def ref(a: Long, b: Long): Long =
+      (0 until 32).foldLeft(0L) { (acc, i) =>
+        acc | ((a >> i & 1L) << (2 * i)) | ((b >> i & 1L) << (2 * i + 1))
+      }
+    assert(z((12345L, 54321L)) == ref(12345L, 54321L))
+  }
+
+  test("hits scores are L2-normalized per role with positive mass") {
+    val h = GraphOps.hits(spark, sfDir).cache()
+    val norms = h.groupBy("role")
+      .agg(sum(col("score") * col("score")).as("n2"), min("score").as("mn"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    Seq("hub", "authority").foreach { role =>
+      val (n2, mn) = norms(role)
+      assert(math.abs(n2 - 1.0) < 1e-6, s"$role not L2-normalized: $n2")
+      assert(mn >= 0.0, s"$role has negative score")
+    }
+    h.unpersist()
+  }
+}
