@@ -266,6 +266,10 @@ object SparkEntry {
     "q9q_entities" -> ((s, d) => FuzzyJoin.entities(s, d)),
     // z-order clustered layout round-trip, 2-d box predicate
     "q9r_zorder_box" -> (ScaleOps.zorderedBoxQuery _),
+    // distributed d×d Gramian via the mergeable GramSum aggregate
+    "q9s_gramian" -> (Linalg.gramian _),
+    // top principal direction: cluster Gramian + driver power iteration
+    "q9t_pca_power" -> ((s, d) => Linalg.pcaPower(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -989,6 +993,40 @@ object SparkEntry {
         |sz AS (SELECT entity, count(*) AS n_members FROM lab GROUP BY 1)
         |SELECT id, entity, n_members FROM lab JOIN sz USING (entity)
         |ORDER BY id""".stripMargin,
+    // parallel unnests zip (the q8c idiom): pairwise products summed per
+    // (i, j) replay the engine's outer-product accumulation exactly
+    "q9s_gramian" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |a AS (SELECT vec_id, unnest(range(len(v))) AS i, unnest(v) AS x FROM e),
+        |b AS (SELECT vec_id, unnest(range(len(v))) AS j, unnest(v) AS y FROM e)
+        |SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j,
+        |       round(sum(a.x * b.y), 6) AS g
+        |FROM a JOIN b USING (vec_id) WHERE a.i <= b.j
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    // ten unrolled matvec rounds over the same pairwise-sum Gramian;
+    // v0 = 1/sqrt(64) = 0.125 exactly, normalization once at the end
+    "q9t_pca_power" -> {
+      val base =
+        """WITH e AS MATERIALIZED (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |a AS (SELECT vec_id, unnest(range(len(v))) AS i, unnest(v) AS x FROM e),
+          |b AS (SELECT vec_id, unnest(range(len(v))) AS j, unnest(v) AS y FROM e),
+          |g AS MATERIALIZED (
+          |  SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j,
+          |         sum(a.x * b.y) AS g
+          |  FROM a JOIN b USING (vec_id) GROUP BY 1, 2),
+          |v0 AS MATERIALIZED (
+          |  SELECT DISTINCT i AS dim, 0.125 AS x FROM g)""".stripMargin
+      val rounds = (1 to 10).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v${k - 1}.x) AS x
+           |  FROM g JOIN v${k - 1} ON g.j = v${k - 1}.dim GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds
+         |SELECT dim, round(x / (SELECT sqrt(sum(x * x)) FROM v10), 6)
+         |  AS loading
+         |FROM v10 ORDER BY dim""".stripMargin
+    },
     // the z-ordered round-trip must equal the plain filter + aggregate
     "q9r_zorder_box" ->
       """SELECT l_suppkey, count(*) AS cnt,

@@ -42,6 +42,45 @@ object VecSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
+/** Gramian accumulator: Σ v vᵀ over `array<double>` vectors, the
+  * distributed half of PCA/whitening (Spark MLlib's RowMatrix does the
+  * same split: cluster-side Gramian, driver-side eigen — the d×d result
+  * is tiny for any embedding dim while the row count is the 100 TB axis).
+  * The buffer is ONE d² double array per partition, merged associatively
+  * at the exchange — the shuffle carries partial matrices, never rows.
+  * Like [[VecSum]], the buffer adopts the first vector's dimension. */
+object GramSum extends Aggregator[Seq[Double], Array[Double], Seq[Double]] {
+  override def zero: Array[Double] = Array.emptyDoubleArray
+  override def reduce(b: Array[Double], x: Seq[Double]): Array[Double] = {
+    val v = x.toArray
+    val d = v.length
+    val buf = if (b.isEmpty) new Array[Double](d * d)
+      else { require(b.length == d * d,
+        s"vector length $d incompatible with buffer ${b.length}"); b }
+    var i = 0
+    while (i < d) {
+      val vi = v(i); val off = i * d
+      var j = 0
+      while (j < d) { buf(off + j) += vi * v(j); j += 1 }
+      i += 1
+    }
+    buf
+  }
+  override def merge(a: Array[Double], b: Array[Double]): Array[Double] =
+    if (a.isEmpty) b else if (b.isEmpty) a
+    else {
+      require(a.length == b.length)
+      var i = 0
+      while (i < a.length) { a(i) += b(i); i += 1 }
+      a
+    }
+  override def finish(b: Array[Double]): Seq[Double] = b.toSeq
+  override def bufferEncoder: Encoder[Array[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]()
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
 object GeoMean extends Aggregator[Double, (Double, Long), Double] {
   override def zero: (Double, Long) = (0.0, 0L)
   override def reduce(b: (Double, Long), x: Double): (Double, Long) =

@@ -1,0 +1,75 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Distributed linear algebra over the embedding corpus — the PCA /
+  * whitening front half of an embedding pipeline. The split follows
+  * Spark MLlib's RowMatrix design: the CLUSTER computes the d×d Gramian
+  * Σ v vᵀ with a mergeable custom aggregate
+  * ([[graft.functions.GramSum]] — one d² buffer per partition, partials
+  * merge at the exchange, rows never shuffle), and the DRIVER runs the
+  * O(d²)-per-step eigen iteration on the tiny result — at embedding dims
+  * the matrix is kilobytes while the row count is the 100 TB axis, so
+  * collecting it is the correct scale shape, not a driver-loop smell.
+  */
+object Linalg {
+
+  private def vectors(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+
+  /** The flattened d×d Gramian with dimension decoded from the linear
+    * index; upper triangle only (it is symmetric by construction). */
+  private def gramFlat(spark: SparkSession, dir: String): (Array[Double], Int) = {
+    val g = vectors(spark, dir)
+      .agg(udaf(graft.functions.GramSum).apply(col("v")).as("g"))
+      .head.getSeq[Double](0).toArray
+    (g, math.round(math.sqrt(g.length.toDouble)).toInt)
+  }
+
+  /** q9s: Gramian entries (i ≤ j) at 6 dp — cross-engine pinned by a
+    * DuckDB parallel-unnest pairwise sum. */
+  def gramian(spark: SparkSession, dir: String): DataFrame = {
+    val d = vectors(spark, dir).select(size(col("v"))).head.getInt(0)
+    vectors(spark, dir)
+      .agg(udaf(graft.functions.GramSum).apply(col("v")).as("g"))
+      .select(posexplode(col("g")).as(Seq("k", "value")))
+      .select((col("k") / d).cast("int").as("i"),
+        pmod(col("k"), lit(d)).cast("int").as("j"),
+        round(col("value"), 6).as("g"))
+      .where(col("i") <= col("j"))
+      .orderBy("i", "j")
+  }
+
+  /** q9t: the corpus's top principal direction — `iters` rounds of power
+    * iteration G^k v₀ from the fixed v₀ = 1/√d, normalized once at the
+    * end (per-round normalization is pure rescaling — the q9n lesson).
+    * Deterministic by construction (fixed init, fixed round count), so
+    * the DuckDB oracle replays the identical arithmetic: the same
+    * pairwise-sum Gramian, ten unrolled matvec CTEs, one final
+    * normalization, 6 dp. */
+  def pcaPower(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
+    val (g, d) = gramFlat(spark, dir)
+    var v = Array.fill(d)(1.0 / math.sqrt(d.toDouble))
+    for (_ <- 1 to iters) {
+      val next = new Array[Double](d)
+      var i = 0
+      while (i < d) {
+        val off = i * d
+        var s = 0.0; var j = 0
+        while (j < d) { s += g(off + j) * v(j); j += 1 }
+        next(i) = s; i += 1
+      }
+      v = next
+    }
+    val nrm = math.sqrt(v.map(x => x * x).sum)
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (x, i) => (i, BigDecimal(x / nrm)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .toSeq.toDF("dim", "loading")
+      .orderBy("dim")
+  }
+}

@@ -84,6 +84,61 @@ class Round5bSpec extends AnyFunSuite with SparkSuite {
     assert(z((12345L, 54321L)) == ref(12345L, 54321L))
   }
 
+  test("distributed gramian equals the single-machine outer-product sum") {
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = vecs.head.length
+    val ref = new Array[Double](d * d)
+    vecs.foreach { v =>
+      var i = 0
+      while (i < d) {
+        var j = 0
+        while (j < d) { ref(i * d + j) += v(i) * v(j); j += 1 }
+        i += 1
+      }
+    }
+    val got = Linalg.gramian(spark, sfDir).collect()
+    assert(got.length == d * (d + 1) / 2)
+    got.foreach { r =>
+      val (i, j) = (r.getAs[Int]("i"), r.getAs[Int]("j"))
+      assert(math.abs(r.getAs[Double]("g") - ref(i * d + j)) < 1e-5,
+        s"gramian($i,$j) mismatch")
+    }
+    // partial/merge path: repartitioning must not change the aggregate
+    val re = Tables(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>").as("v"))
+      .repartition(7)
+      .agg(udaf(graft.functions.GramSum).apply(col("v")))
+      .head.getSeq[Double](0)
+    re.zipWithIndex.foreach { case (x, k) =>
+      assert(math.abs(x - ref(k)) < 1e-8, s"merge path diverges at $k")
+    }
+  }
+
+  test("power-iteration direction is unit-norm and near-invariant under G") {
+    val load = Linalg.pcaPower(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("dim") -> r.getAs[Double]("loading"))
+      .sortBy(_._1).map(_._2)
+    assert(math.abs(load.map(x => x * x).sum - 1.0) < 1e-4)
+    // after 10 rounds G·v should be nearly parallel to v (cosine ≈ 1):
+    // the Rayleigh-quotient residual bounds convergence independent of
+    // the (unknown) eigengap magnitude on fixture data
+    val vecs = Tables(spark, sfDir, "embeddings")
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    val d = load.length
+    val gv = new Array[Double](d)
+    vecs.foreach { v =>
+      val proj = v.indices.map(i => v(i) * load(i)).sum
+      var i = 0
+      while (i < d) { gv(i) += proj * v(i); i += 1 }
+    }
+    val nGv = math.sqrt(gv.map(x => x * x).sum)
+    val cos = gv.indices.map(i => gv(i) * load(i)).sum / nGv
+    assert(cos > 0.99, s"G·v not aligned with v: cos=$cos")
+  }
+
   test("hits scores are L2-normalized per role with positive mass") {
     val h = GraphOps.hits(spark, sfDir).cache()
     val norms = h.groupBy("role")
