@@ -270,6 +270,12 @@ object SparkEntry {
     "q9s_gramian" -> (Linalg.gramian _),
     // top principal direction: cluster Gramian + driver power iteration
     "q9t_pca_power" -> ((s, d) => Linalg.pcaPower(s, d)),
+    // deterministic contrastive negative sampling (offset-mod-n, no self)
+    "q9u_neg_pairs" -> ((s, d) => Sampling.negativePairs(s, d)),
+    // leave-one-out temporal split (last event per user = eval)
+    "q9v_loo_split" -> (Sampling.leaveOneOutSplit _),
+    // stream-static broadcast enrichment join, drained end-to-end
+    "q9w_stream_enrich" -> (graft.streaming.EventStream.enrichedNationCounts _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1027,6 +1033,28 @@ object SparkEntry {
          |  AS loading
          |FROM v10 ORDER BY dim""".stripMargin
     },
+    // the multiplicative-hash draw is plain BIGINT arithmetic — identical
+    // in both engines, so the oracle replays every draw exactly
+    "q9u_neg_pairs" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |s AS (SELECT doc_id, unnest(range(4)) AS k FROM documents)
+        |SELECT doc_id, CAST(k AS INT) AS k,
+        |  (doc_id + 1 + CAST(floor((doc_id * 4 + k) * 2654435761 % 4294967296
+        |       / 4294967296.0 * (n - 1)) AS BIGINT)) % n AS neg_id
+        |FROM s CROSS JOIN n ORDER BY doc_id, k""".stripMargin,
+    "q9v_loo_split" ->
+      """WITH r AS (SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
+        |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // the drained stream-static join must equal the batch join+aggregate
+    "q9w_stream_enrich" ->
+      """SELECT c_nationkey, count(*) AS n, round(sum(value), 6) AS sum_value
+        |FROM events JOIN customer ON user_id = c_custkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     // the z-ordered round-trip must equal the plain filter + aggregate
     "q9r_zorder_box" ->
       """SELECT l_suppkey, count(*) AS cnt,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Deterministic sampling / dataset-splitting operators — the
@@ -93,6 +94,45 @@ object Sampling {
     * shuffles, and the weights relation is sources-sized (tiny) at any
     * corpus scale. These weights FEED [[weightedSample]] (q8k) as the
     * per-source `w`. */
+  /** q9u: deterministic negative sampling — the contrastive-training
+    * primitive: each document draws `k` pseudo-random negatives, as a
+    * pure function of (doc_id, k) via [[hashFraction]] so reruns,
+    * appends and both engines agree. The draw is an OFFSET in
+    * [1, n−1] added mod n, which can never land on the document itself —
+    * no rejection loop, no second pass. One broadcast scalar (the corpus
+    * count) and a k-row generator per document: linear, shuffle-free,
+    * and the output is exactly |docs| × k rows at any scale.
+    * (Contract note: ids are assumed dense 0..n−1, as the fixture's are;
+    * sparse ids would first map through a rank relation.) */
+  def negativePairs(spark: SparkSession, dir: String, k: Int = 4): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id")
+    val n = docs.agg(count(lit(1)).as("n"))
+    docs.crossJoin(broadcast(n))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), lit(k - 1L))).as("k"), col("n"))
+      .withColumn("u", hashFraction(col("doc_id") * k + col("k")))
+      .select(col("doc_id"), col("k").cast("int").as("k"),
+        pmod(col("doc_id") + 1L + floor(col("u") * (col("n") - 1)),
+          col("n")).as("neg_id"))
+      .orderBy("doc_id", "k")
+  }
+
+  /** q9v: leave-one-out temporal split — the standard recsys/eval
+    * protocol: each user's LAST event (by ts, event_id tie-break) is the
+    * eval item, everything earlier is train. Splitting on time per user
+    * (never randomly across a user's history) is what keeps future
+    * interactions out of the training side. One window per user
+    * partition — a single shuffle by user_id, no global ordering. */
+  def leaveOneOutSplit(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables(spark, dir, "events")
+      .withColumn("rn", row_number().over(w))
+      .select(col("user_id"), col("event_id"),
+        when(col("rn") === 1, "eval").otherwise("train").as("split"))
+      .orderBy("user_id", "event_id")
+  }
+
   def mixtureWeights(spark: SparkSession, dir: String, alpha: Double = 0.7,
       epochDocs: Long = 10000L): DataFrame = {
     val n = Tables(spark, dir, "documents")

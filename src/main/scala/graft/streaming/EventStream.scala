@@ -238,4 +238,38 @@ object EventStream {
         col("start_s"), col("end_s"), col("sum_value"))
       .orderBy("user_id", "session_seq")
   }
+
+  /** q9w: stream-static enrichment — the dimension-join pattern every
+    * production stream runs: the unbounded event stream joins the
+    * BOUNDED customer dimension (broadcast — the dim is re-read per
+    * micro-batch, so updates to it are picked up, and the stream side
+    * never shuffles for the join), then aggregates per nation in
+    * complete mode. No watermark or sentinel is needed: stream-static
+    * inner joins are stateless (nothing on the static side ever
+    * arrives late), which is exactly why this shape scales where
+    * stream-stream joins need state budgets. Drained end-to-end on the
+    * file source; must equal the batch join+aggregate (the oracle). */
+  def enrichedNationCounts(spark: SparkSession, dir: String): DataFrame = {
+    import java.nio.file.{Files, Paths}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stage = Paths.get(graft.sources.Staging.fresh("q9w-src"))
+    Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val stream = spark.readStream.schema(raw.schema).parquet(stage.toString)
+      .select(col("user_id"), col("value"))
+    val dim = broadcast(graft.Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_nationkey")))
+    val agg = stream.join(dim, stream("user_id") === dim("c_custkey"))
+      .groupBy("c_nationkey")
+      .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
+    val sink = "q9w_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try agg.writeStream.format("memory").queryName(sink)
+        .outputMode("complete").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+    spark.table(sink).orderBy("c_nationkey")
+  }
 }

@@ -139,6 +139,40 @@ class Round5bSpec extends AnyFunSuite with SparkSuite {
     assert(cos > 0.99, s"G·v not aligned with v: cos=$cos")
   }
 
+  test("negative sampling never draws the anchor and is rerun-stable") {
+    val p1 = Sampling.negativePairs(spark, sfDir).collect()
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(p1.length == nDocs * 4)
+    p1.foreach { r =>
+      assert(r.getAs[Long]("neg_id") != r.getAs[Long]("doc_id"),
+        s"doc ${r.getAs[Long]("doc_id")} drew itself")
+      assert(r.getAs[Long]("neg_id") >= 0 && r.getAs[Long]("neg_id") < nDocs)
+    }
+    val p2 = Sampling.negativePairs(spark, sfDir).collect()
+    assert(p1.map(_.toString).sameElements(p2.map(_.toString)), "not deterministic")
+  }
+
+  test("leave-one-out split holds out exactly the last event per user") {
+    val s = Sampling.leaveOneOutSplit(spark, sfDir).cache()
+    val perUser = s.groupBy("user_id")
+      .agg(sum(when(col("split") === "eval", 1).otherwise(0)).as("nEval"))
+      .collect()
+    perUser.foreach(r => assert(r.getAs[Long]("nEval") == 1L,
+      s"user ${r.get(0)}: ${r.get(1)} eval rows"))
+    // the eval event is the max-ts one (event_id tie-break)
+    val lastByUser = Tables(spark, sfDir, "events")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .where(col("rn") === 1)
+      .select("user_id", "event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    s.where(col("split") === "eval").collect().foreach { r =>
+      assert(lastByUser((r.getAs[Long]("user_id"), r.getAs[Long]("event_id"))))
+    }
+    s.unpersist()
+  }
+
   test("hits scores are L2-normalized per role with positive mass") {
     val h = GraphOps.hits(spark, sfDir).cache()
     val norms = h.groupBy("role")
