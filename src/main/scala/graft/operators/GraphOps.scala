@@ -610,13 +610,16 @@ object GraphOps {
     var pr = w.select(col("src").as("v")).distinct()
       .select(col("v"), lit(1.0 / n).as("r"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      pr = w.join(pr, w("src") === pr("v"))
+    for (i <- 1 to iters) {
+      val next = w.join(pr, w("src") === pr("v"))
         .groupBy(col("dst").as("nv"))
         .agg(sum(col("r") * col("w")).as("mass"))
         .select(col("nv").as("v"),
           (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("r"))
-        .localCheckpoint()
+      // checkpoint every SECOND superstep (and the last): plan depth stays
+      // ≤ 2 supersteps — still O(1) analysis — while halving the number of
+      // job barriers; each checkpoint job simply executes two supersteps
+      pr = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     w.unpersist() // pr is materialized past the last superstep; w is done
     pr.select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
@@ -651,8 +654,8 @@ object GraphOps {
     var labels = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .localCheckpoint()
-    for (_ <- 1 to iters) {
-      labels = nbrs.join(labels, nbrs("v") === labels("vertex"))
+    for (i <- 1 to iters) {
+      val next = nbrs.join(labels, nbrs("v") === labels("vertex"))
         .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
         // most-frequent neighbor label, ties to the smallest label:
         // min over the (-cnt, label) ordering
@@ -660,7 +663,9 @@ object GraphOps {
           min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
             .as("label"))
         .select(col("u").as("vertex"), col("label"))
-        .localCheckpoint()
+      // every-2nd-superstep checkpoint (see pageRank): half the job
+      // barriers at plan depth ≤ 2
+      labels = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     nbrs.unpersist()
     labels.select(col("vertex"), col("label").as("community"))
@@ -898,27 +903,24 @@ object GraphOps {
     val inc = incidence(spark, dir)
     var hub = inc.select(col("c")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint()
-    // Tier the hub half-step: the hub vector is one row per customer and
-    // already MATERIALIZED (checkpointed), so while it fits the broadcast
-    // budget the cached incidence joins it partition-local — broadcasting
-    // a materialized checkpoint is cheap, whereas broadcasting the lazy
-    // mid-round auth aggregate would serialize the round behind a
-    // driver-side broadcast build (measured slower), so that half-step
-    // stays a shuffle join whose auth side reuses the groupBy("p")
-    // partitioning. Past the budget (hub.count() on the checkpoint is a
-    // no-op job) it degrades to the plain shuffle join, the same tier
-    // split as componentsAuto/betweenness.
-    val small = hub.count() <= 2000000L
-    def side(v: DataFrame): DataFrame = if (small) broadcast(v) else v
+    // Plain shuffle joins against the cached incidence: a broadcast tier
+    // for the rank vector was measured and REJECTED — broadcasting the
+    // lazy mid-round aggregates serializes each round behind a driver-
+    // side broadcast build, broadcasting only materialized checkpoints
+    // forces a checkpoint every round, and either way the groupBy
+    // exchange (the actual cost) remains. The shuffle form instead
+    // checkpoints every SECOND round (the q88 cadence: plan depth ≤ 2,
+    // half the job barriers) and is the shape that holds when the rank
+    // vector outgrows any broadcast budget.
     var auth: DataFrame = null
     for (i <- 1 to iters) {
-      val a0 = inc.join(side(hub), "c").groupBy("p").agg(sum("h").as("a"))
+      val a0 = inc.join(hub, "c").groupBy("p").agg(sum("h").as("a"))
       // auth stays lazy inside the hub job except on the last round,
       // where it is materialized for the output
       val authStep = if (i == iters) { auth = a0.localCheckpoint(); auth }
                      else a0
-      hub = inc.join(authStep, "p").groupBy("c").agg(sum("a").as("h"))
-        .localCheckpoint()
+      val next = inc.join(authStep, "p").groupBy("c").agg(sum("a").as("h"))
+      hub = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     val hn = hub.agg(sqrt(sum(col("h") * col("h"))).as("nrm"))
     val an = auth.agg(sqrt(sum(col("a") * col("a"))).as("nrm"))
