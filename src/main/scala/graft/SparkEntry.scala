@@ -276,6 +276,10 @@ object SparkEntry {
     "q9v_loo_split" -> (Sampling.leaveOneOutSplit _),
     // stream-static broadcast enrichment join, drained end-to-end
     "q9w_stream_enrich" -> (graft.streaming.EventStream.enrichedNationCounts _),
+    // incremental aggregate maintenance: stored partials + delta merge
+    "q9x_incr_agg" -> ((s, d) => Events.incrementalHourly(s, d)),
+    // cumulative distinct users (first-seen agg before the global window)
+    "q9y_cum_users" -> (Events.cumulativeUsers _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1050,6 +1054,20 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // the merged-partials refresh must equal the from-scratch aggregate
+    "q9x_incr_agg" ->
+      """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,
+        |       event_type, count(*) AS n, round(sum(value), 6) AS sum_value,
+        |       round(sum(value) / count(*), 6) AS avg_value
+        |FROM events GROUP BY 1, 2 ORDER BY hour_s, event_type""".stripMargin,
+    "q9y_cum_users" ->
+      """WITH fs AS (SELECT o_custkey, min(strftime(o_orderdate, '%Y-%m'))
+        |    AS month FROM orders GROUP BY 1),
+        |m AS (SELECT month, count(*) AS new_customers FROM fs GROUP BY 1)
+        |SELECT month, new_customers,
+        |  CAST(sum(new_customers) OVER (ORDER BY month
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_customers
+        |FROM m ORDER BY month""".stripMargin,
     // the drained stream-static join must equal the batch join+aggregate
     "q9w_stream_enrich" ->
       """SELECT c_nationkey, count(*) AS n, round(sum(value), 6) AS sum_value

@@ -547,6 +547,61 @@ object Events {
       .orderBy("user_id", "session_seq")
   }
 
+  /** q9x: incremental aggregate maintenance — the materialized-view
+    * pattern that makes daily pipelines affordable: the aggregate is
+    * stored as MERGEABLE PARTIAL STATE (count + sum, never finished
+    * averages — an avg can't absorb a delta), new data aggregates to the
+    * same partial shape, and the refresh merges states instead of
+    * rescanning history. At 100 TB the base relation is petabyte-days of
+    * history while the delta is one day: this is the difference between
+    * O(delta) and O(history) per refresh. The straddling hour (present
+    * in both base and delta) is the case the merge has to get right.
+    * Must equal the from-scratch aggregate — which is the oracle. */
+  def incrementalHourly(spark: SparkSession, dir: String,
+      cutoff: String = "2024-01-16 00:00:00"): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val cutTs = to_timestamp(lit(cutoff))
+    def partials(df: DataFrame): DataFrame = df
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    // the stored base state — persisted once, as an engine would keep a
+    // materialized view; reruns read it instead of rebuilding
+    val stage = graft.sources.Staging.once("q9x-base", dir) { out =>
+      partials(ev.where(col("ts") < cutTs))
+        .write.mode("overwrite").parquet(out)
+    }
+    spark.read.parquet(stage)
+      .unionByName(partials(ev.where(col("ts") >= cutTs)))
+      .groupBy("hour_s", "event_type")
+      .agg(sum("n").as("n"), sum("sv").as("sv"))
+      .select(col("hour_s"), col("event_type"), col("n"),
+        round(col("sv"), 6).as("sum_value"),
+        round(col("sv") / col("n"), 6).as("avg_value"))
+      .orderBy("hour_s", "event_type")
+  }
+
+  /** q9y: cumulative distinct customers by order month — the growth-
+    * accounting query that naive COUNT(DISTINCT) OVER cannot express
+    * scalably. Each customer contributes once at their FIRST order month
+    * (one customer-keyed aggregate); monthly news then cumulate under a
+    * global window that runs over the |months| relation, not |orders| —
+    * the aggregate-before-window shape that keeps the unpartitioned
+    * window harmless at any scale. (Orders, not events: the fixture's
+    * event stream saturates its user base in two days, while order dates
+    * span seven years — a real acquisition curve.) */
+  def cumulativeUsers(spark: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Tables(spark, dir, "orders")
+      .groupBy("o_custkey")
+      .agg(min(date_format(col("o_orderdate"), "yyyy-MM")).as("month"))
+    val monthly = firstSeen.groupBy("month").agg(count(lit(1)).as("new_customers"))
+    val w = Window.orderBy("month")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    monthly.withColumn("cum_customers", sum("new_customers").over(w))
+      .select(col("month"), col("new_customers"), col("cum_customers"))
+      .orderBy("month")
+  }
+
   /** q9p: SCD type-2 history build — the warehouse/feature-store kernel
     * that turns an ordered change stream into versioned validity
     * intervals, which is what point-in-time-correct training joins (the
