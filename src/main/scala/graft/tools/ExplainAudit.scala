@@ -35,7 +35,14 @@ object ExplainAudit {
       "q8o_funnel", "q8v_skyline", "q8w_jsd_drift", "q9a_mode",
       // q9d: CF co-occurrence + native top-k; q9i: the scan IS the
       // aggregate (pushedAggs in the BatchScan, 3-column readSchema)
-      "q9d_item_recs", "q9i_dsv2_agg").foreach { name =>
+      "q9d_item_recs", "q9i_dsv2_agg",
+      // round-5 third batch: SCD2's single user-partitioned window
+      // cascade; the z-order round-trip's PushedFilters on BOTH box
+      // columns; the Gramian's single ObjectHashAggregate (partial+final
+      // pair, no row explosion); the incremental merge reading stored
+      // partials beside the delta's partial aggregate
+      "q9p_scd2", "q9r_zorder_box", "q9s_gramian", "q9x_incr_agg")
+      .foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
@@ -44,6 +51,20 @@ object ExplainAudit {
     println("\n===== bucketed_join (ScaleOps) =====")
     import org.apache.spark.sql.functions.col
     spark.sql("DROP TABLE IF EXISTS audit_l"); spark.sql("DROP TABLE IF EXISTS audit_p")
+    // DROP TABLE on a fresh catalog doesn't clear a leftover warehouse
+    // dir from a previous JVM — remove the locations or the write fails
+    // with LOCATION_ALREADY_EXISTS
+    val wh = java.nio.file.Paths.get(spark.conf.get("spark.sql.warehouse.dir")
+      .stripPrefix("file:"))
+    Seq("audit_l", "audit_p").foreach { t =>
+      val p = wh.resolve(t)
+      if (java.nio.file.Files.exists(p)) {
+        val s = java.nio.file.Files.walk(p)
+        try s.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(f => { java.nio.file.Files.deleteIfExists(f); () })
+        finally s.close()
+      }
+    }
     graft.operators.ScaleOps.writeBucketed(
       graft.Tables(spark, dir, "lineitem").select("l_partkey", "l_quantity"),
       "audit_l", 8, Seq("l_partkey"))
