@@ -280,6 +280,10 @@ object SparkEntry {
     "q9x_incr_agg" -> ((s, d) => Events.incrementalHourly(s, d)),
     // cumulative distinct users (first-seen agg before the global window)
     "q9y_cum_users" -> (Events.cumulativeUsers _),
+    // snapshot-as-of (time travel): priority filter + latest-wins pick
+    "q9z_snapshot_asof" -> ((s, d) => Mutations.snapshotAt(s, d)),
+    // projection onto the PCA top direction, magnitude-ranked shortlist
+    "qa0_pca_scores" -> ((s, d) => Linalg.pcaScores(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1054,6 +1058,46 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // the as-of winner per key is arithmetic over the batch residues;
+    // md5(text-bytes) travels cross-engine (the q72 discipline)
+    "q9z_snapshot_asof" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 2
+        |       WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS version,
+        |  md5(CASE WHEN doc_id % 5 = 0 THEN text || ' v2'
+        |           WHEN doc_id % 3 = 0 THEN upper(text)
+        |           ELSE text END) AS h
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    // the q9t chain verbatim, then one unnest join projects every vector
+    // onto the rounded loading vector — both engines use the identical v
+    "qa0_pca_scores" -> {
+      val base =
+        """WITH e AS MATERIALIZED (
+          |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |a AS (SELECT vec_id, unnest(range(len(v))) AS i, unnest(v) AS x FROM e),
+          |b AS (SELECT vec_id, unnest(range(len(v))) AS j, unnest(v) AS y FROM e),
+          |g AS MATERIALIZED (
+          |  SELECT CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j,
+          |         sum(a.x * b.y) AS g
+          |  FROM a JOIN b USING (vec_id) GROUP BY 1, 2),
+          |v0 AS MATERIALIZED (
+          |  SELECT DISTINCT i AS dim, 0.125 AS x FROM g)""".stripMargin
+      val rounds = (1 to 10).map { k =>
+        s"""v$k AS MATERIALIZED (SELECT g.i AS dim, sum(g.g * v${k - 1}.x) AS x
+           |  FROM g JOIN v${k - 1} ON g.j = v${k - 1}.dim GROUP BY 1)""".stripMargin
+      }.mkString(",\n")
+      s"""$base,
+         |$rounds,
+         |vn AS MATERIALIZED (
+         |  SELECT dim, round(x / (SELECT sqrt(sum(x * x)) FROM v10), 6)
+         |    AS loading FROM v10),
+         |u AS (SELECT vec_id, unnest(range(len(v))) AS dim, unnest(v) AS x
+         |      FROM e),
+         |s AS (SELECT vec_id, round(sum(x * loading), 5) AS score
+         |      FROM u JOIN vn ON u.dim = vn.dim GROUP BY vec_id)
+         |SELECT vec_id, score FROM s
+         |ORDER BY abs(score) DESC, vec_id LIMIT 25""".stripMargin
+    },
     // the merged-partials refresh must equal the from-scratch aggregate
     "q9x_incr_agg" ->
       """SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS hour_s,

@@ -72,4 +72,25 @@ object Linalg {
       .toSeq.toDF("dim", "loading")
       .orderBy("dim")
   }
+
+  /** qa0: PCA projection scores — [[pcaPower]] made actionable: every
+    * vector's coordinate along the top principal direction, ranked by
+    * magnitude (the "most extreme along the dominant axis" shortlist an
+    * outlier/diversity pass consumes). The direction is the ROUNDED
+    * 6-dp loading vector — both engines therefore project onto the
+    * bit-identical v — applied as one per-row zip_with/aggregate dot
+    * product: a map over the corpus, no shuffle until the bounded top-k.
+    * Ranking uses the 5-dp-rounded score with vec_id tie-break (the q8k
+    * discipline), so the top-k SET is deterministic cross-engine. */
+  def pcaScores(spark: SparkSession, dir: String, k: Int = 25): DataFrame = {
+    val loadings = pcaPower(spark, dir).collect()
+      .sortBy(_.getAs[Int]("dim")).map(_.getAs[Double]("loading"))
+    val vlit = typedLit(loadings)
+    vectors(spark, dir)
+      .select(col("vec_id"),
+        round(aggregate(zip_with(col("v"), vlit, (a, b) => a * b),
+          lit(0.0), (acc, x) => acc + x), 5).as("score"))
+      .orderBy(abs(col("score")).desc, col("vec_id"))
+      .limit(k)
+  }
 }

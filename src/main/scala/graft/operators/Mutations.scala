@@ -37,4 +37,33 @@ object Mutations {
       .select(col("doc_id"), col("lang"), md5(col("text").cast("binary")).as("h"))
       .orderBy("doc_id")
   }
+
+  /** q9z: snapshot-as-of (time travel) — the versioned-read semantics a
+    * table format provides, as the engine kernel it compiles to: with
+    * change batches tagged by commit sequence, reading "as of seq k" is
+    * a PRIORITY FILTER (`__pri <= k`) before the same latest-wins
+    * per-key pick [[upsert]] runs — no format metadata required, and the
+    * plan is one shuffle on the key regardless of how many batches are
+    * visible. The three change batches are deterministic rewrites of the
+    * corpus (upper / suffix / reverse over different key residues, with
+    * overlaps — the case where as-of ordering matters), so the oracle
+    * reconstructs the exact winning version per key arithmetically. */
+  def snapshotAt(spark: SparkSession, dir: String, asOf: Int = 2): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val batches = Seq(
+      1 -> docs.where(col("doc_id") % 3 === 0)
+        .withColumn("text", upper(col("text"))),
+      2 -> docs.where(col("doc_id") % 5 === 0)
+        .withColumn("text", concat(col("text"), lit(" v2"))),
+      3 -> docs.where(col("doc_id") % 7 === 0)
+        .withColumn("text", reverse(col("text"))))
+    val log = batches.foldLeft(docs.withColumn("__pri", lit(0))) {
+      case (acc, (k, b)) => acc.unionByName(b.withColumn("__pri", lit(k)))
+    }
+    graft.plans.TopKPerGroup(log.where(col("__pri") <= asOf),
+        Seq("doc_id"), Seq(("__pri", true)), 1, "__rn")
+      .select(col("doc_id"), col("__pri").cast("int").as("version"),
+        md5(col("text").cast("binary")).as("h"))
+      .orderBy("doc_id")
+  }
 }
