@@ -901,27 +901,34 @@ object GraphOps {
     * engines' summation-order/scaling drift. */
   def hits(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
     val inc = incidence(spark, dir)
-    var hub = inc.select(col("c")).distinct()
+    // The static incidence is joined on c and on p EVERY round — shuffling
+    // it 2×iters times is the dominant cost. Pre-partition it once per
+    // key (two cached copies): each round's joins then align with the
+    // rank vectors (groupBy output and localCheckpoint both preserve hash
+    // partitioning), so the only exchanges left are the two per-round
+    // TRANSPOSES (groupBy p after a c-join and vice versa), which no
+    // layout can avoid. This is the iterate-vs-static discipline every
+    // Pregel-style loop wants: shuffle the static side once, ever.
+    val incC = inc.repartition(col("c")).cache()
+    val incP = inc.repartition(col("p")).cache()
+    var hub = incC.select(col("c")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint()
-    // Plain shuffle joins against the cached incidence: a broadcast tier
-    // for the rank vector was measured and REJECTED — broadcasting the
-    // lazy mid-round aggregates serializes each round behind a driver-
-    // side broadcast build, broadcasting only materialized checkpoints
-    // forces a checkpoint every round, and either way the groupBy
-    // exchange (the actual cost) remains. The shuffle form instead
-    // checkpoints every SECOND round (the q88 cadence: plan depth ≤ 2,
-    // half the job barriers) and is the shape that holds when the rank
-    // vector outgrows any broadcast budget.
+    // A broadcast tier for the rank vector was measured and REJECTED —
+    // broadcasting the lazy mid-round aggregates serializes each round
+    // behind a driver-side broadcast build, and the transpose exchange
+    // remains either way. Checkpoint every SECOND round (the q88
+    // cadence: plan depth ≤ 2, half the job barriers).
     var auth: DataFrame = null
     for (i <- 1 to iters) {
-      val a0 = inc.join(hub, "c").groupBy("p").agg(sum("h").as("a"))
+      val a0 = incC.join(hub, "c").groupBy("p").agg(sum("h").as("a"))
       // auth stays lazy inside the hub job except on the last round,
       // where it is materialized for the output
       val authStep = if (i == iters) { auth = a0.localCheckpoint(); auth }
                      else a0
-      val next = inc.join(authStep, "p").groupBy("c").agg(sum("a").as("h"))
+      val next = incP.join(authStep, "p").groupBy("c").agg(sum("a").as("h"))
       hub = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
+    incC.unpersist(); incP.unpersist() // results live in checkpoints
     val hn = hub.agg(sqrt(sum(col("h") * col("h"))).as("nrm"))
     val an = auth.agg(sqrt(sum(col("a") * col("a"))).as("nrm"))
     hub.crossJoin(broadcast(hn))
