@@ -284,6 +284,10 @@ object SparkEntry {
     "q9z_snapshot_asof" -> ((s, d) => Mutations.snapshotAt(s, d)),
     // projection onto the PCA top direction, magnitude-ranked shortlist
     "qa0_pca_scores" -> ((s, d) => Linalg.pcaScores(s, d)),
+    // Zipf rank-frequency OLS fit (corpus-health diagnostic)
+    "qa1_zipf" -> ((s, d) => TextOps.zipfFit(s, d)),
+    // q46 as pure SQL text: injected registry + rewrite rules end-to-end
+    "qa2_ann_sql" -> (Similarity.cosineTopKSql _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -304,7 +308,8 @@ object SparkEntry {
       ("q7d_salted_join" -> m("q14_sql_api")) +
       ("q84_binaryfile_source" -> m("q50_text_stats")) +
       ("q8f_dsv2_source" -> m("q09_distinct")) +
-      ("q9c_cdc_stream" -> m("q72_upsert"))
+      ("q9c_cdc_stream" -> m("q72_upsert")) +
+      ("qa2_ann_sql" -> m("q46_ann_brute"))
   }
 
   private def baseOracleSql: Map[String, String] = Map(
@@ -1058,6 +1063,18 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // same tokenizer as q51; ln + OLS aggregates replay exactly
+    "qa1_zipf" ->
+      """WITH toks AS (SELECT
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> len(x) > 0)) AS token FROM documents),
+        |c AS (SELECT token, count(*) AS freq FROM toks GROUP BY 1),
+        |r AS (SELECT freq,
+        |    row_number() OVER (ORDER BY freq DESC, token) AS rank FROM c)
+        |SELECT round(regr_slope(ln(freq), ln(rank)), 6) AS zipf_slope,
+        |       round(regr_intercept(ln(freq), ln(rank)), 6) AS zipf_intercept,
+        |       count(*) AS n_terms
+        |FROM r WHERE rank <= 1000""".stripMargin,
     // the as-of winner per key is arithmetic over the batch residues;
     // md5(text-bytes) travels cross-engine (the q72 discipline)
     "q9z_snapshot_asof" ->

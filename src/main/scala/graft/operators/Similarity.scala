@@ -488,4 +488,32 @@ object Similarity {
       .select(col("label"), col("pos").as("dim"), col("col").as("pooled"))
       .orderBy("label", "dim")
   }
+
+  /** qa2: [[cosineTopK]] expressed as pure SQL TEXT — the extension
+    * surface proven end-to-end for a SQL-only user: the session
+    * extension injects `array_dot` into the SQL function registry,
+    * `FloatDotRewrite` collapses the cast+dot in the text onto the raw
+    * float buffers (same plan q49 gets from the DataFrame API), and
+    * `TopKRewrite` plans the textual row_number window onto the native
+    * TopKPerGroup operator. Shares q46's oracle: three custom pieces
+    * (registry, rewrite rule, physical operator) pinned by one
+    * cross-engine hash. */
+  def cosineTopKSql(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """WITH e AS (SELECT vec_id, embedding,
+        |  sqrt(array_dot(CAST(embedding AS ARRAY<DOUBLE>),
+        |                 CAST(embedding AS ARRAY<DOUBLE>))) AS nrm
+        |  FROM graft_embeddings),
+        |s AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+        |        round(array_dot(CAST(q.embedding AS ARRAY<DOUBLE>),
+        |                        CAST(e.embedding AS ARRAY<DOUBLE>))
+        |              / (q.nrm * e.nrm), 6) AS cosine
+        |      FROM e q JOIN e ON q.vec_id < 100 AND q.vec_id <> e.vec_id)
+        |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine
+        |FROM (SELECT s.*, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+        |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
+  }
 }

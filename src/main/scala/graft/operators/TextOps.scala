@@ -42,6 +42,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** qa1: Zipf rank–frequency fit — the corpus-health diagnostic: a
+    * natural corpus has log(freq) ≈ a − s·log(rank) with s near 1;
+    * template/synthetic/boilerplate-heavy corpora bend the head or tail.
+    * One token-keyed count, a rank over the VOCABULARY relation (≪
+    * corpus — the aggregate-before-window discipline), and a single
+    * regr_slope/intercept pass over the capped head where the law holds.
+    * All arithmetic (ln, OLS aggregates) replays exactly in DuckDB. */
+  def zipfFit(spark: SparkSession, dir: String, topN: Int = 1000): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables(spark, dir, "documents")
+      .select(explode(Dedup.tokensCol(col("text"))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("freq"))
+    val ranked = counts.withColumn("rank",
+        row_number().over(Window.orderBy(col("freq").desc, col("token"))))
+      .where(col("rank") <= topN)
+    ranked.agg(
+      round(regr_slope(log(col("freq")), log(col("rank"))), 6).as("zipf_slope"),
+      round(regr_intercept(log(col("freq")), log(col("rank"))), 6)
+        .as("zipf_intercept"),
+      count(lit(1)).as("n_terms"))
+  }
+
   /** Corpus token frequency top-k (word count = reference A2 pattern). */
   def tokenTopK(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
     Tables(spark, dir, "documents")

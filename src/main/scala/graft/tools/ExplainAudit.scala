@@ -41,7 +41,10 @@ object ExplainAudit {
       // columns; the Gramian's single ObjectHashAggregate (partial+final
       // pair, no row explosion); the incremental merge reading stored
       // partials beside the delta's partial aggregate
-      "q9p_scd2", "q9r_zorder_box", "q9s_gramian", "q9x_incr_agg")
+      "q9p_scd2", "q9r_zorder_box", "q9s_gramian", "q9x_incr_agg",
+      // qa2: SQL text → float_array_dot (FloatDotRewrite) + TopKPerGroupExec
+      // (TopKRewrite) — the injected surfaces visible in the plan
+      "qa2_ann_sql")
       .foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
