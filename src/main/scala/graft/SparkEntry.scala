@@ -288,6 +288,8 @@ object SparkEntry {
     "qa1_zipf" -> ((s, d) => TextOps.zipfFit(s, d)),
     // q46 as pure SQL text: injected registry + rewrite rules end-to-end
     "qa2_ann_sql" -> (Similarity.cosineTopKSql _),
+    // interval×interval overlap join (bin join + pair dedup)
+    "qa3_interval_overlap" -> (Events.overlapJoin _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1063,6 +1065,18 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // DuckDB's native inequality join (IEJoin) is the oracle for the
+    // engine's binned-and-deduped overlap join
+    "qa3_interval_overlap" ->
+      """WITH e AS (SELECT event_id, ts, epoch_us(ts) AS lo,
+        |             epoch_us(ts) + 3600000000 AS hi
+        |           FROM events WHERE event_type = 'error'),
+        |p AS (SELECT epoch_us(ts) AS lo, epoch_us(ts) + 1800000000 AS hi
+        |      FROM events WHERE event_type = 'purchase')
+        |SELECT e.event_id, CAST(floor(epoch(e.ts)) AS BIGINT) AS ts_s,
+        |       count(p.lo) AS n_purch
+        |FROM e LEFT JOIN p ON e.lo < p.hi AND p.lo < e.hi
+        |GROUP BY 1, 2 ORDER BY event_id""".stripMargin,
     // same tokenizer as q51; ln + OLS aggregates replay exactly
     "qa1_zipf" ->
       """WITH toks AS (SELECT

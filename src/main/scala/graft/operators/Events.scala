@@ -340,6 +340,43 @@ object Events {
       .orderBy("event_id")
   }
 
+  /** qa3: interval×interval OVERLAP join — the kernel q68's point-in-
+    * interval bin join cannot express: BOTH sides are spans (error
+    * windows [ts, ts+1h) × purchase windows [ts, ts+30m)), overlap iff
+    * lo_a < hi_b AND lo_b < hi_a. Both sides explode to their covered 1h
+    * bins so the join is an equi-join on bin (the streaming-legal, state-
+    * keyable shape); a span pair can now share up to TWO bins, so
+    * candidate pairs are DEDUPLICATED on ids before counting — the step
+    * point-interval joins get for free and interval-interval joins must
+    * pay, on a relation already filtered to true overlaps. Left join
+    * keeps zero-overlap windows. Bin width trades replication (≤ 2× per
+    * side here) against per-bin candidates, same calculus as q68. */
+  def overlapJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val binUs = 3600L * 1000000L
+    val e = ev.where(col("event_type") === "error")
+      .select(col("event_id"), col("ts").as("e_ts"),
+        unix_micros(col("ts")).as("e_lo"),
+        (unix_micros(col("ts")) + lit(3600L * 1000000L)).as("e_hi"))
+    val p = ev.where(col("event_type") === "purchase")
+      .select(col("event_id").as("p_id"),
+        unix_micros(col("ts")).as("p_lo"),
+        (unix_micros(col("ts")) + lit(1800L * 1000000L)).as("p_hi"))
+    // `div` = integer division (Column `/` is double division)
+    val eb = e.withColumn("bin",
+      explode(expr(s"sequence(e_lo div $binUs, (e_hi - 1) div $binUs)")))
+    val pb = p.withColumn("bin",
+      explode(expr(s"sequence(p_lo div $binUs, (p_hi - 1) div $binUs)")))
+    val pairs = eb.join(pb, "bin")
+      .where(col("e_lo") < col("p_hi") && col("p_lo") < col("e_hi"))
+      .select(col("event_id"), col("p_id")).distinct()
+    val counts = pairs.groupBy("event_id").agg(count(lit(1)).as("n_purch"))
+    e.join(counts, Seq("event_id"), "left")
+      .select(col("event_id"), unix_timestamp(col("e_ts")).as("ts_s"),
+        coalesce(col("n_purch"), lit(0L)).as("n_purch"))
+      .orderBy("event_id")
+  }
+
   /** q8o: ordered conversion funnel view → click → purchase. A user counts
     * at stage k only if the stage-k event happens STRICTLY AFTER their
     * stage-(k-1) entry time (the product-analytics semantics — unordered
