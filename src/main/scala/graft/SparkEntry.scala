@@ -290,6 +290,8 @@ object SparkEntry {
     "qa2_ann_sql" -> (Similarity.cosineTopKSql _),
     // interval×interval overlap join (bin join + pair dedup)
     "qa3_interval_overlap" -> (Events.overlapJoin _),
+    // approximate aggregate from a deterministic sample, with 95% CI
+    "qa4_sampled_estimate" -> ((s, d) => Sampling.sampledEstimate(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1065,6 +1067,21 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // identical deterministic sample both engines → exact replay of the
+    // estimate AND its confidence bounds (sum/count form, never avg())
+    "qa4_sampled_estimate" ->
+      """WITH s AS (SELECT l_extendedprice AS x FROM lineitem
+        |  WHERE (l_orderkey * 7 + l_linenumber) * 2654435761 % 4294967296
+        |        / 4294967296.0 < 0.05)
+        |SELECT count(*) AS n_sample,
+        |  round(sum(x) / 0.05, 2) AS est_total,
+        |  round(sum(x) / count(*) - 1.96 * sqrt((sum(x * x) / count(*) -
+        |    (sum(x) / count(*)) * (sum(x) / count(*))) / count(*)), 2)
+        |    AS avg_lo,
+        |  round(sum(x) / count(*) + 1.96 * sqrt((sum(x * x) / count(*) -
+        |    (sum(x) / count(*)) * (sum(x) / count(*))) / count(*)), 2)
+        |    AS avg_hi
+        |FROM s""".stripMargin,
     // DuckDB's native inequality join (IEJoin) is the oracle for the
     // engine's binned-and-deduped overlap join
     "qa3_interval_overlap" ->

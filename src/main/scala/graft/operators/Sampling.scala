@@ -133,6 +133,34 @@ object Sampling {
       .orderBy("user_id", "event_id")
   }
 
+  /** qa4: approximate aggregation by deterministic sampling — the
+    * interactive-speed estimate pattern: a p-fraction Bernoulli sample
+    * (keyed by [[hashFraction]], so both engines draw the IDENTICAL
+    * sample and the result is exactly replayable), the Horvitz–Thompson
+    * scale-up for the total, and a normal-approximation 95% interval
+    * from the in-sample variance. At 100 TB the sample predicate sits in
+    * the scan (no shuffle until the scalar agg), and the estimate reads
+    * p of the data for a 1/√(pN) relative error — the knob a real
+    * engine's APPROXIMATE clause turns. */
+  def sampledEstimate(spark: SparkSession, dir: String,
+      p: Double = 0.05): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .where(hashFraction(col("l_orderkey") * 7L + col("l_linenumber")) < p)
+    li.agg(count(lit(1)).as("n_sample"),
+        sum("l_extendedprice").as("s"),
+        sum(col("l_extendedprice") * col("l_extendedprice")).as("s2"))
+      .select(col("n_sample"),
+        round(col("s") / p, 2).as("est_total"),
+        round((col("s") / col("n_sample")) -
+          lit(1.96) * sqrt((col("s2") / col("n_sample") -
+            (col("s") / col("n_sample")) * (col("s") / col("n_sample"))) /
+            col("n_sample")), 2).as("avg_lo"),
+        round((col("s") / col("n_sample")) +
+          lit(1.96) * sqrt((col("s2") / col("n_sample") -
+            (col("s") / col("n_sample")) * (col("s") / col("n_sample"))) /
+            col("n_sample")), 2).as("avg_hi"))
+  }
+
   def mixtureWeights(spark: SparkSession, dir: String, alpha: Double = 0.7,
       epochDocs: Long = 10000L): DataFrame = {
     val n = Tables(spark, dir, "documents")
