@@ -292,6 +292,8 @@ object SparkEntry {
     "qa3_interval_overlap" -> (Events.overlapJoin _),
     // approximate aggregate from a deterministic sample, with 95% CI
     "qa4_sampled_estimate" -> ((s, d) => Sampling.sampledEstimate(s, d)),
+    // mergeSchema read across epochs with different schemas
+    "qa5_schema_evolution" -> (ScaleOps.schemaEvolutionRead _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1067,6 +1069,14 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // the merged union-schema read replays from the epoch residue
+    "qa5_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+        |  CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_legacy,
+        |  round(avg(CASE WHEN doc_id % 2 = 1 THEN length(text) % 100 END), 6)
+        |    AS avg_quality
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical deterministic sample both engines → exact replay of the
     // estimate AND its confidence bounds (sum/count form, never avg())
     "qa4_sampled_estimate" ->

@@ -189,6 +189,34 @@ object ScaleOps {
       .orderBy("l_returnflag")
   }
 
+  /** qa5: schema-evolution read — the lakehouse reality that batches
+    * written months apart carry different schemas: epoch-1 files lack
+    * the later `quality` column, epoch-2 files carry it. `mergeSchema`
+    * reconciles the footers at planning time (the union schema, legacy
+    * rows null-filled) — no rewrite of the old files, which at 100 TB is
+    * the only affordable answer to a schema change. The aggregate then
+    * treats null-vs-present as first-class (legacy counts, null-skipping
+    * avg), which is exactly what the oracle replays from the residue
+    * that decided each row's epoch. */
+  def schemaEvolutionRead(spark: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables(spark, dir, "documents")
+    val stage = graft.sources.Staging.once("qa5-evo", dir) { out =>
+      docs.where(col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .write.parquet(out + "/batch=1")
+      docs.where(col("doc_id") % 2 === 1)
+        .select(col("doc_id"), col("lang"), col("source"),
+          (length(col("text")) % 100).as("quality"))
+        .write.parquet(out + "/batch=2")
+    }
+    spark.read.option("mergeSchema", "true").parquet(stage)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("quality").isNull, 1L).otherwise(0L)).as("n_legacy"),
+        round(avg("quality"), 6).as("avg_quality"))
+      .orderBy("lang")
+  }
+
   /** Morton (z-order) key: interleave the low 32 bits of two non-negative
     * keys — bit-spreading by shift/mask magic constants, pure codegen'd
     * integer ops (no UDF, no loop). Rows close in BOTH dimensions land
