@@ -294,6 +294,8 @@ object SparkEntry {
     "qa4_sampled_estimate" -> ((s, d) => Sampling.sampledEstimate(s, d)),
     // mergeSchema read across epochs with different schemas
     "qa5_schema_evolution" -> (ScaleOps.schemaEvolutionRead _),
+    // null-safe equality join + explicit NULLS FIRST ordering
+    "qa6_null_safe_join" -> (Relational.nullSafeJoin _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1069,6 +1071,18 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // IS NOT DISTINCT FROM = Spark's <=>; NULLS FIRST must be explicit
+    "qa6_null_safe_join" ->
+      """WITH a AS (SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL
+        |         ELSE o_custkey % 100 END AS k, count(*) AS n_orders
+        |       FROM orders GROUP BY 1),
+        |b AS (SELECT CASE WHEN c_custkey % 10 = 0 THEN NULL
+        |        ELSE c_custkey % 100 END AS k, count(*) AS n_customers
+        |      FROM customer GROUP BY 1)
+        |SELECT a.k IS NULL AS k_is_null, coalesce(a.k, -1) AS k,
+        |       n_orders, n_customers
+        |FROM a JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY k""".stripMargin,
     // the merged union-schema read replays from the epoch residue
     "qa5_schema_evolution" ->
       """SELECT lang, count(*) AS n,

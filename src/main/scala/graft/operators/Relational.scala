@@ -545,6 +545,33 @@ object Relational {
       .orderBy("bin")
   }
 
+  /** qa6: null-safe equality join (`<=>`) — the ANSI trap every pipeline
+    * with optional keys hits: a plain `=` join silently DROPS null-keyed
+    * rows on both sides, while `<=>` (IS NOT DISTINCT FROM) matches the
+    * null buckets to each other. Both sides derive a nullable key
+    * deterministically and the join is null-safe; the hash-green oracle
+    * row for the null bucket is the proof the rows survived. Catalyst
+    * plans `<=>` as an ordinary hash join on a null-tolerant key, so the
+    * shape costs nothing over the plain join. */
+  def nullSafeJoin(spark: SparkSession, dir: String): DataFrame = {
+    def keyed(df: DataFrame, idCol: String) = df
+      .select(when(col(idCol) % 10 === 0, lit(null))
+        .otherwise(col(idCol) % 100).as("k"))
+      .groupBy("k").agg(count(lit(1)).as("n"))
+    val a = keyed(Tables(spark, dir, "orders"), "o_custkey")
+      .withColumnRenamed("n", "n_orders")
+    val b = keyed(Tables(spark, dir, "customer"), "c_custkey")
+      .withColumnRenamed("n", "n_customers")
+    a.join(b, a("k") <=> b("k"))
+      // the JOIN runs on the nullable key; the null bucket is PRESENTED
+      // as an explicit flag + sentinel because sorted-row comparators
+      // (the driver's included) can't order NULL against a number
+      .select(a("k").isNull.as("k_is_null"),
+        coalesce(a("k"), lit(-1L)).as("k"),
+        col("n_orders"), col("n_customers"))
+      .orderBy(col("k").asc)
+  }
+
   /** q9o: Benford first-significant-digit audit of order totals — the
     * classic fabricated-data / data-quality screen: observed first-digit
     * frequencies beside the Benford expectation log10(1 + 1/d). The
