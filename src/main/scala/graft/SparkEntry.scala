@@ -296,6 +296,8 @@ object SparkEntry {
     "qa5_schema_evolution" -> (ScaleOps.schemaEvolutionRead _),
     // null-safe equality join + explicit NULLS FIRST ordering
     "qa6_null_safe_join" -> (Relational.nullSafeJoin _),
+    // personalized PageRank: restart mass on one seed = proximity score
+    "qa7_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1071,6 +1073,32 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // q88's graph CTEs with the restart on the min-id seed; every round
+    // keeps the full vertex set (left join + coalesce) like the engine
+    "qa7_ppr" -> {
+      val graph =
+        """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+          |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+          |e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+          |      GROUP BY 1, 2 HAVING count(*) >= 3),
+          |und AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+          |deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1),
+          |w AS MATERIALIZED (
+          |  SELECT und.src, und.dst, 1.0 / deg.d AS w FROM und JOIN deg USING (src)),
+          |sd AS (SELECT min(src) AS s FROM w),
+          |vs AS MATERIALIZED (SELECT DISTINCT src AS v FROM w),
+          |p0 AS (SELECT v, CASE WHEN v = (SELECT s FROM sd) THEN 1.0 ELSE 0.0 END AS r
+          |       FROM vs)""".stripMargin
+      val steps = (1 to 10).map { i =>
+        s"""p$i AS MATERIALIZED (SELECT vs.v,
+           |  0.15 * (CASE WHEN vs.v = (SELECT s FROM sd) THEN 1.0 ELSE 0.0 END)
+           |  + 0.85 * coalesce(m.mass, 0) AS r
+           |  FROM vs LEFT JOIN (SELECT w.dst AS v, sum(p${i - 1}.r * w.w) AS mass
+           |    FROM w JOIN p${i - 1} ON w.src = p${i - 1}.v GROUP BY 1) m
+           |    ON m.v = vs.v)""".stripMargin
+      }.mkString(",\n")
+      s"$graph,\n$steps\nSELECT v, round(r, 8) AS rank FROM p10 ORDER BY v"
+    },
     // IS NOT DISTINCT FROM = Spark's <=>; NULLS FIRST must be explicit
     "qa6_null_safe_join" ->
       """WITH a AS (SELECT CASE WHEN o_custkey % 10 = 0 THEN NULL

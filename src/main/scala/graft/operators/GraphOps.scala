@@ -625,6 +625,42 @@ object GraphOps {
     pr.select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
   }
 
+  /** qa7: personalized PageRank — [[pageRank]]'s restart mass
+    * concentrated on ONE seed (the minimum vertex id — deterministic at
+    * any scale), which turns the global centrality into a
+    * PROXIMITY-to-the-seed score: the similar-customers primitive
+    * recommendation and expansion passes consume. Every superstep keeps
+    * the FULL vertex relation (vertices left-join the propagated mass,
+    * absent mass coalesces to 0) because unreached vertices still carry
+    * rank 0 and the seed's restart must exist even before mass returns
+    * to it — the subtle difference from the global walk, and the reason
+    * the oracle unrolls the same left-join shape round for round. Same
+    * every-2nd-superstep checkpoint cadence as q88. */
+  def personalizedPageRank(spark: SparkSession, dir: String, iters: Int = 10,
+      damping: Double = 0.85, minShared: Int = 3): DataFrame = {
+    val e0 = coPurchaseEdges(spark, dir, minShared).select("u", "v")
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val w = e.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+      .cache()
+    val seed = w.agg(min("src")).head.getLong(0)
+    val restart = when(col("v") === seed, 1.0).otherwise(0.0)
+    val verts = w.select(col("src").as("v")).distinct().localCheckpoint()
+    var pr = verts.select(col("v"), restart.as("r")).localCheckpoint()
+    for (i <- 1 to iters) {
+      val mass = w.join(pr, w("src") === pr("v"))
+        .groupBy(col("dst").as("nv")).agg(sum(col("r") * col("w")).as("m"))
+      val next = verts.join(mass, verts("v") === mass("nv"), "left_outer")
+        .select(col("v"), (lit(1.0 - damping) * restart +
+          lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      pr = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
+    }
+    w.unpersist()
+    pr.select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
+  }
+
   /** Community detection via synchronous label propagation (LPA) — the
     * DISTRIBUTED community tier next to [[communities]]' exact
     * driver-coordinated Girvan–Newman: GN is the reference's semantics for
