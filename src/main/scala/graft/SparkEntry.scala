@@ -298,6 +298,14 @@ object SparkEntry {
     "qa6_null_safe_join" -> (Relational.nullSafeJoin _),
     // personalized PageRank: restart mass on one seed = proximity score
     "qa7_ppr" -> ((s, d) => GraphOps.personalizedPageRank(s, d)),
+    // union of overlapping intervals per user (gaps-and-islands merge)
+    "qa8_interval_merge" -> ((s, d) => Events.intervalCoverage(s, d)),
+    // EXACT distinct-count via mergeable per-segment roaring bitmaps
+    "qa9_bitmap_distinct" -> (Relational.bitmapDistinct _),
+    // freshness: time-decayed popularity ranking (Σ exp(−λ·age))
+    "qaa_decay_topk" -> ((s, d) => Relational.decayedPopularity(s, d)),
+    // ordered sequential-pattern pairs (a strictly before b per session)
+    "qab_seq_pairs" -> ((s, d) => Events.seqPairs(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1073,6 +1081,56 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // window-pass island merge replays verbatim; HUGEINT sums cast back
+    "qa8_interval_merge" ->
+      """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS lo,
+        |              epoch_us(ts) + 1800000000 AS hi FROM events),
+        |m AS (SELECT user_id, event_id, lo, hi,
+        |        max(hi) OVER (PARTITION BY user_id ORDER BY lo, event_id
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS ph
+        |      FROM iv),
+        |isl AS (SELECT user_id, lo, hi,
+        |        sum(CASE WHEN ph IS NULL OR lo > ph THEN 1 ELSE 0 END)
+        |          OVER (PARTITION BY user_id ORDER BY lo, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |          AS island
+        |        FROM m),
+        |g AS (SELECT user_id, island, count(*) AS n_iv,
+        |        min(lo) AS i_lo, max(hi) AS i_hi
+        |      FROM isl GROUP BY 1, 2)
+        |SELECT user_id, CAST(sum(n_iv) AS BIGINT) AS n_intervals,
+        |       count(*) AS n_islands,
+        |       CAST(sum(i_hi - i_lo) AS BIGINT) AS covered_us
+        |FROM g GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the bitmap pipeline is exact, so the oracle is plain COUNT(DISTINCT)
+    "qa9_bitmap_distinct" ->
+      """SELECT n_name, count(DISTINCT o_custkey) AS n_buyers
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |            JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // integer ages → identical exp() terms; only the final sum is rounded
+    "qaa_decay_topk" ->
+      """WITH mx AS (SELECT max(date_trunc('day', o_orderdate)) AS d_max
+        |            FROM orders)
+        |SELECT l_partkey,
+        |  round(sum(exp(-0.05 * datediff('day',
+        |    date_trunc('day', o_orderdate), d_max))), 6) AS decay_score,
+        |  count(*) AS n_lines
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey CROSS JOIN mx
+        |GROUP BY 1 ORDER BY decay_score DESC, l_partkey LIMIT 100""".stripMargin,
+    // min/max-ts reduction makes "∃ a before b" a linear aggregate in
+    // both engines — the oracle replays the same reduction, not events²
+    "qab_seq_pairs" ->
+      """WITH s AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |    event_type, min(epoch_us(ts)) AS t_min,
+        |    max(epoch_us(ts)) AS t_max
+        |  FROM events GROUP BY 1, 2, 3)
+        |SELECT a.event_type AS a, b.event_type AS b,
+        |       count(*) AS n_sessions
+        |FROM s a JOIN s b ON a.user_id = b.user_id AND a.day_s = b.day_s
+        |WHERE a.event_type <> b.event_type AND a.t_min < b.t_max
+        |GROUP BY 1, 2 HAVING count(*) >= 20 ORDER BY 1, 2""".stripMargin,
     // q88's graph CTEs with the restart on the min-id seed; every round
     // keeps the full vertex set (left join + coalesce) like the engine
     "qa7_ppr" -> {

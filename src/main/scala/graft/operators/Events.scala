@@ -672,4 +672,68 @@ object Events {
         col("vt").isNull.as("is_current"), col("n_events"))
       .orderBy("user_id", "version")
   }
+
+  /** qa8: merged-interval coverage (gaps-and-islands over OVERLAPPING
+    * intervals). Each event opens a 30-minute activity interval; per user,
+    * overlapping intervals merge into islands and the query reports how
+    * many islands there are and the total covered time — the union-of-
+    * intervals primitive behind "active time" metrics and retention TTLs.
+    *
+    * Shape: one user-partitioned window pass (running max of interval end
+    * over all PRECEDING rows — the current row can't close its own island),
+    * then a per-island aggregate. An island's covered span is exactly
+    * max(hi)-min(lo) because, by construction, no interior gap exists. At
+    * 100 TB this is one shuffle on user_id and the window state is O(1)
+    * per row — the standard scalable form (no self-join, no explode). */
+  def intervalCoverage(spark: SparkSession, dir: String,
+      lenUs: Long = 1800L * 1000000L): DataFrame = {
+    val iv = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("lo"),
+        (unix_micros(col("ts")) + lit(lenUs)).as("hi"))
+    val w = Window.partitionBy("user_id").orderBy("lo", "event_id")
+    val prevMax = max("hi").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val isStart = when(prevMax.isNull || col("lo") > prevMax, 1).otherwise(0)
+    val islands = iv.withColumn("island",
+      sum(isStart).over(w.rowsBetween(Window.unboundedPreceding,
+        Window.currentRow)))
+    islands.groupBy("user_id", "island")
+      .agg(count(lit(1)).as("n_iv"), min("lo").as("i_lo"), max("hi").as("i_hi"))
+      .groupBy("user_id")
+      .agg(sum("n_iv").as("n_intervals"),
+        count(lit(1)).as("n_islands"),
+        sum(col("i_hi") - col("i_lo")).as("covered_us"))
+      .orderBy("user_id")
+  }
+
+  /** qab: sequential-pattern support — for each ORDERED pair of event
+    * types (a, b), the number of sessions containing an a-event strictly
+    * before some b-event (SPAM/PrefixSpan's length-2 core, the ordered
+    * counterpart of q9m's unordered basket lift). Sessions are (user, day).
+    *
+    * The trick that makes it linear: "∃ a before b in session" ⟺
+    * min_ts(a) < max_ts(b), so one session×type aggregate (min/max ts)
+    * replaces the quadratic event self-join; the pair enumeration then
+    * runs over sessions × |types|² (|types| = 5 here), not events². At
+    * 100 TB: one shuffle on the session key, and the pair join is a
+    * self-join of the tiny per-session type summary on that same key —
+    * AQE reuses the partitioning, nothing touches raw events twice. */
+  def seqPairs(spark: SparkSession, dir: String,
+      minSupport: Int = 20): DataFrame = {
+    val s = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        col("event_type"), unix_micros(col("ts")).as("t"))
+      .groupBy("user_id", "day_s", "event_type")
+      .agg(min("t").as("t_min"), max("t").as("t_max"))
+    val a = s.select(col("user_id"), col("day_s"),
+      col("event_type").as("a"), col("t_min"))
+    val b = s.select(col("user_id"), col("day_s"),
+      col("event_type").as("b"), col("t_max"))
+    a.join(b, Seq("user_id", "day_s"))
+      .where(col("a") =!= col("b") && col("t_min") < col("t_max"))
+      .groupBy("a", "b").agg(count(lit(1)).as("n_sessions"))
+      .where(col("n_sessions") >= minSupport)
+      .orderBy("a", "b")
+  }
 }

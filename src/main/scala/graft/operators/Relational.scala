@@ -610,4 +610,56 @@ object Relational {
         |         ORDER BY c_acctbal DESC, c_custkey LIMIT 1) t
         |ORDER BY n_nationkey""".stripMargin)
   }
+
+  /** qa9: EXACT distinct-count via mergeable roaring bitmaps — the
+    * warehouse pattern for distinct-count maintenance at 100 TB: each
+    * segment (here: order month) builds per-bucket bitmaps with
+    * `bitmap_construct_agg`, segments then merge with `bitmap_or_agg`
+    * (associative/commutative — new months OR into the stored state in
+    * O(delta), the q9x discipline applied to COUNT(DISTINCT)), and the
+    * final count is a sum of per-bucket popcounts. Unlike HLL (q19) the
+    * answer is exact, and unlike a naive count(distinct) the heavy state
+    * is pre-sharded by bucket so no single reducer holds all keys. */
+  def bitmapDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val perSegment = Tables(spark, dir, "orders")
+      .join(broadcast(Tables(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"),
+        date_trunc("month", col("o_orderdate")).as("seg"),
+        expr("bitmap_bucket_number(o_custkey)").as("bucket"))
+      .agg(expr("bitmap_construct_agg(bitmap_bit_position(o_custkey))")
+        .as("bm"))
+    perSegment
+      .groupBy("n_name", "bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("n_name")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_buyers"))
+      .orderBy("n_name")
+  }
+
+  /** qaa: time-decayed popularity — per part, Σ exp(−λ·age_days) over its
+    * order lines, age measured against the corpus max order date (so the
+    * score is deterministic, not wall-clock-dependent). The freshness-
+    * weighted ranking every feed/recsys pipeline needs; λ = 0.05/day
+    * halves a line's weight every ~14 days. One broadcast scalar (max
+    * date), one part-keyed aggregate — age is integer days so each
+    * distinct age contributes an exactly-representable exp() term, and
+    * both engines round only the final sum. */
+  def decayedPopularity(spark: SparkSession, dir: String,
+      lambda: Double = 0.05, k: Int = 100): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+    val li = Tables(spark, dir, "lineitem")
+    val maxDay = o.agg(max(date_trunc("day", col("o_orderdate"))).as("d_max"))
+    val scored = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("l_partkey"),
+        datediff(col("d_max"), date_trunc("day", col("o_orderdate")))
+          .as("age_d"))
+      .groupBy("l_partkey")
+      .agg(round(sum(exp(col("age_d") * lit(-lambda))), 6).as("decay_score"),
+        count(lit(1)).as("n_lines"))
+    scored.orderBy(col("decay_score").desc, col("l_partkey")).limit(k)
+  }
 }

@@ -1,0 +1,103 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.{SparkSuite, Tables}
+
+/** Round-5 session-3 batch: interval-union coverage, bitmap distinct,
+  * decayed popularity, ordered sequential pairs — each checked against a
+  * brute-force recompute on the sf0.001 fixture.
+  */
+class Round5dSpec extends AnyFunSuite with SparkSuite {
+
+  private def eventTimes(): Array[(Long, Long, String, Long)] =
+    Tables(spark, sfDir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+
+  test("interval coverage equals a brute-force sweep merge") {
+    val len = 1800L * 1000000L
+    val got = Events.intervalCoverage(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("user_id") ->
+        (r.getAs[Long]("n_intervals"), r.getAs[Long]("n_islands"),
+          r.getAs[Long]("covered_us"))).toMap
+    val byUser = eventTimes().groupBy(_._1)
+    assert(got.size == byUser.size)
+    byUser.foreach { case (u, evs) =>
+      val ivs = evs.map(e => (e._4, e._4 + len)).sortBy(identity)
+      // sweep: extend the open island while the next interval starts
+      // inside it, otherwise close and open a new one
+      var islands = 0; var covered = 0L
+      var curLo = ivs.head._1; var curHi = ivs.head._2
+      ivs.tail.foreach { case (lo, hi) =>
+        if (lo > curHi) { islands += 1; covered += curHi - curLo
+          curLo = lo; curHi = hi
+        } else curHi = math.max(curHi, hi)
+      }
+      islands += 1; covered += curHi - curLo
+      assert(got(u) == ((ivs.length.toLong, islands.toLong, covered)),
+        s"user $u: engine ${got(u)} vs brute ($islands, $covered)")
+    }
+  }
+
+  test("bitmap distinct equals count(distinct) in-engine") {
+    val got = Relational.bitmapDistinct(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_buyers")).toMap
+    val exact = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name").agg(countDistinct("o_custkey").as("n"))
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("n")).toMap
+    assert(got == exact)
+  }
+
+  test("decayed popularity replays per-line exp sums and ranks stably") {
+    val rows = Relational.decayedPopularity(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("l_partkey"), r.getAs[Double]("decay_score"),
+        r.getAs[Long]("n_lines")))
+    val o = Tables(spark, sfDir, "orders")
+      .select(col("o_orderkey"), date_trunc("day", col("o_orderdate")).as("d"))
+    val maxDay = o.agg(max("d")).collect()(0).getTimestamp(0).getTime
+    val brute = Tables(spark, sfDir, "lineitem").select("l_orderkey", "l_partkey")
+      .join(o, col("l_orderkey") === col("o_orderkey")).collect()
+      .map(r => (r.getAs[Long]("l_partkey"),
+        (maxDay - r.getAs[java.sql.Timestamp]("d").getTime) / 86400000L))
+      .groupBy(_._1)
+      .map { case (p, ages) =>
+        (p, ages.map(a => math.exp(-0.05 * a._2)).sum, ages.length.toLong)
+      }
+    val top = brute.toSeq
+      .map { case (p, s, n) =>
+        (p, BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+          .toDouble, n)
+      }
+      .sortBy { case (p, s, _) => (-s, p) }.take(100)
+    assert(rows.length == top.length)
+    rows.zip(top).foreach { case (got, want) =>
+      assert(got._1 == want._1 && got._3 == want._3 &&
+        math.abs(got._2 - want._2) < 1e-9, s"got $got want $want")
+    }
+  }
+
+  test("sequential pairs equal the quadratic exists-before check") {
+    val sessions = eventTimes()
+      .groupBy(e => (e._1, e._4 / 1000000L / 86400L * 86400L))
+    val counts = collection.mutable.Map.empty[(String, String), Int]
+    sessions.values.foreach { evs =>
+      val pairs = for {
+        e1 <- evs; e2 <- evs
+        if e1._3 != e2._3 && e1._4 < e2._4
+      } yield (e1._3, e2._3)
+      pairs.distinct.foreach(p => counts(p) = counts.getOrElse(p, 0) + 1)
+    }
+    val want = counts.filter(_._2 >= 20).toMap
+    val got = Events.seqPairs(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n_sessions"))
+      .toMap
+    assert(got == want.map { case (k, v) => k -> v.toLong })
+  }
+}
