@@ -306,6 +306,14 @@ object SparkEntry {
     "qaa_decay_topk" -> ((s, d) => Relational.decayedPopularity(s, d)),
     // ordered sequential-pattern pairs (a strictly before b per session)
     "qab_seq_pairs" -> ((s, d) => Events.seqPairs(s, d)),
+    // adjacent-pair PMI collocations (phrase mining)
+    "qac_bigram_pmi" -> ((s, d) => TextOps.bigramPmi(s, d)),
+    // exact set-similarity join via global-rarity prefix filtering
+    "qad_prefix_join" -> ((s, d) => Dedup.prefixJaccardJoin(s, d)),
+    // int8 embedding quantization round trip + reconstruction-error audit
+    "qae_int8_quant" -> (Linalg.int8Quant _),
+    // per-group winsorized (p05/p95-clipped) averages
+    "qaf_winsorize" -> (Relational.winsorize _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1081,6 +1089,78 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // identical division sequence before the single ln() → identical
+    // doubles; unigram/bigram totals are integer sums (order-free)
+    "qac_bigram_pmi" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS w FROM documents),
+        |u AS (SELECT unnest(w) AS gram FROM toks),
+        |uc AS (SELECT gram, count(*) AS n_tok FROM u GROUP BY 1),
+        |nt AS (SELECT CAST(sum(n_tok) AS BIGINT) AS total_tok FROM uc),
+        |bgl AS (SELECT w[i] || ' ' || w[i+1] AS gram
+        |        FROM (SELECT w, unnest(range(1, len(w))) AS i
+        |              FROM toks WHERE len(w) >= 2)),
+        |b AS (SELECT gram, count(*) AS n_bg FROM bgl GROUP BY 1
+        |      HAVING count(*) >= 20),
+        |nb AS (SELECT CAST(sum(n_bg) AS BIGINT) AS total_bg FROM b)
+        |SELECT b.gram, b.n_bg, u1.n_tok AS n1, u2.n_tok AS n2,
+        |  round(ln(CAST(b.n_bg AS DOUBLE) / total_bg
+        |    / (CAST(u1.n_tok AS DOUBLE) / total_tok)
+        |    / (CAST(u2.n_tok AS DOUBLE) / total_tok)), 6) AS pmi
+        |FROM b CROSS JOIN nb CROSS JOIN nt
+        |JOIN uc u1 ON u1.gram = string_split(b.gram, ' ')[1]
+        |JOIN uc u2 ON u2.gram = string_split(b.gram, ' ')[2]
+        |ORDER BY pmi DESC, b.gram LIMIT 50""".stripMargin,
+    // raw-string all-pairs Jaccard pins the engine's hashed+prefix-
+    // filtered route end to end (the q45 discipline, uncapped here)
+    "qad_prefix_join" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS u, b.doc_id AS v,
+        |        len(list_intersect(a.sh, b.sh)) AS i,
+        |        len(a.sh) AS na, len(b.sh) AS nb
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id)
+        |SELECT u, v, round(CAST(i AS DOUBLE) / (na + nb - i), 6) AS jaccard
+        |FROM p WHERE round(CAST(i AS DOUBLE) / (na + nb - i), 6) >= 0.5
+        |ORDER BY u, v""".stripMargin,
+    // ⌊z+0.5⌋ quantizer + list-ordered folds: every per-element double is
+    // reproduced exactly; only mse crosses a (9-dp-rounded) sum
+    "qae_int8_quant" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_min(v) AS mn, list_max(v) AS mx
+        |      FROM e),
+        |t AS (SELECT vec_id, mn, mx,
+        |        list_transform(v, x -> x - (mn +
+        |          floor((x - mn) / ((mx - mn) / 255.0) + 0.5)
+        |            * ((mx - mn) / 255.0))) AS err
+        |      FROM s WHERE mx > mn)
+        |SELECT vec_id, round(mn, 6) AS mn, round(mx, 6) AS mx,
+        |  round(list_max(list_transform(err, x -> abs(x))), 8)
+        |    AS max_abs_err,
+        |  round(list_sum(list_transform(err, x -> x * x)) / len(err), 9)
+        |    AS mse
+        |FROM t ORDER BY vec_id""".stripMargin,
+    // quantile_cont ≡ Spark's interpolated percentile (q1b precedent);
+    // the clip flag replays as the range predicate
+    "qaf_winsorize" ->
+      """WITH base AS (SELECT n_name, o_totalprice AS x
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |              JOIN nation ON c_nationkey = n_nationkey),
+        |b AS (SELECT n_name, quantile_cont(x, 0.05) AS lo,
+        |        quantile_cont(x, 0.95) AS hi FROM base GROUP BY 1)
+        |SELECT n_name, count(*) AS n, round(avg(x), 6) AS raw_avg,
+        |  round(avg(least(greatest(x, lo), hi)), 6) AS wins_avg,
+        |  CAST(sum(CASE WHEN x < lo OR x > hi THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_clipped,
+        |  round(min(lo), 6) AS p05, round(min(hi), 6) AS p95
+        |FROM base JOIN b USING (n_name)
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
     // window-pass island merge replays verbatim; HUGEINT sums cast back
     "qa8_interval_merge" ->
       """WITH iv AS (SELECT user_id, event_id, epoch_us(ts) AS lo,

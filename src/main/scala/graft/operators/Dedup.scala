@@ -313,4 +313,48 @@ object Dedup {
       .select("doc_id", "group_id", "group_size", "is_keeper")
       .orderBy("group_id", "doc_id")
   }
+
+  /** qad: prefix-filtered set-similarity join (the PPJoin/AllPairs
+    * family) — the EXACT counterpart of the probabilistic MinHash route,
+    * with the same uncapped scale story: order every doc's 3-shingle set
+    * by GLOBAL rarity (rarest first), then a pair (A,B) with
+    * J(A,B) ≥ t must share a shingle inside A's first
+    * |A| − ⌈t·|A|⌉ + 1 shingles (if all of A's prefix missed B, the
+    * remaining suffix is too short to reach the ⌈t·|A|⌉ overlap J ≥ t
+    * requires). So candidates come from joining PREFIX shingles against
+    * full shingle lists — rare shingles fan out to almost nothing, and
+    * the frequent ones that would hot-spot the join sort to the suffix
+    * and never become keys. Verify = exact Jaccard over the sorted hash
+    * sets via the codegen'd two-pointer intersect. Shingles travel as
+    * xxhash64 (8-byte join keys); the oracle recomputes from RAW strings,
+    * pinning the hash swap (the q45 discipline). */
+  def prefixJaccardJoin(spark: SparkSession, dir: String,
+      threshold: Double = 0.5): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = shingled(spark, dir)
+      .where(size(col("sh")) > 0)
+    val toks = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    // per doc: tokens sorted rarest-first; keep only the prefix
+    val prefix = toks.join(df, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
+      .select(col("doc_id"),
+        explode(slice(transform(col("o"), s => s.getField("h")), lit(1),
+          (size(col("o")) - ceil(size(col("o")) * lit(threshold)) + 1)
+            .cast("int"))).as("h"))
+    val cand = prefix.as("p").join(toks.as("i"),
+        col("p.h") === col("i.h") && col("p.doc_id") =!= col("i.doc_id"))
+      .select(least(col("p.doc_id"), col("i.doc_id")).as("u"),
+        greatest(col("p.doc_id"), col("i.doc_id")).as("v"))
+      .distinct()
+    val inter = call_function("sorted_intersect_count", col("a.sh"), col("b.sh"))
+    cand.join(docs.as("a"), col("u") === col("a.doc_id"))
+      .join(docs.as("b"), col("v") === col("b.doc_id"))
+      .select(col("u"), col("v"),
+        round(inter.cast("double")
+          / (size(col("a.sh")) + size(col("b.sh")) - inter), 6).as("jaccard"))
+      .where(col("jaccard") >= threshold)
+      .orderBy("u", "v")
+  }
 }

@@ -93,4 +93,36 @@ object Linalg {
       .orderBy(abs(col("score")).desc, col("vec_id"))
       .limit(k)
   }
+
+  /** qae: per-vector affine int8 quantization round trip — the embedding
+    * compression every vector store applies (4× smaller than float32,
+    * 8× than the double working type), with its reconstruction-error
+    * audit: q_i = ⌊(x_i − min)/scale + 0.5⌋ on a per-vector [min, max]
+    * range, error = x − (min + q·scale). Reported per vector: the range,
+    * worst absolute error and MSE — the numbers that decide whether int8
+    * is safe for a given corpus. Pure per-row lambda math (no shuffle at
+    * all before the output sort), and deterministic cross-engine: the
+    * quantizer uses ⌊z+0.5⌋ (identical in IEEE doubles everywhere)
+    * rather than engine-specific round(), and each vector's error
+    * reduction folds in list order, so even summation order is pinned. */
+  def int8Quant(spark: SparkSession, dir: String): DataFrame = {
+    val scale = (col("mx") - col("mn")) / lit(255.0)
+    val err = expr(
+      "transform(v, x -> x - (mn + floor((x - mn) / scale + 0.5) * scale))")
+    vectors(spark, dir)
+      .select(col("vec_id"), col("v"),
+        array_min(col("v")).as("mn"), array_max(col("v")).as("mx"))
+      .where(col("mx") > col("mn")) // constant vectors quantize losslessly
+      .withColumn("scale", scale)
+      .withColumn("e", err)
+      .select(col("vec_id"), round(col("mn"), 6).as("mn"),
+        round(col("mx"), 6).as("mx"),
+        round(aggregate(col("e"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x))), 8).as("max_abs_err"),
+        // squared errors are ~1e-5 with fp noise ~1e-19: rounding at 1e-9
+        // is far above any summation-order wobble
+        round(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)
+          / size(col("e")), 9).as("mse"))
+      .orderBy("vec_id")
+  }
 }

@@ -662,4 +662,36 @@ object Relational {
         count(lit(1)).as("n_lines"))
     scored.orderBy(col("decay_score").desc, col("l_partkey")).limit(k)
   }
+
+  /** qaf: per-group winsorization — order totals clipped to each nation's
+    * [p05, p95] band before averaging, the outlier-robust preprocessing a
+    * feature pipeline applies ahead of normalization. Two passes over the
+    * same group key: an exact interpolated-percentile aggregate (25 rows —
+    * broadcasts), then the clip + re-aggregate joined against it; at
+    * 100 TB the second shuffle disappears into the first's partitioning
+    * (same key, AQE reuse) and the percentile state is the only
+    * per-group memory. Both engines interpolate identically
+    * (quantile_cont semantics) and round once at the end. */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "orders")
+      .join(broadcast(Tables(spark, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables(spark, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_totalprice").as("x"))
+    val bounds = base.groupBy("n_name").agg(
+      expr("percentile(x, 0.05)").as("lo"),
+      expr("percentile(x, 0.95)").as("hi"))
+    base.join(broadcast(bounds), "n_name")
+      .select(col("n_name"), col("x"),
+        least(greatest(col("x"), col("lo")), col("hi")).as("xw"),
+        col("lo"), col("hi"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n"),
+        round(avg("x"), 6).as("raw_avg"),
+        round(avg("xw"), 6).as("wins_avg"),
+        sum(when(col("x") =!= col("xw"), 1L).otherwise(0L)).as("n_clipped"),
+        round(first("lo"), 6).as("p05"), round(first("hi"), 6).as("p95"))
+      .orderBy("n_name")
+  }
 }

@@ -273,6 +273,40 @@ object TextOps {
       .orderBy(col("n").desc, col("gram"))
       .limit(k)
 
+  /** qac: pointwise mutual information of adjacent word pairs — the
+    * collocation detector ("new york" scores high, "of the" scores ~0)
+    * that vocabulary induction and phrase-mining passes run on a corpus.
+    * PMI(a,b) = ln( P(ab) / (P(a)·P(b)) ) with bigram/unigram MLE
+    * probabilities; a min-count floor keeps the estimate out of the
+    * noisy tail. Three token-keyed aggregates + two joins of the bigram
+    * relation against the (vocabulary-sized, hence broadcastable) unigram
+    * counts; the corpus text is scanned twice and nothing larger than
+    * (grams × 1 row) shuffles. Only the final PMI is rounded. */
+  def bigramPmi(spark: SparkSession, dir: String, minCount: Int = 20,
+      k: Int = 50): DataFrame = {
+    val uni = docNgrams(spark, dir, 1, distinctPerDoc = false)
+      .groupBy("gram").agg(count(lit(1)).as("n_tok"))
+    val nTok = uni.agg(sum("n_tok").as("total_tok"))
+    val bg = docNgrams(spark, dir, 2, distinctPerDoc = false)
+      .groupBy("gram").agg(count(lit(1)).as("n_bg"))
+      .where(col("n_bg") >= minCount)
+    val nBg = bg.agg(sum("n_bg").as("total_bg"))
+    val w = split(col("gram"), " ")
+    bg.select(col("gram"), w.getItem(0).as("w1"), w.getItem(1).as("w2"),
+        col("n_bg"))
+      .join(broadcast(uni.select(col("gram").as("w1"), col("n_tok").as("n1"))),
+        "w1")
+      .join(broadcast(uni.select(col("gram").as("w2"), col("n_tok").as("n2"))),
+        "w2")
+      .crossJoin(broadcast(nBg)).crossJoin(broadcast(nTok))
+      .select(col("gram"), col("n_bg"), col("n1"), col("n2"),
+        round(log(col("n_bg").cast("double") / col("total_bg")
+          / (col("n1").cast("double") / col("total_tok"))
+          / (col("n2").cast("double") / col("total_tok"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("gram"))
+      .limit(k)
+  }
+
   /** Fixed-size token chunking with overlap (stride < size) — the RAG /
     * context-window preparation shape: chunk c covers tokens
     * [c·stride, c·stride + size). Emits (doc_id, chunk_id, n_chunk_tokens,

@@ -100,4 +100,85 @@ class Round5dSpec extends AnyFunSuite with SparkSuite {
       .toMap
     assert(got == want.map { case (k, v) => k -> v.toLong })
   }
+
+  test("bigram PMI replays from raw token counts") {
+    val texts = Tables(spark, sfDir, "documents").select("text").collect()
+      .map(_.getString(0).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val uni = texts.flatten.groupBy(identity).view.mapValues(_.length).toMap
+    val nTok = uni.values.sum.toLong
+    val bg = texts.flatMap(w => w.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length).filter(_._2 >= 20).toMap
+    val nBg = bg.values.sum.toLong
+    val got = TextOps.bigramPmi(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val Array(w1, w2) = r.getString(0).split(" ")
+      val want = math.log(bg(r.getString(0)).toDouble / nBg /
+        (uni(w1).toDouble / nTok) / (uni(w2).toDouble / nTok))
+      assert(math.abs(r.getAs[Double]("pmi") - want) < 1e-6)
+      assert(r.getAs[Long]("n_bg") == bg(r.getString(0)).toLong)
+    }
+  }
+
+  test("prefix-filtered join finds exactly the brute-force pairs") {
+    val got = Dedup.prefixJaccardJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        r.getAs[Double]("jaccard")).toMap
+    // brute force over the same shingle sets (engine tokenizer semantics)
+    val sets = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map { r =>
+        val w = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> w.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val want = (for {
+      (u, a) <- sets; (v, b) <- sets
+      if u < v
+      j = (a & b).size.toDouble / (a | b).size
+      jr = BigDecimal(j).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if jr >= 0.5
+    } yield (u, v) -> jr).toMap
+    assert(got.keySet == want.keySet,
+      s"missing ${want.keySet -- got.keySet}, extra ${got.keySet -- want.keySet}")
+    want.foreach { case (k, j) => assert(math.abs(got(k) - j) < 1e-6) }
+  }
+
+  test("int8 quantization error respects the half-step bound") {
+    val rows = Linalg.int8Quant(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val scale = (r.getAs[Double]("mx") - r.getAs[Double]("mn")) / 255.0
+      val maxErr = r.getAs[Double]("max_abs_err")
+      // ⌊z+0.5⌋ rounds to the nearest level: error ≤ scale/2 (+ rounding slack)
+      assert(maxErr <= scale / 2 + 1e-6, s"vec ${r.getLong(0)}: $maxErr > ${scale / 2}")
+      assert(r.getAs[Double]("mse") <= maxErr * maxErr + 1e-9)
+      assert(r.getAs[Double]("mse") >= 0)
+    }
+  }
+
+  test("winsorized averages replay against interpolated percentiles") {
+    val byNation = Tables(spark, sfDir, "orders")
+      .join(Tables(spark, sfDir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(Tables(spark, sfDir, "nation"), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("o_totalprice")).collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+    def pct(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = rank.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+    }
+    val got = Relational.winsorize(spark, sfDir).collect()
+    assert(got.length == byNation.size)
+    got.foreach { r =>
+      val xs = byNation(r.getString(0)).map(_._2)
+      val (lo, hi) = (pct(xs, 0.05), pct(xs, 0.95))
+      val wins = xs.map(x => math.min(math.max(x, lo), hi))
+      assert(r.getAs[Long]("n") == xs.length.toLong)
+      assert(math.abs(r.getAs[Double]("wins_avg") - wins.sum / wins.length) < 1e-5)
+      assert(r.getAs[Long]("n_clipped") == xs.count(x => x < lo || x > hi).toLong)
+    }
+  }
 }
