@@ -314,6 +314,14 @@ object SparkEntry {
     "qae_int8_quant" -> (Linalg.int8Quant _),
     // per-group winsorized (p05/p95-clipped) averages
     "qaf_winsorize" -> (Relational.winsorize _),
+    // longest consecutive-day streak (gaps-and-islands, dense axis)
+    "qag_streaks" -> (Events.activityStreaks _),
+    // hourly-series autocorrelation at lag 1 / lag 24 (seasonality screen)
+    "qah_autocorr" -> (Events.hourlyAutocorr _),
+    // top session-opening event paths (ordered first-3 sequence mining)
+    "qai_path_topk" -> ((s, d) => Events.sessionPathTopK(s, d)),
+    // BPE-ish tokens per whitespace word, per language (fertility)
+    "qaj_fertility" -> (TextOps.tokenizerFertility _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1089,6 +1097,56 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // (day_index − row_number) is integer arithmetic — replays verbatim
+    "qag_streaks" ->
+      """WITH d AS (SELECT DISTINCT user_id,
+        |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) // 86400
+        |      AS day_i FROM events),
+        |r AS (SELECT user_id, day_i,
+        |        day_i - row_number() OVER (PARTITION BY user_id
+        |          ORDER BY day_i) AS g FROM d),
+        |s AS (SELECT user_id, g, count(*) AS len FROM r GROUP BY 1, 2)
+        |SELECT user_id, max(len) AS longest_streak,
+        |  CAST(sum(len) AS BIGINT) AS n_active_days,
+        |  count(*) AS n_streaks
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // both engines use the textbook sample-corr aggregate on an integer
+    // series; fp wobble is ~1e-14 against a 6-dp rounding
+    "qah_autocorr" ->
+      """WITH h AS (SELECT CAST(floor(epoch(date_trunc('hour', ts)))
+        |      AS BIGINT) AS hour_s,
+        |    CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1),
+        |l AS (SELECT n, lag(n, 1) OVER (ORDER BY hour_s) AS n1,
+        |        lag(n, 24) OVER (ORDER BY hour_s) AS n24 FROM h)
+        |SELECT count(*) AS n_hours, round(corr(n, n1), 6) AS lag1_corr,
+        |       round(corr(n, n24), 6) AS lag24_corr FROM l""".stripMargin,
+    // ordered string_agg ≡ the engine's rank-sorted collect+join
+    "qai_path_topk" ->
+      """WITH r AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |    event_type, row_number() OVER (PARTITION BY user_id,
+        |      CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT)
+        |      ORDER BY ts, event_id) AS rn FROM events),
+        |p AS (SELECT user_id, day_s,
+        |        string_agg(event_type, '>' ORDER BY rn) AS path
+        |      FROM r WHERE rn <= 3 GROUP BY 1, 2)
+        |SELECT path, count(*) AS n_sessions FROM p
+        |GROUP BY 1 ORDER BY n_sessions DESC, path LIMIT 10""".stripMargin,
+    // q55's RE2-safe pattern → identical token counts; sum/sum and
+    // avg-of-ratios both rounded once
+    "qaj_fertility" ->
+      """WITH d AS (SELECT lang,
+        |    CAST(len(regexp_extract_all(lower(text),
+        |      ' ?[a-z]+| ?[0-9]+| ?[^\sa-z0-9]+')) AS DOUBLE) AS bpe,
+        |    CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+        |      x -> len(x) > 0)) AS DOUBLE) AS words
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(sum(words) AS BIGINT) AS n_words,
+        |  round(sum(bpe) / sum(words), 6) AS corpus_fertility,
+        |  round(avg(bpe / words), 6) AS avg_doc_fertility
+        |FROM d WHERE words > 0 GROUP BY 1 ORDER BY 1""".stripMargin,
     // identical division sequence before the single ln() → identical
     // doubles; unigram/bigram totals are integer sums (order-free)
     "qac_bigram_pmi" ->

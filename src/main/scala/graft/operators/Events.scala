@@ -736,4 +736,69 @@ object Events {
       .where(col("n_sessions") >= minSupport)
       .orderBy("a", "b")
   }
+
+  /** qag: longest consecutive-day activity streak per user — the
+    * gaps-and-islands idiom on a DENSE integer axis: for distinct active
+    * days numbered rn within a user, (day_index − rn) is constant exactly
+    * along a run of consecutive days, so one window pass + two aggregates
+    * replace any self-join. Per user: longest streak, total active days,
+    * number of streaks. Day indexes travel as epoch-day integers. */
+  def activityStreaks(spark: SparkSession, dir: String): DataFrame = {
+    val days = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        expr("unix_timestamp(date_trunc('day', ts)) div 86400").as("day_i"))
+      .distinct()
+    val rn = row_number().over(Window.partitionBy("user_id").orderBy("day_i"))
+    days.withColumn("g", col("day_i") - rn)
+      .groupBy("user_id", "g").agg(count(lit(1)).as("len"))
+      .groupBy("user_id")
+      .agg(max("len").as("longest_streak"),
+        sum("len").as("n_active_days"),
+        count(lit(1)).as("n_streaks"))
+      .orderBy("user_id")
+  }
+
+  /** qah: autocorrelation of the hourly event-count series at lag 1 and
+    * lag 24 (the seasonality screen a forecasting pipeline runs first).
+    * The series is the OUTPUT of an aggregate — thousands of rows per
+    * year regardless of event volume — so the single-partition lag
+    * window is a driver-scale post-processing step, not a scale risk;
+    * the heavy lifting is the hour-keyed count, which shuffles once. */
+  def hourlyAutocorr(spark: SparkSession, dir: String): DataFrame = {
+    val series = Tables(spark, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val w = Window.orderBy("hour_s")
+    series
+      .select(col("n"), lag("n", 1).over(w).as("n1"),
+        lag("n", 24).over(w).as("n24"))
+      .agg(count(lit(1)).as("n_hours"),
+        round(corr(col("n"), col("n1")), 6).as("lag1_corr"),
+        round(corr(col("n"), col("n24")), 6).as("lag24_corr"))
+  }
+
+  /** qai: top session-opening paths — the ordered sequence of a session's
+    * first three event types as one path string, counted across sessions
+    * (the entry-funnel mining view; sessions are (user, day) as in qab).
+    * One session-keyed window pass ranks events, the collect stays ≤ 3
+    * rows per session, and the path count is an ordinary group-by — at
+    * 100 TB everything shuffles on the session key once, then on the
+    * (tiny) path domain. */
+  def sessionPathTopK(spark: SparkSession, dir: String, k: Int = 10): DataFrame = {
+    val w = Window
+      .partitionBy("user_id", "day_s").orderBy("ts", "event_id")
+    val paths = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .groupBy("user_id", "day_s")
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("rn"), col("event_type")))),
+        s => s.getField("event_type")), ">").as("path"))
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
 }

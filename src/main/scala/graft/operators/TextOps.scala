@@ -307,6 +307,29 @@ object TextOps {
       .limit(k)
   }
 
+  /** qaj: tokenizer fertility per language — BPE-ish subword tokens
+    * emitted per whitespace word, the metric that decides whether a
+    * tokenizer (and hence a context window) is efficient for a given
+    * language mix. Corpus-level fertility uses the sum/sum form (never
+    * avg-of-ratios) beside the per-doc average; both engines evaluate
+    * the same RE2-safe pattern ([[BpePattern]]) so counts are identical
+    * and only the final ratios are rounded. Pure per-row regex work +
+    * one lang-keyed aggregate: one shuffle of 25 rows per language. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"),
+        size(expr(s"regexp_extract_all(lower(text), '$BpePattern', 0)"))
+          .cast("double").as("bpe"),
+        size(Dedup.tokensCol(col("text"))).cast("double").as("words"))
+      .where(col("words") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("bpe").cast("long").as("n_bpe_tokens"),
+        sum("words").cast("long").as("n_words"),
+        round(sum("bpe") / sum("words"), 6).as("corpus_fertility"),
+        round(avg(col("bpe") / col("words")), 6).as("avg_doc_fertility"))
+      .orderBy("lang")
+
   /** Fixed-size token chunking with overlap (stride < size) — the RAG /
     * context-window preparation shape: chunk c covers tokens
     * [c·stride, c·stride + size). Emits (doc_id, chunk_id, n_chunk_tokens,

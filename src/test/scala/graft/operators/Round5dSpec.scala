@@ -181,4 +181,73 @@ class Round5dSpec extends AnyFunSuite with SparkSuite {
       assert(r.getAs[Long]("n_clipped") == xs.count(x => x < lo || x > hi).toLong)
     }
   }
+
+  test("activity streaks equal a brute-force consecutive-day scan") {
+    val days = eventTimes()
+      .map(e => (e._1, e._4 / 1000000L / 86400L)).distinct
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    val got = Events.activityStreaks(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("longest_streak"), r.getAs[Long]("n_active_days"),
+          r.getAs[Long]("n_streaks"))).toMap
+    assert(got.size == days.size)
+    days.foreach { case (u, ds) =>
+      val runs = collection.mutable.ArrayBuffer(1L)
+      ds.sliding(2).filter(_.length == 2).foreach { w =>
+        if (w(1) == w(0) + 1) runs(runs.length - 1) += 1 else runs += 1L
+      }
+      assert(got(u) == ((runs.max, ds.length.toLong, runs.length.toLong)),
+        s"user $u: ${got(u)} vs (${runs.max}, ${ds.length}, ${runs.length})")
+    }
+  }
+
+  test("hourly autocorrelation equals brute Pearson on the lagged series") {
+    val series = eventTimes().map(_._4 / 1000000L / 3600L)
+      .groupBy(identity).view.mapValues(_.length.toDouble)
+      .toSeq.sortBy(_._1).map(_._2).toArray
+    def pearson(lag: Int): Double = {
+      val pairs = (lag until series.length).map(i => (series(i), series(i - lag)))
+      val (xs, ys) = (pairs.map(_._1), pairs.map(_._2))
+      val (mx, my) = (xs.sum / xs.size, ys.sum / ys.size)
+      val cov = pairs.map { case (x, y) => (x - mx) * (y - my) }.sum
+      val (sx, sy) = (math.sqrt(xs.map(x => (x - mx) * (x - mx)).sum),
+        math.sqrt(ys.map(y => (y - my) * (y - my)).sum))
+      cov / (sx * sy)
+    }
+    val r = Events.hourlyAutocorr(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_hours") == series.length.toLong)
+    assert(math.abs(r.getAs[Double]("lag1_corr") - pearson(1)) < 1e-5)
+    assert(math.abs(r.getAs[Double]("lag24_corr") - pearson(24)) < 1e-5)
+  }
+
+  test("session paths equal brute first-3 sequences") {
+    val counts = eventTimes()
+      .groupBy(e => (e._1, e._4 / 1000000L / 86400L))
+      .values.map(evs => evs.sortBy(e => (e._4, e._2)).take(3)
+        .map(_._3).mkString(">"))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got = Events.sessionPathTopK(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getAs[Long]("n_sessions"))
+    val want = counts.toSeq.sortBy { case (p, n) => (-n, p) }.take(10)
+    assert(got.toSeq == want)
+  }
+
+  test("tokenizer fertility replays under Java regex") {
+    val pat = TextOps.BpePattern.r
+    val per = Tables(spark, sfDir, "documents").select("lang", "text").collect()
+      .map { r =>
+        val t = r.getString(1).toLowerCase
+        (r.getString(0), pat.findAllIn(t).size.toLong,
+          t.split("\\s+").count(_.nonEmpty).toLong)
+      }.groupBy(_._1)
+    val got = TextOps.tokenizerFertility(spark, sfDir).collect()
+    assert(got.length == per.size)
+    got.foreach { r =>
+      val docs = per(r.getString(0))
+      assert(r.getAs[Long]("n_bpe_tokens") == docs.map(_._2).sum)
+      assert(r.getAs[Long]("n_words") == docs.map(_._3).sum)
+      assert(math.abs(r.getAs[Double]("corpus_fertility") -
+        docs.map(_._2).sum.toDouble / docs.map(_._3).sum) < 1e-5)
+    }
+  }
 }
