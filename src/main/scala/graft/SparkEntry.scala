@@ -322,6 +322,14 @@ object SparkEntry {
     "qai_path_topk" -> ((s, d) => Events.sessionPathTopK(s, d)),
     // BPE-ish tokens per whitespace word, per language (fertility)
     "qaj_fertility" -> (TextOps.tokenizerFertility _),
+    // deterministic epoch shuffle + sharding (hash permutation, no sort)
+    "qak_epoch_shuffle" -> ((s, d) => Sampling.epochShuffle(s, d)),
+    // contrastive hard negatives: nearest neighbor with a different label
+    "qal_hard_negatives" -> ((s, d) => Similarity.hardNegatives(s, d)),
+    // per-label centroids + nearest-other-centroid separation audit
+    "qam_label_centroids" -> (Linalg.labelCentroids _),
+    // join-key skew diagnostics: Gini, max share, top-10 share
+    "qan_key_skew" -> (ScaleOps.keySkew _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1097,6 +1105,67 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // the multiplicative-hash permutation is BIGINT arithmetic end-to-end
+    "qak_epoch_shuffle" ->
+      """WITH s AS (SELECT doc_id,
+        |    (doc_id + 1) * 2654435761 % 4294967296 AS h FROM documents)
+        |SELECT doc_id, CAST(h % 8 AS INT) AS shard,
+        |  row_number() OVER (PARTITION BY h % 8 ORDER BY h, doc_id) - 1
+        |    AS pos
+        |FROM s ORDER BY shard, pos""".stripMargin,
+    // q46's cosine oracle with the label inequality in the join; the
+    // argmax replays as a rank-1 window
+    "qal_hard_negatives" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label
+        |           FROM embeddings),
+        |s AS (SELECT q.vec_id AS query_id, q.label AS query_label,
+        |        e.vec_id AS neighbor_id, e.label AS neg_label,
+        |        round(list_cosine_similarity(q.v, e.v), 6) AS cosine
+        |      FROM e q JOIN e ON q.vec_id < 100 AND e.label <> q.label),
+        |r AS (SELECT s.*, row_number() OVER (PARTITION BY query_id
+        |        ORDER BY cosine DESC, neighbor_id) AS rn FROM s)
+        |SELECT query_id, query_label, neighbor_id, neg_label, cosine
+        |FROM r WHERE rn = 1 ORDER BY query_id""".stripMargin,
+    // centroid components rounded to 6 dp in BOTH engines before the
+    // cosine → the pairwise argmax compares identical inputs
+    "qam_label_centroids" ->
+      """WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        |x AS (SELECT label, CAST(unnest(range(len(v))) AS INT) AS dim,
+        |        unnest(v) AS x FROM e),
+        |c AS (SELECT label, dim, round(avg(x), 6) AS c FROM x
+        |      GROUP BY 1, 2),
+        |nrm AS (SELECT label, sqrt(sum(c * c)) AS nr FROM c GROUP BY 1),
+        |n AS (SELECT label, count(*) AS n_vecs FROM e GROUP BY 1),
+        |p AS (SELECT a.label AS label, b.label AS nearest_label,
+        |        sum(a.c * b.c) AS d
+        |      FROM c a JOIN c b ON a.dim = b.dim AND a.label <> b.label
+        |      GROUP BY 1, 2),
+        |r AS (SELECT p.label, p.nearest_label,
+        |        round(p.d / (na.nr * nb.nr), 6) AS centroid_cosine,
+        |        row_number() OVER (PARTITION BY p.label
+        |          ORDER BY round(p.d / (na.nr * nb.nr), 6) DESC,
+        |                   p.nearest_label) AS rn
+        |      FROM p JOIN nrm na ON na.label = p.label
+        |             JOIN nrm nb ON nb.label = p.nearest_label)
+        |SELECT r.label, n.n_vecs, r.nearest_label, r.centroid_cosine
+        |FROM r JOIN n ON n.label = r.label WHERE rn = 1
+        |ORDER BY r.label""".stripMargin,
+    // rank-weighted Gini over per-key counts: integer sums, two final
+    // divisions — replays exactly
+    "qan_key_skew" ->
+      """WITH c AS (SELECT l_partkey, count(*) AS cnt FROM lineitem
+        |           GROUP BY 1),
+        |r AS (SELECT cnt, row_number() OVER (ORDER BY cnt, l_partkey)
+        |        AS i FROM c),
+        |t AS (SELECT CAST(sum(cnt) AS BIGINT) AS top10 FROM
+        |        (SELECT cnt FROM c ORDER BY cnt DESC, l_partkey LIMIT 10))
+        |SELECT count(*) AS n_keys, CAST(sum(cnt) AS BIGINT) AS total,
+        |  max(cnt) AS max_cnt,
+        |  round((2.0 * sum(i * cnt) - (count(*) + 1) * sum(cnt))
+        |    / (count(*) * sum(cnt)), 6) AS gini,
+        |  round(CAST(max(cnt) AS DOUBLE) / sum(cnt), 6) AS max_share,
+        |  round(CAST(min(top10) AS DOUBLE) / sum(cnt), 6) AS top10_share
+        |FROM r CROSS JOIN t""".stripMargin,
     // (day_index − row_number) is integer arithmetic — replays verbatim
     "qag_streaks" ->
       """WITH d AS (SELECT DISTINCT user_id,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -124,5 +124,39 @@ object Linalg {
         round(aggregate(col("e"), lit(0.0), (acc, x) => acc + x * x)
           / size(col("e")), 9).as("mse"))
       .orderBy("vec_id")
+  }
+
+  /** qam: per-label embedding centroids + nearest-other-centroid cosine —
+    * the class-separation audit run before training a classifier head
+    * (labels whose centroids nearly coincide are candidates for merging
+    * or relabeling). Centroids come from one dimension-keyed average
+    * (rows shuffle once, as (label, dim) partial sums); the pairwise
+    * centroid comparison is labels² rows of dim-length arrays —
+    * diagnostic-table-sized, never corpus-sized. Centroid components are
+    * rounded to 6 dp BEFORE the cosine so both engines fold identical
+    * inputs; the cosine is rounded once more on output. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame = {
+    val x = Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding").cast("array<double>")))
+      .toDF("label", "dim", "x")
+    val cent = x.groupBy("label", "dim").agg(round(avg("x"), 6).as("c"))
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        s => s.getField("c")).as("cv"))
+    val nv = Tables(spark, dir, "embeddings")
+      .groupBy("label").agg(count(lit(1)).as("n_vecs"))
+    def dot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (p, q) => p * q), lit(0.0), (acc, t) => acc + t)
+    val pairs = cent.as("a")
+      .join(cent.as("b"), col("a.label") =!= col("b.label"))
+      .select(col("a.label").as("label"), col("b.label").as("nearest_label"),
+        round(dot(col("a.cv"), col("b.cv"))
+          / (sqrt(dot(col("a.cv"), col("a.cv")))
+            * sqrt(dot(col("b.cv"), col("b.cv")))), 6).as("centroid_cosine"))
+    graft.plans.TopKPerGroup(pairs, Seq("label"),
+        Seq(("centroid_cosine", true), ("nearest_label", false)), 1, "rank")
+      .join(nv, "label")
+      .select("label", "n_vecs", "nearest_label", "centroid_cosine")
+      .orderBy("label")
   }
 }

@@ -173,4 +173,25 @@ object Sampling {
           .as("expected_docs"))
       .orderBy("source")
   }
+
+  /** qak: deterministic epoch shuffle + sharding — the global permutation
+    * a training run applies each epoch, as a DATAFLOW: the multiplicative
+    * hash is the permutation key, shard = hash mod nShards spreads docs
+    * uniformly WITHOUT a global sort, and each shard's read order is a
+    * per-shard window rank (partition-parallel — no cross-shard
+    * coordination, which is what makes this the 100 TB shape; a global
+    * row_number would serialize on one partition). Different seed →
+    * different permutation, same code path. */
+  def epochShuffle(spark: SparkSession, dir: String, nShards: Int = 8,
+      seed: Long = 1L): DataFrame = {
+    val h = ((col("doc_id") + lit(seed)) * lit(2654435761L)) % lit(4294967296L)
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .withColumn("h", h)
+      .withColumn("shard", (col("h") % nShards).cast("int"))
+      .withColumn("pos",
+        row_number().over(Window.partitionBy("shard").orderBy("h", "doc_id"))
+          .cast("long") - 1L)
+      .select("doc_id", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
 }

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Scale techniques the 100 TB deployment leans on, exposed as library
   * operations with plan-shape tests (ScaleOpsSpec):
@@ -266,5 +267,33 @@ object ScaleOps {
         round(sum("l_quantity"), 6).as("sum_qty"),
         round(sum("l_extendedprice"), 6).as("sum_price"))
       .orderBy("l_suppkey")
+  }
+
+  /** qan: join-key skew diagnostics — the numbers that decide whether a
+    * key needs salting (q7d) or AQE skew handling before a 100 TB join:
+    * per-key counts summarized as a Gini coefficient (rank-weighted
+    * integer formula — exact, no sampling), the heaviest key's share and
+    * the top-10 share. The global rank runs over the AGGREGATED key
+    * relation (|keys| rows, not |rows|), which is the only sort in the
+    * plan; everything before it is one map-side-combined count. All
+    * sums are integer until the two final divisions. */
+  def keySkew(spark: SparkSession, dir: String): DataFrame = {
+    val counts = graft.Tables(spark, dir, "lineitem")
+      .groupBy("l_partkey").agg(count(lit(1)).as("cnt"))
+    val ranked = counts.withColumn("i",
+      row_number().over(Window.orderBy("cnt", "l_partkey")).cast("long"))
+    val top10 = counts.orderBy(col("cnt").desc, col("l_partkey")).limit(10)
+      .agg(sum("cnt").as("top10"))
+    ranked
+      .agg(count(lit(1)).as("n_keys"), sum("cnt").as("total"),
+        max("cnt").as("max_cnt"), sum(col("i") * col("cnt")).as("iw"))
+      .crossJoin(broadcast(top10))
+      .select(col("n_keys"), col("total"), col("max_cnt"),
+        round((lit(2.0) * col("iw") - (col("n_keys") + 1) * col("total"))
+          / (col("n_keys") * col("total")), 6).as("gini"),
+        round(col("max_cnt").cast("double") / col("total"), 6)
+          .as("max_share"),
+        round(col("top10").cast("double") / col("total"), 6)
+          .as("top10_share"))
   }
 }

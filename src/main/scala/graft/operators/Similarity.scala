@@ -516,4 +516,33 @@ object Similarity {
         |        ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
         |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin)
   }
+
+  /** qal: hard-negative mining — for each query vector, the most similar
+    * vector with a DIFFERENT label (the contrastive-training pair that
+    * actually teaches the boundary; an easy random negative carries no
+    * gradient). Same broadcast + codegen-dot + bounded-heap top-k shape
+    * as q46 with the label inequality folded into the join condition, so
+    * candidates with the query's own label are dropped BEFORE scoring —
+    * at 100 TB the filter-in-join is the difference between scoring the
+    * corpus and scoring the other-label fraction of it. */
+  def hardNegatives(spark: SparkSession, dir: String,
+      nQueries: Long = 100): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+        col("label"))
+      .withColumn("norm", sqrt(cdot(col("v"), col("v"))))
+    val q = e.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("label").as("query_label"),
+        col("v").as("qv"), col("norm").as("qn"))
+    val sims = broadcast(q).join(e, col("label") =!= col("query_label"))
+      .select(col("query_id"), col("query_label"),
+        col("vec_id").as("neighbor_id"), col("label").as("neg_label"),
+        round(cdot(col("qv"), col("v")) / (col("qn") * col("norm")), 6)
+          .as("cosine"))
+    graft.plans.TopKPerGroup(sims, Seq("query_id"),
+        Seq(("cosine", true), ("neighbor_id", false)), 1, "rank")
+      .select("query_id", "query_label", "neighbor_id", "neg_label", "cosine")
+      .orderBy("query_id")
+  }
 }

@@ -232,6 +232,102 @@ class Round5dSpec extends AnyFunSuite with SparkSuite {
     assert(got.toSeq == want)
   }
 
+  test("epoch shuffle is a permutation with dense per-shard positions") {
+    val rows = Sampling.epochShuffle(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos")))
+    val nDocs = Tables(spark, sfDir, "documents").count()
+    assert(rows.length.toLong == nDocs)
+    assert(rows.map(_._1).distinct.length.toLong == nDocs)
+    rows.groupBy(_._2).foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq == (0L until rs.length).toSeq,
+        s"shard $shard positions not dense")
+    }
+    rows.foreach { case (id, shard, _) =>
+      val h = ((id + 1L) * 2654435761L) % 4294967296L
+      assert(shard == (h % 8).toInt)
+    }
+    // a different seed permutes differently but covers the same docs
+    val other = Sampling.epochShuffle(spark, sfDir, seed = 2L).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("shard"),
+        r.getAs[Long]("pos")))
+    assert(other.map(_._1).sorted.toSeq == rows.map(_._1).sorted.toSeq)
+    assert(other.map(r => (r._1, r._2, r._3)).toSet !=
+      rows.map(r => (r._1, r._2, r._3)).toSet)
+  }
+
+  test("hard negatives equal the brute argmax over other-label vectors") {
+    val vecs = Tables(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray,
+        r.getAs[Int]("label")))
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i)
+        nb += b(i) * b(i); i += 1 }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val got = Similarity.hardNegatives(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("query_id") ->
+        (r.getAs[Long]("neighbor_id"), r.getAs[Double]("cosine"))).toMap
+    val queries = vecs.filter(_._1 < 100)
+    assert(got.size == queries.length)
+    queries.foreach { case (qid, qv, qlabel) =>
+      val best = vecs.filter(_._3 != qlabel)
+        .map { case (id, v, _) => (id, cos(qv, v)) }
+        .minBy { case (id, c) => (-c, id) }
+      assert(got(qid)._1 == best._1 && math.abs(got(qid)._2 - best._2) < 1e-6,
+        s"query $qid: ${got(qid)} vs $best")
+    }
+  }
+
+  test("label centroids and separation replay brute-force") {
+    val vecs = Tables(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getAs[Int]("label"),
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray))
+    val cents = vecs.groupBy(_._1).view.mapValues { vs =>
+      val dim = vs.head._2.length
+      Array.tabulate(dim) { i =>
+        BigDecimal(vs.map(_._2(i)).sum / vs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }.toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      val d = a.zip(b).map { case (x, y) => x * y }.sum
+      d / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    val got = Linalg.labelCentroids(spark, sfDir).collect()
+    assert(got.length == cents.size)
+    got.foreach { r =>
+      val l = r.getAs[Int]("label")
+      val best = cents.keys.filter(_ != l)
+        .map(o => (o, BigDecimal(cos(cents(l), cents(o)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+        .minBy { case (o, c) => (-c, o) }
+      assert(r.getAs[Int]("nearest_label") == best._1)
+      assert(math.abs(r.getAs[Double]("centroid_cosine") - best._2) < 1e-5)
+      assert(r.getAs[Long]("n_vecs") == vecs.count(_._1 == l).toLong)
+    }
+  }
+
+  test("key-skew Gini replays the rank-weighted formula") {
+    val counts = Tables(spark, sfDir, "lineitem").groupBy("l_partkey")
+      .agg(count(lit(1)).as("cnt")).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("cnt")))
+    val sorted = counts.sortBy { case (k, c) => (c, k) }.map(_._2)
+    val n = sorted.length.toLong
+    val total = sorted.sum
+    val iw = sorted.zipWithIndex.map { case (c, i) => (i + 1L) * c }.sum
+    val gini = (2.0 * iw - (n + 1) * total) / (n.toDouble * total)
+    val r = ScaleOps.keySkew(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_keys") == n)
+    assert(r.getAs[Long]("total") == total)
+    assert(math.abs(r.getAs[Double]("gini") - gini) < 1e-5)
+    val top10 = counts.sortBy { case (k, c) => (-c, k) }.take(10).map(_._2).sum
+    assert(math.abs(r.getAs[Double]("top10_share") - top10.toDouble / total) < 1e-5)
+  }
+
   test("tokenizer fertility replays under Java regex") {
     val pat = TextOps.BpePattern.r
     val per = Tables(spark, sfDir, "documents").select("lang", "text").collect()
