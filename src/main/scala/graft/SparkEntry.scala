@@ -330,6 +330,14 @@ object SparkEntry {
     "qam_label_centroids" -> (Linalg.labelCentroids _),
     // join-key skew diagnostics: Gini, max share, top-10 share
     "qan_key_skew" -> (ScaleOps.keySkew _),
+    // BM25 ranked retrieval for a deterministic 5-term query
+    "qao_bm25" -> ((s, d) => TextOps.bm25(s, d)),
+    // exact two-sample Kolmogorov–Smirnov drift between hash-split halves
+    "qap_ks_drift" -> (Sampling.ksDrift _),
+    // median-absolute-deviation robust outlier screen per group
+    "qaq_mad_outliers" -> ((s, d) => Relational.madOutliers(s, d)),
+    // truncated-EWMA smoothing of the hourly series per event type
+    "qar_ewma" -> ((s, d) => Events.hourlyEwma(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1105,6 +1113,88 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // literals and operation order mirror the engine exactly (1.2 + 1,
+    // not 2.2 — same doubles in, same doubles out); integer tf/df sums
+    "qao_bm25" ->
+      """WITH d2 AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> len(t) > 0) AS tokens
+        |  FROM documents
+        |  WHERE len(list_filter(string_split_regex(lower(text), '\s+'),
+        |                t -> len(t) > 0)) > 0),
+        |lens AS (SELECT doc_id, len(tokens) AS len FROM d2),
+        |tfc AS (SELECT doc_id, term, count(*) AS tf
+        |        FROM (SELECT doc_id, unnest(tokens) AS term FROM d2)
+        |        GROUP BY 1, 2),
+        |dfc AS (SELECT term, count(*) AS df FROM tfc GROUP BY 1),
+        |st AS (SELECT (SELECT count(*) FROM d2) AS n_docs,
+        |              (SELECT avg(len) FROM lens) AS avg_len),
+        |q AS (SELECT term, df,
+        |        ln((n_docs - df + 0.5) / (df + 0.5) + 1.0) AS idf, avg_len
+        |      FROM (SELECT term, df,
+        |              row_number() OVER (ORDER BY df DESC, term) AS r
+        |            FROM dfc) CROSS JOIN st
+        |      WHERE r BETWEEN 11 AND 15)
+        |SELECT tfc.doc_id, count(*) AS n_matched,
+        |  round(sum(idf * tf * (1.2 + 1) / (tf + 1.2 *
+        |    (1.0 - 0.75 + 0.75 * lens.len / avg_len))), 6) AS bm25
+        |FROM tfc JOIN q USING (term) JOIN lens ON lens.doc_id = tfc.doc_id
+        |GROUP BY 1 ORDER BY bm25 DESC, tfc.doc_id LIMIT 20""".stripMargin,
+    // ties collapse per distinct value before the CDFs; the split is the
+    // q57 BIGINT hash arithmetic
+    "qap_ks_drift" ->
+      """WITH v AS (SELECT o_totalprice AS x,
+        |    (o_orderkey * 2654435761) % 4294967296 / 4294967296.0 < 0.5
+        |      AS is_a FROM orders),
+        |g AS (SELECT x, sum(CASE WHEN is_a THEN 1 ELSE 0 END) AS na,
+        |        sum(CASE WHEN is_a THEN 0 ELSE 1 END) AS nb
+        |      FROM v GROUP BY 1),
+        |c AS (SELECT x,
+        |        sum(na) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS ca,
+        |        sum(nb) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING
+        |          AND CURRENT ROW) AS cb FROM g),
+        |t AS (SELECT CAST(sum(na) AS BIGINT) AS ta,
+        |             CAST(sum(nb) AS BIGINT) AS tb FROM g)
+        |SELECT min(ta) AS n_a, min(tb) AS n_b,
+        |  round(max(abs(CAST(ca AS DOUBLE) / ta - CAST(cb AS DOUBLE) / tb)),
+        |    6) AS ks_stat
+        |FROM c CROSS JOIN t""".stripMargin,
+    // quantile_cont(0.5) ≡ Spark's interpolated percentile; the band
+    // predicate replays with the same literal order
+    "qaq_mad_outliers" ->
+      """WITH base AS (SELECT l_returnflag, l_extendedprice AS x
+        |              FROM lineitem),
+        |m AS (SELECT l_returnflag, quantile_cont(x, 0.5) AS med
+        |      FROM base GROUP BY 1),
+        |d AS (SELECT l_returnflag, quantile_cont(abs(x - med), 0.5) AS mad
+        |      FROM base JOIN m USING (l_returnflag) GROUP BY 1)
+        |SELECT l_returnflag, count(*) AS n, round(min(med), 6) AS med,
+        |  round(min(mad), 6) AS mad,
+        |  CAST(sum(CASE WHEN abs(x - med) > 3.0 * 1.4826 * mad
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+        |FROM base JOIN m USING (l_returnflag) JOIN d USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the unrolled 13-term weighted sum with the ENGINE's own weight
+    // doubles embedded as literals — same chain, same association order
+    "qar_ewma" -> {
+      val terms = (0 to 12).map { k =>
+        val wt = math.pow(0.7, k).toString
+        val x = if (k == 0) "n" else s"lag(n, $k) OVER w"
+        (s"CASE WHEN $x IS NOT NULL THEN $wt ELSE 0.0 END",
+          s"coalesce($x * $wt, 0.0)")
+      }
+      s"""WITH h AS (SELECT CAST(floor(epoch(date_trunc('hour', ts)))
+         |    AS BIGINT) AS hour_s, event_type,
+         |    CAST(count(*) AS DOUBLE) AS n FROM events GROUP BY 1, 2),
+         |e AS (SELECT hour_s, event_type, n,
+         |        (${terms.map(_._2).mkString(" + ")})
+         |        / (${terms.map(_._1).mkString(" + ")}) AS ewma
+         |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour_s))
+         |SELECT hour_s, event_type, CAST(n AS BIGINT) AS n,
+         |  round(ewma, 6) AS ewma
+         |FROM e ORDER BY event_type, hour_s""".stripMargin
+    },
     // the multiplicative-hash permutation is BIGINT arithmetic end-to-end
     "qak_epoch_shuffle" ->
       """WITH s AS (SELECT doc_id,

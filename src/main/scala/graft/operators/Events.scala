@@ -777,6 +777,36 @@ object Events {
         round(corr(col("n"), col("n24")), 6).as("lag24_corr"))
   }
 
+  /** qar: truncated exponentially-weighted moving average of the hourly
+    * count series per event type — the smoothing pass behind alerting
+    * baselines (q9f's z-score on a steadier center). The EWMA recursion
+    * is unrolled to a 13-term weighted sum over explicit lag() columns
+    * (weight (1−α)^k at lag k, renormalized over the lags that exist
+    * near the series start) — deterministic in both engines because
+    * every term is an explicit double product and the sum has a fixed
+    * association order, unlike a recursive formulation. The window is
+    * type-partitioned; the series is aggregate-output-sized. */
+  def hourlyEwma(spark: SparkSession, dir: String, alpha: Double = 0.3,
+      horizon: Int = 12): DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("hour_s")
+    val counts = Tables(spark, dir, "events")
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_s"),
+        col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"))
+    val terms = (0 to horizon).map { k =>
+      val wt = math.pow(1.0 - alpha, k)
+      val x = if (k == 0) col("n") else lag("n", k).over(w)
+      (when(x.isNotNull, lit(wt)).otherwise(lit(0.0)),
+        coalesce(x * lit(wt), lit(0.0)))
+    }
+    val num = terms.map(_._2).reduce(_ + _)
+    val den = terms.map(_._1).reduce(_ + _)
+    counts
+      .select(col("hour_s"), col("event_type"), col("n").cast("long").as("n"),
+        round(num / den, 6).as("ewma"))
+      .orderBy("event_type", "hour_s")
+  }
+
   /** qai: top session-opening paths — the ordered sequence of a session's
     * first three event types as one path string, counted across sessions
     * (the entry-funnel mining view; sessions are (user, day) as in qab).

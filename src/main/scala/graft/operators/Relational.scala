@@ -611,6 +611,35 @@ object Relational {
         |ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** qaq: median-absolute-deviation outlier screen per group — the
+    * robust-statistics counterpart of the z-score (one inlier-corrupting
+    * mean/stddev pair vs estimators with a 50% breakdown point): per
+    * return flag, the exact interpolated median, the MAD, and how many
+    * prices sit beyond the 3σ-equivalent band (1.4826·MAD ≈ σ under
+    * normality). Two percentile aggregates over the same group key (the
+    * second on a derived |x − med| column) and a final count — three
+    * shuffles on one key, each producing 3 rows. */
+  def madOutliers(spark: SparkSession, dir: String,
+      cutoff: Double = 3.0): DataFrame = {
+    val base = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice").as("x"))
+    val med = base.groupBy("l_returnflag")
+      .agg(expr("percentile(x, 0.5)").as("med"))
+    val mad = base.join(broadcast(med), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(expr("percentile(abs(x - med), 0.5)").as("mad"))
+    base.join(broadcast(med), "l_returnflag")
+      .join(broadcast(mad), "l_returnflag")
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        round(first("med"), 6).as("med"),
+        round(first("mad"), 6).as("mad"),
+        sum(when(abs(col("x") - col("med")) >
+          lit(cutoff) * lit(1.4826) * col("mad"), 1L).otherwise(0L))
+          .as("n_outliers"))
+      .orderBy("l_returnflag")
+  }
+
   /** qa9: EXACT distinct-count via mergeable roaring bitmaps — the
     * warehouse pattern for distinct-count maintenance at 100 TB: each
     * segment (here: order month) builds per-bucket bitmaps with

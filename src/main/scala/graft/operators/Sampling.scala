@@ -174,6 +174,34 @@ object Sampling {
       .orderBy("source")
   }
 
+  /** qap: two-sample Kolmogorov–Smirnov drift statistic between the
+    * hash-split halves of the order-total distribution — the continuous
+    * counterpart of the categorical JSD drift check (q8w): D = max over
+    * x of |F_a(x) − F_b(x)|. Evaluated EXACTLY: group by distinct value
+    * (ties collapse before the CDF, the textbook treatment), one global
+    * ordered window for the two running CDFs, one max. The window runs
+    * over the distinct-value relation, not the rows; at 100 TB you'd
+    * quantize x into ~1e6 bins first (same plan, bounded axis) — the
+    * statistic is insensitive to binning far below the noise floor. The
+    * split replays the q57 portable hash arithmetic. */
+  def ksDrift(spark: SparkSession, dir: String): DataFrame = {
+    val side = ((col("o_orderkey") * lit(2654435761L)) % lit(4294967296L))
+      .cast("double") / lit(4294967296.0) < 0.5
+    val perValue = Tables(spark, dir, "orders")
+      .select(col("o_totalprice").as("x"), side.as("is_a"))
+      .groupBy("x")
+      .agg(sum(when(col("is_a"), 1L).otherwise(0L)).as("na"),
+        sum(when(col("is_a"), 0L).otherwise(1L)).as("nb"))
+    val w = Window.orderBy("x")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perValue
+      .select(col("x"), sum("na").over(w).as("ca"), sum("nb").over(w).as("cb"))
+      .crossJoin(broadcast(perValue.agg(sum("na").as("ta"), sum("nb").as("tb"))))
+      .agg(min("ta").as("n_a"), min("tb").as("n_b"),
+        round(max(abs(col("ca").cast("double") / col("ta")
+          - col("cb").cast("double") / col("tb"))), 6).as("ks_stat"))
+  }
+
   /** qak: deterministic epoch shuffle + sharding — the global permutation
     * a training run applies each epoch, as a DATAFLOW: the multiplicative
     * hash is the permutation key, shard = hash mod nShards spreads docs

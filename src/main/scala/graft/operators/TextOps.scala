@@ -194,6 +194,47 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** qao: BM25 ranked retrieval — the lexical-search scoring function
+    * (Robertson/Okapi) over the corpus, for a deterministic 5-term query
+    * (document-frequency ranks 11–15, mid-frequency terms that actually
+    * discriminate). Classic engine shape: the query-term relation (5
+    * rows, with df + idf precomputed) broadcasts against the (doc, term)
+    * tf relation, so only matching postings are scored — the corpus
+    * never shuffles on anything wider than its own tf aggregate. The
+    * k1/b length normalization uses the corpus average doc length, a
+    * broadcast scalar. Score = Σ idf·tf·(k1+1)/(tf + k1·(1−b+b·len/avg)),
+    * idf = ln((N − df + 0.5)/(df + 0.5) + 1) — one rounded output. */
+  def bm25(spark: SparkSession, dir: String, k: Int = 20,
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
+      .where(size(col("tokens")) > 0)
+    val lens = docs.select(col("doc_id"), size(col("tokens")).as("len"))
+    val tf = docs.select(col("doc_id"), explode(col("tokens")).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"))
+      .crossJoin(lens.agg(avg("len").as("avg_len")))
+    val qterms = df
+      .withColumn("r", row_number().over(org.apache.spark.sql.expressions
+        .Window.orderBy(col("df").desc, col("term"))))
+      .where(col("r").between(11, 15))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), col("df"),
+        log((col("n_docs") - col("df") + lit(0.5))
+          / (col("df") + lit(0.5)) + lit(1.0)).as("idf"),
+        col("avg_len"))
+    tf.join(broadcast(qterms), "term")
+      .join(lens, "doc_id")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"),
+        round(sum(col("idf") * col("tf") * (lit(k1) + 1)
+          / (col("tf") + lit(k1) * (lit(1.0) - b + lit(b) * col("len")
+            / col("avg_len")))), 6).as("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** (doc_id, gram) word n-gram relation; docs shorter than `n` contribute
     * nothing (`sequence` is only reached behind the size guard — Spark's
     * `sequence(0, -1)` would count DOWN, not return empty). */

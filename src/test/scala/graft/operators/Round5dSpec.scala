@@ -328,6 +328,104 @@ class Round5dSpec extends AnyFunSuite with SparkSuite {
     assert(math.abs(r.getAs[Double]("top10_share") - top10.toDouble / total) < 1e-5)
   }
 
+  test("bm25 replays the Okapi formula from raw counts") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+      .filter(_._2.nonEmpty)
+    val tf = docs.flatMap { case (id, ts) =>
+      ts.groupBy(identity).map { case (t, o) => (id, t, o.length.toLong) } }
+    val df = tf.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = docs.length.toLong
+    val avgLen = docs.map(_._2.length.toLong).sum.toDouble / n
+    val qterms = df.toSeq.sortBy { case (t, d) => (-d, t) }
+      .slice(10, 15).map(_._1).toSet
+    val scores = docs.map { case (id, ts) =>
+      val len = ts.length
+      val s = tf.filter(e => e._1 == id && qterms(e._2)).map { case (_, t, f) =>
+        val idf = math.log((n - df(t) + 0.5) / (df(t) + 0.5) + 1.0)
+        idf * f * (1.2 + 1) / (f + 1.2 * (1.0 - 0.75 + 0.75 * len / avgLen))
+      }
+      (id, s.size, s.sum)
+    }.filter(_._2 > 0)
+    val want = scores
+      .map { case (id, m, s) => (id, m.toLong,
+        BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+      .sortBy { case (id, _, s) => (-s, id) }.take(20)
+    val got = TextOps.bm25(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_matched"),
+        r.getAs[Double]("bm25")))
+    assert(got.length == want.length && got.nonEmpty)
+    got.zip(want).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && math.abs(g._3 - w._3) < 1e-6,
+        s"got $g want $w")
+    }
+  }
+
+  test("KS statistic equals the brute two-sample sweep") {
+    val vals = Tables(spark, sfDir, "orders")
+      .select("o_orderkey", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val (a, b) = vals.partition { case (k, _) =>
+      (k * 2654435761L % 4294967296L).toDouble / 4294967296.0 < 0.5 }
+    val xs = vals.map(_._2).distinct.sorted
+    val d = xs.map { x =>
+      math.abs(a.count(_._2 <= x).toDouble / a.length -
+        b.count(_._2 <= x).toDouble / b.length)
+    }.max
+    val r = Sampling.ksDrift(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_a") == a.length.toLong)
+    assert(r.getAs[Long]("n_b") == b.length.toLong)
+    assert(math.abs(r.getAs[Double]("ks_stat") - d) < 1e-5)
+  }
+
+  test("MAD outliers replay the robust band from brute medians") {
+    def pct50(xs: Array[Double]): Double = {
+      val s = xs.sorted
+      val rank = 0.5 * (s.length - 1)
+      val lo = rank.toInt
+      if (lo == s.length - 1) s(lo)
+      else s(lo) + (rank - lo) * (s(lo + 1) - s(lo))
+    }
+    val groups = Tables(spark, sfDir, "lineitem")
+      .select("l_returnflag", "l_extendedprice").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    val got = Relational.madOutliers(spark, sfDir).collect()
+    assert(got.length == groups.size)
+    got.foreach { r =>
+      val xs = groups(r.getString(0)).map(_._2)
+      val med = pct50(xs)
+      val mad = pct50(xs.map(x => math.abs(x - med)))
+      assert(math.abs(r.getAs[Double]("med") - med) < 1e-4)
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-4)
+      assert(r.getAs[Long]("n_outliers") ==
+        xs.count(x => math.abs(x - med) > 3.0 * 1.4826 * mad).toLong)
+    }
+  }
+
+  test("truncated EWMA replays the weighted-lag recursion") {
+    val series = eventTimes()
+      .map(e => (e._3, e._4 / 1000000L / 3600L * 3600L))
+      .groupBy(identity).view.mapValues(_.size.toDouble)
+      .toSeq.map { case ((t, h), n) => (t, h, n) }
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    val got = Events.hourlyEwma(spark, sfDir).collect()
+      .map(r => (r.getString(1), r.getAs[Long]("hour_s")) ->
+        r.getAs[Double]("ewma")).toMap
+    assert(got.size == series.values.map(_.size).sum)
+    series.foreach { case (t, hs) =>
+      hs.zipWithIndex.foreach { case ((_, h, _), i) =>
+        val lags = (0 to 12).flatMap { k =>
+          if (i - k >= 0) Some(math.pow(0.7, k) -> hs(i - k)._3) else None }
+        val want = lags.map { case (w, x) => w * x }.sum /
+          lags.map(_._1).sum
+        assert(math.abs(got((t, h)) - want) < 1e-5,
+          s"type $t hour $h: ${got((t, h))} vs $want")
+      }
+    }
+  }
+
   test("tokenizer fertility replays under Java regex") {
     val pat = TextOps.BpePattern.r
     val per = Tables(spark, sfDir, "documents").select("lang", "text").collect()
