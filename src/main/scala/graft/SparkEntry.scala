@@ -338,6 +338,14 @@ object SparkEntry {
     "qaq_mad_outliers" -> ((s, d) => Relational.madOutliers(s, d)),
     // truncated-EWMA smoothing of the hourly series per event type
     "qar_ewma" -> ((s, d) => Events.hourlyEwma(s, d)),
+    // global + average-local clustering coefficients (transitivity)
+    "qas_clustering_coeff" -> (GraphOps.clusteringCoeff _),
+    // Pareto/Lorenz revenue-concentration curve by customer decile
+    "qat_pareto" -> (Relational.paretoCurve _),
+    // per-user churn screen vs the corpus max day
+    "qau_churn" -> ((s, d) => Events.churnFlags(s, d)),
+    // dense 7×24 day-of-week×hour profile with χ²-vs-uniform terms
+    "qav_dow_profile" -> (Events.dowHourProfile _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1113,6 +1121,82 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // q89's triangle CTEs + the degree aggregate; integer triangle and
+    // wedge sums divide once at the end
+    "qas_clustering_coeff" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a.c AS u, b.c AS v
+        |      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |        FROM e e1 JOIN e e2 ON e1.v = e2.u
+        |                  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |tv AS (SELECT vertex, count(*) AS t FROM (
+        |         SELECT a AS vertex FROM tri
+        |         UNION ALL SELECT b FROM tri
+        |         UNION ALL SELECT c FROM tri) GROUP BY 1),
+        |deg AS (SELECT vertex, count(*) AS d FROM (
+        |          SELECT u AS vertex FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |j AS (SELECT deg.d, coalesce(tv.t, 0) AS t
+        |      FROM deg LEFT JOIN tv USING (vertex))
+        |SELECT count(*) AS n_vertices,
+        |  (SELECT count(*) FROM e) AS n_edges,
+        |  CAST(sum(t) / 3 AS BIGINT) AS n_triangles,
+        |  round(CAST(sum(t) AS DOUBLE) / (sum(d * (d - 1)) / 2.0), 6)
+        |    AS global_cc,
+        |  round(avg(CASE WHEN d >= 2
+        |    THEN CAST(t AS DOUBLE) / (d * (d - 1) / 2.0) END), 6)
+        |    AS avg_local_cc
+        |FROM j""".stripMargin,
+    // revenue rounded to cents BEFORE ranking (rank-stable across
+    // engines); deciles and the cumulative window run on 10 rows
+    "qat_pareto" ->
+      """WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS rev
+        |             FROM orders GROUP BY 1),
+        |n AS (SELECT count(*) AS n_cust FROM rev),
+        |r AS (SELECT rev, o_custkey,
+        |        row_number() OVER (ORDER BY rev DESC, o_custkey) AS rk
+        |      FROM rev),
+        |d AS (SELECT CAST(ceil(rk * 10 / n_cust) AS INT) AS decile,
+        |        count(*) AS n_customers, round(sum(rev), 2) AS decile_rev
+        |      FROM r CROSS JOIN n GROUP BY 1),
+        |t AS (SELECT sum(decile_rev) AS total_rev FROM d)
+        |SELECT decile, n_customers, decile_rev,
+        |  round(sum(decile_rev) OVER (ORDER BY decile
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    / total_rev, 6) AS cum_rev_share
+        |FROM d CROSS JOIN t ORDER BY decile""".stripMargin,
+    // day-granular epoch arithmetic; the churn band replays verbatim
+    "qau_churn" ->
+      """WITH ev AS (SELECT user_id, date_trunc('day', ts) AS day
+        |            FROM events),
+        |mx AS (SELECT max(day) AS d_max FROM ev)
+        |SELECT user_id, count(*) AS n_events,
+        |  CAST(floor(epoch(min(day))) AS BIGINT) AS first_day_s,
+        |  CAST(floor(epoch(max(day))) AS BIGINT) AS last_day_s,
+        |  CAST(date_diff('day', max(day), d_max) AS INT) AS days_inactive,
+        |  date_diff('day', max(day), d_max) > 7 AS churned
+        |FROM ev CROSS JOIN mx GROUP BY user_id, d_max
+        |ORDER BY user_id""".stripMargin,
+    // extract(dow) 0=Sunday ≡ Spark dayofweek−1; the dense 7×24 axis is
+    // generated in both engines so zero cells contribute their χ² term
+    "qav_dow_profile" ->
+      """WITH c AS (SELECT CAST(extract(dow FROM ts) AS INT) AS dow,
+        |    CAST(extract(hour FROM ts) AS INT) AS hr, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS total FROM c),
+        |axis AS (SELECT dow, hr FROM
+        |  (SELECT CAST(unnest(range(7)) AS INT) AS dow)
+        |  CROSS JOIN (SELECT CAST(unnest(range(24)) AS INT) AS hr))
+        |SELECT axis.dow, axis.hr,
+        |  CAST(coalesce(n, 0) AS BIGINT) AS n,
+        |  round(CAST(coalesce(n, 0) AS DOUBLE) / total, 6) AS share,
+        |  round(power(coalesce(n, 0) - total / 168.0, 2)
+        |    / (total / 168.0), 6) AS chi2_term
+        |FROM axis LEFT JOIN c ON c.dow = axis.dow AND c.hr = axis.hr
+        |CROSS JOIN t ORDER BY axis.dow, axis.hr""".stripMargin,
     // literals and operation order mirror the engine exactly (1.2 + 1,
     // not 2.2 — same doubles in, same doubles out); integer tf/df sums
     "qao_bm25" ->

@@ -807,6 +807,54 @@ object Events {
       .orderBy("event_type", "hour_s")
   }
 
+  /** qau: churn screen — per user: activity span, volume, days inactive
+    * relative to the corpus max day (deterministic, never wall-clock),
+    * and the churned flag at a 7-day threshold. One user-keyed
+    * aggregate joined to a broadcast scalar; the shape every retention
+    * dashboard starts from. */
+  def churnFlags(spark: SparkSession, dir: String,
+      churnDays: Int = 7): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val maxDay = ev.agg(max("day").as("d_max"))
+    ev.groupBy("user_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("day").as("first_day"), max("day").as("last_day"))
+      .crossJoin(broadcast(maxDay))
+      .select(col("user_id"), col("n_events"),
+        unix_timestamp(col("first_day")).as("first_day_s"),
+        unix_timestamp(col("last_day")).as("last_day_s"),
+        datediff(col("d_max"), col("last_day")).as("days_inactive"),
+        (datediff(col("d_max"), col("last_day")) > churnDays).as("churned"))
+      .orderBy("user_id")
+  }
+
+  /** qav: day-of-week × hour-of-day activity profile with per-cell
+    * χ²-against-uniform contributions — the seasonality fingerprint
+    * (and the denominator a scheduler uses to pick low-traffic
+    * maintenance windows). The 7×24 axis is GENERATED dense (a
+    * zero-count cell deviates from uniform too — dropping it biases
+    * χ² down), the observed counts left-join onto it, and the expected
+    * value is a broadcast scalar. Output is axis-sized regardless of
+    * event volume. */
+  def dowHourProfile(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "events")
+      .select((dayofweek(col("ts")) - 1).as("dow"), hour(col("ts")).as("hr"))
+      .groupBy("dow", "hr").agg(count(lit(1)).as("n"))
+    val axis = spark.range(1)
+      .select(explode(sequence(lit(0), lit(6))).as("dow"))
+      .select(col("dow"), explode(sequence(lit(0), lit(23))).as("hr"))
+    val total = counts.agg(sum("n").as("total"))
+    axis.join(counts, Seq("dow", "hr"), "left")
+      .select(col("dow"), col("hr"), coalesce(col("n"), lit(0L)).as("n"))
+      .crossJoin(broadcast(total))
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n").cast("double") / col("total"), 6).as("share"),
+        round(pow(col("n") - col("total") / lit(168.0), 2)
+          / (col("total") / lit(168.0)), 6).as("chi2_term"))
+      .orderBy("dow", "hr")
+  }
+
   /** qai: top session-opening paths — the ordered sequence of a session's
     * first three event types as one path string, counted across sessions
     * (the entry-funnel mining view; sessions are (user, day) as in qab).

@@ -750,6 +750,33 @@ object GraphOps {
     counts.orderBy("vertex")
   }
 
+  /** qas: clustering coefficients — the transitivity summary of the
+    * co-purchase graph (how much of it is triangles vs open wedges):
+    * global CC = Σ per-vertex triangles / Σ d(d−1)/2, plus the average
+    * LOCAL coefficient over vertices with degree ≥ 2. Composes the
+    * degree-ordered triangle count (O(E^1.5) wedge join, q89) with the
+    * one-pass degree aggregate (q31) — both already the scale-safe
+    * shapes — and reduces to a single row, so the only added work is a
+    * vertex-keyed left join. Integer triangle/wedge sums divide once. */
+  def clusteringCoeff(spark: SparkSession, dir: String): DataFrame = {
+    val e = coPurchaseEdges(spark, dir, 3).select("u", "v")
+    val deg = e.select(explode(array(col("u"), col("v"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("d"))
+    val tv = triangleCounts(spark, dir)
+    val j = deg.join(tv, Seq("vertex"), "left")
+      .select(col("d"), coalesce(col("triangles"), lit(0L)).as("t"))
+    j.agg(count(lit(1)).as("n_vertices"),
+        (sum("t") / 3).cast("long").as("n_triangles"),
+        round(sum("t").cast("double")
+          / (sum(col("d") * (col("d") - 1)) / 2.0), 6).as("global_cc"),
+        round(avg(when(col("d") >= 2,
+          col("t").cast("double") / (col("d") * (col("d") - 1) / 2.0))), 6)
+          .as("avg_local_cc"))
+      .crossJoin(broadcast(e.agg(count(lit(1)).as("n_edges"))))
+      .select("n_vertices", "n_edges", "n_triangles", "global_cc",
+        "avg_local_cc")
+  }
+
   /** q8z: single-source shortest paths (unweighted hop counts) from the
     * minimum vertex id — the one graph primitive the family still lacked
     * (CC/PR/LPA/betweenness/triangles are all here). Frontier BFS: each

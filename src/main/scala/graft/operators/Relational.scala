@@ -611,6 +611,35 @@ object Relational {
         |ORDER BY n_nationkey""".stripMargin)
   }
 
+  /** qat: Pareto / Lorenz concentration curve — "the top k×10% of
+    * customers hold what share of revenue", the concentration view the
+    * qan Gini summarizes to one number. Per-customer revenue is ROUNDED
+    * to cents before ranking (sums of doubles rank-stably across
+    * engines only after the scale's own rounding); deciles come from
+    * the rank, the 10-row decile relation carries the cumulative
+    * window. Aggregate-before-window throughout: the window never sees
+    * more than 10 rows. */
+  def paretoCurve(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables(spark, dir, "orders")
+      .groupBy("o_custkey").agg(round(sum("o_totalprice"), 2).as("rev"))
+    val n = rev.agg(count(lit(1)).as("n_cust"))
+    val ranked = rev.withColumn("rk",
+        row_number().over(Window.orderBy(col("rev").desc, col("o_custkey"))))
+      .crossJoin(broadcast(n))
+      .withColumn("decile",
+        ceil(col("rk") * 10 / col("n_cust")).cast("int"))
+    val deciles = ranked.groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"), round(sum("rev"), 2).as("decile_rev"))
+    val w = Window.orderBy("decile")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles
+      .withColumn("cum_rev", sum("decile_rev").over(w))
+      .crossJoin(broadcast(deciles.agg(sum("decile_rev").as("total_rev"))))
+      .select(col("decile"), col("n_customers"), col("decile_rev"),
+        round(col("cum_rev") / col("total_rev"), 6).as("cum_rev_share"))
+      .orderBy("decile")
+  }
+
   /** qaq: median-absolute-deviation outlier screen per group — the
     * robust-statistics counterpart of the z-score (one inlier-corrupting
     * mean/stddev pair vs estimators with a 50% breakdown point): per

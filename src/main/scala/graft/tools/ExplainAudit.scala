@@ -44,7 +44,13 @@ object ExplainAudit {
       "q9p_scd2", "q9r_zorder_box", "q9s_gramian", "q9x_incr_agg",
       // qa2: SQL text → float_array_dot (FloatDotRewrite) + TopKPerGroupExec
       // (TopKRewrite) — the injected surfaces visible in the plan
-      "qa2_ann_sql")
+      "qa2_ann_sql",
+      // session-3: the PPJoin prefix filter (rarity-sliced Generate feeding
+      // the candidate join + sorted_intersect_count verify), BM25's
+      // broadcast query postings, the bitmap-distinct two-level merge, and
+      // the shard-partitioned (never global) epoch-shuffle window
+      "qad_prefix_join", "qao_bm25", "qa9_bitmap_distinct",
+      "qak_epoch_shuffle")
       .foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

@@ -426,6 +426,77 @@ class Round5dSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("clustering coefficients replay from brute adjacency sets") {
+    val edges = GraphOps.coPurchaseEdges(spark, sfDir, 3)
+      .select("u", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val adj = collection.mutable.Map.empty[Long, Set[Long]]
+      .withDefaultValue(Set.empty)
+    edges.foreach { case (u, v) =>
+      adj(u) = adj(u) + v; adj(v) = adj(v) + u }
+    val triPerVertex = adj.map { case (x, ns) =>
+      x -> ns.toSeq.combinations(2).count { case Seq(a, b) => adj(a)(b) }
+    }
+    val sumT = triPerVertex.values.map(_.toLong).sum
+    val sumW = adj.values.map(ns => ns.size.toLong * (ns.size - 1) / 2).sum
+    val locals = adj.collect { case (x, ns) if ns.size >= 2 =>
+      triPerVertex(x).toDouble / (ns.size.toLong * (ns.size - 1) / 2.0) }
+    val r = GraphOps.clusteringCoeff(spark, sfDir).collect()(0)
+    assert(r.getAs[Long]("n_vertices") == adj.size.toLong)
+    assert(r.getAs[Long]("n_edges") == edges.length.toLong)
+    assert(r.getAs[Long]("n_triangles") == sumT / 3)
+    assert(math.abs(r.getAs[Double]("global_cc") - sumT.toDouble / sumW) < 1e-5)
+    assert(math.abs(r.getAs[Double]("avg_local_cc") -
+      locals.sum / locals.size) < 1e-5)
+  }
+
+  test("Pareto curve allocates every customer once, cumulating to 1") {
+    val rows = Relational.paretoCurve(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("decile"), r.getAs[Long]("n_customers"),
+        r.getAs[Double]("decile_rev"), r.getAs[Double]("cum_rev_share")))
+    val nCust = Tables(spark, sfDir, "orders")
+      .select("o_custkey").distinct().count()
+    assert(rows.map(_._1).toSeq == (1 to 10))
+    assert(rows.map(_._2).sum == nCust)
+    assert(math.abs(rows.last._4 - 1.0) < 1e-6)
+    // shares are monotone and deciles are revenue-sorted (top decile first)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 > a._4)
+      assert(a._3 / a._2 >= b._3 / b._2 - 1e-6,
+        s"decile ${a._1} avg below ${b._1}")
+    }
+  }
+
+  test("churn flags replay per-user last-activity arithmetic") {
+    val byUser = eventTimes().groupBy(_._1)
+    val maxDay = eventTimes().map(_._4 / 1000000L / 86400L).max
+    val got = Events.churnFlags(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Long]("n_events"),
+        r.getAs[Int]("days_inactive"), r.getAs[Boolean]("churned"))).toMap
+    assert(got.size == byUser.size)
+    byUser.foreach { case (u, evs) =>
+      val lastDay = evs.map(_._4 / 1000000L / 86400L).max
+      val inactive = (maxDay - lastDay).toInt
+      assert(got(u) == ((evs.length.toLong, inactive, inactive > 7)),
+        s"user $u: ${got(u)} vs (${evs.length}, $inactive)")
+    }
+  }
+
+  test("dow-hour profile covers the dense axis and replays chi2 terms") {
+    val rows = Events.dowHourProfile(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("dow"), r.getAs[Int]("hr"),
+        r.getAs[Long]("n"), r.getAs[Double]("chi2_term")))
+    assert(rows.length == 168)
+    assert(rows.map(r => (r._1, r._2)).toSet ==
+      (for (d <- 0 to 6; h <- 0 to 23) yield (d, h)).toSet)
+    val total = rows.map(_._3).sum
+    assert(total == eventTimes().length.toLong)
+    val e = total / 168.0
+    rows.foreach { r =>
+      val want = math.pow(r._3 - e, 2) / e
+      assert(math.abs(r._4 - want) < 1e-4, s"cell (${r._1},${r._2})")
+    }
+  }
+
   test("tokenizer fertility replays under Java regex") {
     val pat = TextOps.BpePattern.r
     val per = Tables(spark, sfDir, "documents").select("lang", "text").collect()
