@@ -346,6 +346,14 @@ object SparkEntry {
     "qau_churn" -> ((s, d) => Events.churnFlags(s, d)),
     // dense 7×24 day-of-week×hour profile with χ²-vs-uniform terms
     "qav_dow_profile" -> (Events.dowHourProfile _),
+    // smoothed log-odds emerging/receding terms between corpus epochs
+    "qaw_emerging_terms" -> ((s, d) => TextOps.emergingTerms(s, d)),
+    // histogram-product join-cardinality estimate (exact for equi-joins)
+    "qax_join_cardinality" -> (ScaleOps.joinCardinality _),
+    // exact-dedup savings report per source (docs and chars removed)
+    "qay_dedup_savings" -> (TextOps.dedupSavings _),
+    // degree histogram + complementary CDF (graph-health fingerprint)
+    "qaz_degree_dist" -> (GraphOps.degreeDistribution _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1121,6 +1129,82 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // add-one smoothing on integer counts; the single ln sees identical
+    // doubles; both directions replay as rank windows
+    "qaw_emerging_terms" ->
+      """WITH toks AS (SELECT doc_id % 2 = 1 AS is_new,
+        |    unnest(list_filter(string_split_regex(lower(text), '\s+'),
+        |           x -> len(x) > 0)) AS token FROM documents),
+        |c AS (SELECT token,
+        |        CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS n_new,
+        |        CAST(sum(CASE WHEN is_new THEN 0 ELSE 1 END) AS BIGINT)
+        |          AS n_old
+        |      FROM toks GROUP BY 1 HAVING count(*) >= 30),
+        |t AS (SELECT CAST(sum(n_new) AS BIGINT) AS t_new,
+        |        CAST(sum(n_old) AS BIGINT) AS t_old, count(*) AS v FROM c),
+        |s AS (SELECT token, n_old, n_new,
+        |        round(ln((n_new + 1.0) / (t_new + v)
+        |          / ((n_old + 1.0) / (t_old + v))), 6) AS log_odds
+        |      FROM c CROSS JOIN t),
+        |r AS (SELECT 'rising' AS direction, row_number() OVER (
+        |        ORDER BY log_odds DESC, token) AS rank, token, n_old,
+        |        n_new, log_odds FROM s),
+        |f AS (SELECT 'falling' AS direction, row_number() OVER (
+        |        ORDER BY log_odds ASC, token) AS rank, token, n_old,
+        |        n_new, log_odds FROM s)
+        |SELECT direction, CAST(rank AS INT) AS rank, token, n_old, n_new,
+        |       log_odds
+        |FROM (SELECT * FROM r WHERE rank <= 10
+        |      UNION ALL SELECT * FROM f WHERE rank <= 10)
+        |ORDER BY direction, rank""".stripMargin,
+    // Σ n_A(k)·n_B(k) is exact for an equi-join — the oracle recomputes
+    // both sides of the engine's own invariant
+    "qax_join_cardinality" ->
+      """WITH o AS (SELECT o_custkey AS k, count(*) AS n_o FROM orders
+        |           GROUP BY 1),
+        |c AS (SELECT c_custkey AS k, count(*) AS n_c FROM customer
+        |      GROUP BY 1),
+        |p AS (SELECT CAST(sum(n_o * n_c) AS BIGINT) AS predicted,
+        |        CAST(max(n_o * n_c) AS BIGINT) AS max_key_pairs
+        |      FROM o JOIN c USING (k)),
+        |a AS (SELECT count(*) AS actual FROM orders
+        |      JOIN customer ON o_custkey = c_custkey)
+        |SELECT predicted, actual, predicted = actual AS estimate_exact,
+        |       max_key_pairs
+        |FROM p CROSS JOIN a""".stripMargin,
+    // md5(text-bytes) travels cross-engine (q40/q54 discipline)
+    "qay_dedup_savings" ->
+      """WITH d AS (SELECT doc_id, source, n_chars, md5(text) AS h
+        |           FROM documents),
+        |k AS (SELECT h, min(doc_id) AS keeper FROM d GROUP BY 1)
+        |SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_dupes,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END)
+        |    AS BIGINT) AS chars_saved,
+        |  round(sum(CASE WHEN doc_id <> keeper THEN n_chars ELSE 0 END)
+        |    / CAST(sum(n_chars) AS DOUBLE), 6) AS savings_ratio
+        |FROM d JOIN k USING (h) GROUP BY 1 ORDER BY 1""".stripMargin,
+    // the q30 edge CTE → degree histogram; the CCDF window runs over the
+    // degree domain
+    "qaz_degree_dist" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a.c AS u, b.c AS v
+        |      FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |deg AS (SELECT vertex, count(*) AS degree FROM (
+        |          SELECT u AS vertex FROM e UNION ALL SELECT v FROM e)
+        |        GROUP BY 1),
+        |h AS (SELECT degree, count(*) AS n_vertices FROM deg GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_vertices) AS BIGINT) AS t FROM h)
+        |SELECT degree, n_vertices,
+        |  round(CAST(sum(n_vertices) OVER (ORDER BY degree DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |    / t, 6) AS ccdf
+        |FROM h CROSS JOIN t ORDER BY degree""".stripMargin,
     // q89's triangle CTEs + the degree aggregate; integer triangle and
     // wedge sums divide once at the end
     "qas_clustering_coeff" ->

@@ -777,6 +777,27 @@ object GraphOps {
         "avg_local_cc")
   }
 
+  /** qaz: degree distribution + complementary CDF — the graph-health
+    * fingerprint (hub-heaviness decides salting, sampling and the
+    * betweenness tier choice; SCALE.md reasons from exactly this
+    * shape). One explode + two aggregates: degrees per vertex, then
+    * vertices per degree; the CCDF window runs over the degree-domain
+    * relation (≤ max-degree rows). */
+  def degreeDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val deg = coPurchaseEdges(spark, dir, 3)
+      .select(explode(array(col("u"), col("v"))).as("vertex"))
+      .groupBy("vertex").agg(count(lit(1)).as("degree"))
+    val hist = deg.groupBy("degree").agg(count(lit(1)).as("n_vertices"))
+    val total = hist.agg(sum("n_vertices").as("t"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("degree").desc)
+      .rowsBetween(Long.MinValue, 0L)
+    hist.crossJoin(broadcast(total))
+      .select(col("degree"), col("n_vertices"),
+        round(sum("n_vertices").over(w).cast("double") / col("t"), 6)
+          .as("ccdf"))
+      .orderBy("degree")
+  }
+
   /** q8z: single-source shortest paths (unweighted hop counts) from the
     * minimum vertex id — the one graph primitive the family still lacked
     * (CC/PR/LPA/betweenness/triangles are all here). Frontier BFS: each

@@ -269,6 +269,33 @@ object ScaleOps {
       .orderBy("l_suppkey")
   }
 
+  /** qax: histogram-product join-cardinality estimate — the number a
+    * cost-based optimizer computes before picking a join strategy:
+    * |A ⋈ B| = Σ_k n_A(k)·n_B(k) over the key histograms. For an
+    * equi-join the formula is EXACT, so the query also executes the
+    * join and proves predicted == actual — a self-validating invariant
+    * (and the per-key max term is the skew share qan acts on). The
+    * histograms are two map-side-combined counts; the product sum is a
+    * key-keyed join of two aggregate relations, never of the fact
+    * tables. */
+  def joinCardinality(spark: SparkSession, dir: String): DataFrame = {
+    val o = graft.Tables(spark, dir, "orders")
+      .groupBy(col("o_custkey").as("k")).agg(count(lit(1)).as("n_o"))
+    val c = graft.Tables(spark, dir, "customer")
+      .groupBy(col("c_custkey").as("k")).agg(count(lit(1)).as("n_c"))
+    val predicted = o.join(c, "k")
+      .agg(sum(col("n_o") * col("n_c")).as("predicted"),
+        max(col("n_o") * col("n_c")).as("max_key_pairs"))
+    val actual = graft.Tables(spark, dir, "orders")
+      .join(graft.Tables(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey"))
+      .agg(count(lit(1)).as("actual"))
+    predicted.crossJoin(broadcast(actual))
+      .select(col("predicted"), col("actual"),
+        (col("predicted") === col("actual")).as("estimate_exact"),
+        col("max_key_pairs"))
+  }
+
   /** qan: join-key skew diagnostics — the numbers that decide whether a
     * key needs salting (q7d) or AQE skew handling before a 100 TB join:
     * per-key counts summarized as a Gini coefficient (rank-weighted

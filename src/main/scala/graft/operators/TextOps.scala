@@ -194,6 +194,64 @@ object TextOps {
       .orderBy("doc_id", "rank")
   }
 
+  /** qaw: emerging/receding terms — smoothed log-odds of each token's
+    * frequency between two corpus epochs (the drift detector that says
+    * WHICH tokens moved, where q8w's JSD says only HOW MUCH). Epochs are
+    * the doc_id parity halves (documents carry no timestamp; the split
+    * is the deterministic stand-in for ingestion batches). Add-one
+    * smoothing keeps epoch-exclusive tokens finite; a min-total floor
+    * keeps the tail noise out. Two token-keyed counts + one join; the
+    * top movers in each direction, tagged. */
+  def emergingTerms(spark: SparkSession, dir: String, minTotal: Int = 30,
+      k: Int = 10): DataFrame = {
+    val toks = Tables(spark, dir, "documents")
+      .select((col("doc_id") % 2 === 1).as("is_new"),
+        explode(Dedup.tokensCol(col("text"))).as("token"))
+    val counts = toks.groupBy("token")
+      .agg(sum(when(col("is_new"), 1L).otherwise(0L)).as("n_new"),
+        sum(when(col("is_new"), 0L).otherwise(1L)).as("n_old"))
+      .where(col("n_new") + col("n_old") >= minTotal)
+    val totals = counts.agg(sum("n_new").as("t_new"), sum("n_old").as("t_old"),
+      count(lit(1)).as("v"))
+    val scored = counts.crossJoin(broadcast(totals))
+      .select(col("token"), col("n_old"), col("n_new"),
+        round(log((col("n_new") + lit(1.0)) / (col("t_new") + col("v"))
+          / ((col("n_old") + lit(1.0)) / (col("t_old") + col("v")))), 6)
+          .as("log_odds"))
+    val rising = graft.plans.TopKPerGroup(scored.withColumn("g", lit(1)),
+        Seq("g"), Seq(("log_odds", true), ("token", false)), k, "rank")
+      .select(lit("rising").as("direction"), col("rank"), col("token"),
+        col("n_old"), col("n_new"), col("log_odds"))
+    val falling = graft.plans.TopKPerGroup(scored.withColumn("g", lit(1)),
+        Seq("g"), Seq(("log_odds", false), ("token", false)), k, "rank")
+      .select(lit("falling").as("direction"), col("rank"), col("token"),
+        col("n_old"), col("n_new"), col("log_odds"))
+    rising.unionByName(falling).orderBy("direction", "rank")
+  }
+
+  /** qay: dedup savings report — what exact dedup (q40's md5 groups)
+    * would save, per source: docs and characters removed if every
+    * non-keeper is dropped. The economics view of the dedup family; one
+    * hash-keyed aggregate (keeper = min doc_id per digest, the q40
+    * policy) joined back to the corpus, then a source-keyed rollup. */
+  def dedupSavings(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        md5(col("text").cast("binary")).as("h"))
+    val keepers = docs.groupBy("h").agg(min("doc_id").as("keeper"))
+    docs.join(keepers, "h")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("doc_id") =!= col("keeper"), 1L).otherwise(0L))
+          .as("n_dupes"),
+        sum("n_chars").as("chars_total"),
+        sum(when(col("doc_id") =!= col("keeper"), col("n_chars"))
+          .otherwise(0L)).as("chars_saved"))
+      .withColumn("savings_ratio",
+        round(col("chars_saved").cast("double") / col("chars_total"), 6))
+      .orderBy("source")
+  }
+
   /** qao: BM25 ranked retrieval — the lexical-search scoring function
     * (Robertson/Okapi) over the corpus, for a deterministic 5-term query
     * (document-frequency ranks 11–15, mid-frequency terms that actually

@@ -497,6 +497,74 @@ class Round5dSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("emerging terms replay the smoothed log-odds from raw counts") {
+    val toks = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().flatMap { r =>
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+          .map(t => (r.getLong(0) % 2 == 1, t))
+      }
+    val counts = toks.groupBy(_._2).view.mapValues { es =>
+      (es.count(_._1).toLong, es.count(!_._1).toLong)
+    }.filter { case (_, (nn, no)) => nn + no >= 30 }.toMap
+    val (tNew, tOld, v) =
+      (counts.values.map(_._1).sum, counts.values.map(_._2).sum,
+        counts.size.toLong)
+    val scored = counts.map { case (t, (nn, no)) =>
+      (t, BigDecimal(math.log((nn + 1.0) / (tNew + v) /
+        ((no + 1.0) / (tOld + v))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toSeq
+    val got = TextOps.emergingTerms(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getAs[Int]("rank"), r.getString(2),
+        r.getAs[Double]("log_odds")))
+    val rising = scored.sortBy { case (t, s) => (-s, t) }.take(10)
+    val falling = scored.sortBy { case (t, s) => (s, t) }.take(10)
+    val wantOrder = falling.zipWithIndex.map { case ((t, s), i) =>
+      ("falling", i + 1, t, s) } ++
+      rising.zipWithIndex.map { case ((t, s), i) => ("rising", i + 1, t, s) }
+    assert(got.length == 20)
+    got.zip(wantOrder).foreach { case (g, w) =>
+      assert(g._1 == w._1 && g._2 == w._2 && g._3 == w._3 &&
+        math.abs(g._4 - w._4) < 1e-6, s"got $g want $w")
+    }
+  }
+
+  test("join-cardinality estimate is exact against the executed join") {
+    val r = ScaleOps.joinCardinality(spark, sfDir).collect()(0)
+    assert(r.getAs[Boolean]("estimate_exact"))
+    assert(r.getAs[Long]("predicted") == r.getAs[Long]("actual"))
+    assert(r.getAs[Long]("max_key_pairs") <= r.getAs[Long]("predicted"))
+  }
+
+  test("dedup savings replay from md5 groups") {
+    val docs = Tables(spark, sfDir, "documents")
+      .select("doc_id", "source", "n_chars", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getString(3)))
+    val keeper = docs.groupBy(_._4).view.mapValues(_.map(_._1).min).toMap
+    val got = TextOps.dedupSavings(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_dupes"), r.getAs[Long]("chars_saved"))).toMap
+    val bySource = docs.groupBy(_._2)
+    assert(got.size == bySource.size)
+    bySource.foreach { case (src, ds) =>
+      val dupes = ds.filter(d => keeper(d._4) != d._1)
+      assert(got(src) == ((ds.length.toLong, dupes.length.toLong,
+        dupes.map(_._3).sum)), s"source $src")
+    }
+  }
+
+  test("degree distribution sums to the vertex count with monotone ccdf") {
+    val rows = GraphOps.degreeDistribution(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("degree"), r.getAs[Long]("n_vertices"),
+        r.getAs[Double]("ccdf")))
+    val nVertices = GraphOps.degrees(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nVertices)
+    // ccdf at the smallest degree covers everyone; decreasing in degree
+    assert(math.abs(rows.head._3 - 1.0) < 1e-6)
+    rows.sliding(2).foreach { case Array(a, b) => assert(b._3 < a._3)
+      case _ => }
+  }
+
   test("tokenizer fertility replays under Java regex") {
     val pat = TextOps.BpePattern.r
     val per = Tables(spark, sfDir, "documents").select("lang", "text").collect()
