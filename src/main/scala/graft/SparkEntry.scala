@@ -354,6 +354,14 @@ object SparkEntry {
     "qay_dedup_savings" -> (TextOps.dedupSavings _),
     // degree histogram + complementary CDF (graph-health fingerprint)
     "qaz_degree_dist" -> (GraphOps.degreeDistribution _),
+    // cart abandonment per day (click but no purchase afterwards)
+    "qb0_cart_abandon" -> (Events.cartAbandonment _),
+    // held-out bigram-LM cross-entropy / perplexity per eval doc
+    "qb1_bigram_ppl" -> ((s, d) => TextOps.bigramPerplexity(s, d)),
+    // directed containment join (subset/boilerplate detection)
+    "qb2_containment" -> ((s, d) => Dedup.containmentJoin(s, d)),
+    // session-duration histogram on the exact decimal-digit scale
+    "qb3_session_hist" -> (Events.sessionDurationHist _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1129,6 +1137,77 @@ object SparkEntry {
         |SELECT user_id, event_id,
         |  CASE WHEN rn = 1 THEN 'eval' ELSE 'train' END AS split
         |FROM r ORDER BY user_id, event_id""".stripMargin,
+    // "purchase after click" ⟺ max(purchase) > min(click): the oracle
+    // replays the same reduction
+    "qb0_cart_abandon" ->
+      """WITH s AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END)
+        |      AS c_min,
+        |    max(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END)
+        |      AS p_max
+        |  FROM events GROUP BY 1, 2 HAVING c_min IS NOT NULL)
+        |SELECT day_s, count(*) AS n_click_sessions,
+        |  CAST(sum(CASE WHEN p_max IS NULL OR p_max <= c_min
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS n_abandoned,
+        |  round(CAST(sum(CASE WHEN p_max IS NULL OR p_max <= c_min
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS abandon_rate
+        |FROM s GROUP BY 1 ORDER BY 1""".stripMargin,
+    // identical add-½ formula with coalesced zero counts; only the
+    // per-doc mean of logs crosses a rounded sum
+    "qb1_bigram_ppl" ->
+      """WITH toks AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS w FROM documents),
+        |bg AS (SELECT doc_id, w[i] || ' ' || w[i+1] AS gram,
+        |         w[i] AS w1
+        |       FROM (SELECT doc_id, w, unnest(range(1, len(w))) AS i
+        |             FROM toks WHERE len(w) >= 2)),
+        |t2 AS (SELECT gram, count(*) AS c_ab FROM bg
+        |       WHERE doc_id % 2 = 0 GROUP BY 1),
+        |t1 AS (SELECT unnest(w) AS w1 FROM toks WHERE doc_id % 2 = 0),
+        |t1c AS (SELECT w1, count(*) AS c_a FROM t1 GROUP BY 1),
+        |v AS (SELECT count(*) AS v FROM t1c),
+        |sc AS (SELECT bg.doc_id,
+        |         ln((coalesce(c_ab, 0) + 0.5)
+        |           / (coalesce(c_a, 0) + 0.5 * v)) AS lp
+        |       FROM bg LEFT JOIN t2 USING (gram)
+        |              LEFT JOIN t1c USING (w1) CROSS JOIN v
+        |       WHERE bg.doc_id % 2 = 1)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  round(-sum(lp) / count(*), 6) AS cross_entropy,
+        |  round(exp(-sum(lp) / count(*)), 4) AS perplexity
+        |FROM sc GROUP BY 1 ORDER BY 1""".stripMargin,
+    // directed all-pairs containment from RAW string 3-grams (the qad
+    // discipline, asymmetric denominator)
+    "qb2_containment" ->
+      """WITH t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'),
+        |                x -> len(x) > 0) AS w FROM documents),
+        |g AS (SELECT doc_id, list_distinct(list_transform(
+        |        range(1, len(w) - 1),
+        |        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+        |      FROM t WHERE len(w) >= 3),
+        |p AS (SELECT a.doc_id AS a, b.doc_id AS b,
+        |        len(list_intersect(a.sh, b.sh)) AS i, len(a.sh) AS na
+        |      FROM g a JOIN g b ON a.doc_id <> b.doc_id)
+        |SELECT a, b, round(CAST(i AS DOUBLE) / na, 6) AS containment
+        |FROM p WHERE round(CAST(i AS DOUBLE) / na, 6) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    // decimal-digit binning is string-length arithmetic — exact in both
+    // engines (float log bins flip at exact powers)
+    "qb3_session_hist" ->
+      """WITH d AS (SELECT user_id,
+        |    CAST(floor(epoch(date_trunc('day', ts))) AS BIGINT) AS day_s,
+        |    max(CAST(floor(epoch(ts)) AS BIGINT))
+        |      - min(CAST(floor(epoch(ts)) AS BIGINT)) AS dur_s
+        |  FROM events GROUP BY 1, 2),
+        |t AS (SELECT count(*) AS total FROM d)
+        |SELECT CAST(length(CAST(dur_s AS VARCHAR)) AS INT) AS digits,
+        |  count(*) AS n_sessions, min(dur_s) AS min_dur_s,
+        |  max(dur_s) AS max_dur_s,
+        |  round(CAST(count(*) AS DOUBLE) / min(total), 6) AS share
+        |FROM d CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
     // add-one smoothing on integer counts; the single ln sees identical
     // doubles; both directions replay as rank windows
     "qaw_emerging_terms" ->

@@ -328,6 +328,43 @@ object Dedup {
     * sets via the codegen'd two-pointer intersect. Shingles travel as
     * xxhash64 (8-byte join keys); the oracle recomputes from RAW strings,
     * pinning the hash swap (the q45 discipline). */
+  /** qb2: DIRECTED containment join — docs whose shingle set is ≥ t
+    * inside another doc's (boilerplate/quote/subset detection, which
+    * symmetric Jaccard misses: a page embedded in a larger one has low
+    * J but containment ≈ 1). The qad prefix filter carries over
+    * unchanged because the pigeonhole argument runs on the CONTAINED
+    * side alone: containment ≥ t means ≥ ⌈t·|A|⌉ of A's shingles are
+    * in B, so one of A's |A| − ⌈t·|A|⌉ + 1 rarest shingles must be.
+    * Direction is preserved (no pair canonicalization); verify =
+    * intersect / |A|. */
+  def containmentJoin(spark: SparkSession, dir: String,
+      threshold: Double = 0.8): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    val docs = shingled(spark, dir).where(size(col("sh")) > 0)
+    val toks = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
+    val prefix = toks.join(df, "h")
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
+      .select(col("doc_id"),
+        explode(slice(transform(col("o"), s => s.getField("h")), lit(1),
+          (size(col("o")) - ceil(size(col("o")) * lit(threshold)) + 1)
+            .cast("int"))).as("h"))
+    val cand = prefix.as("p").join(toks.as("i"),
+        col("p.h") === col("i.h") && col("p.doc_id") =!= col("i.doc_id"))
+      .select(col("p.doc_id").as("a"), col("i.doc_id").as("b"))
+      .distinct()
+    val inter = call_function("sorted_intersect_count",
+      col("x.sh"), col("y.sh"))
+    cand.join(docs.as("x"), col("a") === col("x.doc_id"))
+      .join(docs.as("y"), col("b") === col("y.doc_id"))
+      .select(col("a"), col("b"),
+        round(inter.cast("double") / size(col("x.sh")), 6)
+          .as("containment"))
+      .where(col("containment") >= threshold)
+      .orderBy("a", "b")
+  }
+
   def prefixJaccardJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)

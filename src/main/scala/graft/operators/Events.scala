@@ -855,6 +855,55 @@ object Events {
       .orderBy("dow", "hr")
   }
 
+  /** qb0: cart-abandonment rate per day — sessions that click but never
+    * purchase AFTERWARDS (a purchase before the first click doesn't
+    * rescue the session; the q8o strictly-after discipline). The
+    * quadratic "purchase after click exists" reduces to
+    * max(purchase_ts) > min(click_ts) — one session-keyed min/max
+    * aggregate, then a day rollup. */
+  def cartAbandonment(spark: SparkSession, dir: String): DataFrame = {
+    val s = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        col("event_type"), unix_micros(col("ts")).as("t"))
+      .groupBy("user_id", "day_s")
+      .agg(min(when(col("event_type") === "click", col("t"))).as("c_min"),
+        max(when(col("event_type") === "purchase", col("t"))).as("p_max"))
+      .where(col("c_min").isNotNull)
+    s.groupBy("day_s")
+      .agg(count(lit(1)).as("n_click_sessions"),
+        sum(when(col("p_max").isNull || col("p_max") <= col("c_min"), 1L)
+          .otherwise(0L)).as("n_abandoned"))
+      .withColumn("abandon_rate",
+        round(col("n_abandoned").cast("double") / col("n_click_sessions"), 6))
+      .orderBy("day_s")
+  }
+
+  /** qb3: session-duration histogram on a DECIMAL-digit scale — duration
+    * bins by number of digits of the span in seconds (exact integer
+    * binning; a log2/log10 float bin flips at exact powers because
+    * ln(8)/ln(2) < 3 in IEEE — the same cross-engine trap q9o's digit
+    * extraction dodges arithmetically). Sessions are (user, day); one
+    * session aggregate, one bin rollup, bounded output. */
+  def sessionDurationHist(spark: SparkSession, dir: String): DataFrame = {
+    val durations = Tables(spark, dir, "events")
+      .select(col("user_id"),
+        unix_timestamp(date_trunc("day", col("ts"))).as("day_s"),
+        unix_timestamp(col("ts")).as("t"))
+      .groupBy("user_id", "day_s")
+      .agg((max("t") - min("t")).as("dur_s"))
+    val total = durations.agg(count(lit(1)).as("total"))
+    durations
+      .groupBy(length(col("dur_s").cast("string")).as("digits"))
+      .agg(count(lit(1)).as("n_sessions"),
+        min("dur_s").as("min_dur_s"), max("dur_s").as("max_dur_s"))
+      .crossJoin(broadcast(total))
+      .select(col("digits"), col("n_sessions"),
+        col("min_dur_s"), col("max_dur_s"),
+        round(col("n_sessions").cast("double") / col("total"), 6).as("share"))
+      .orderBy("digits")
+  }
+
   /** qai: top session-opening paths — the ordered sequence of a session's
     * first three event types as one path string, counted across sessions
     * (the entry-funnel mining view; sessions are (user, day) as in qab).

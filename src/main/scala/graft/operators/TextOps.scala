@@ -229,6 +229,38 @@ object TextOps {
     rising.unionByName(falling).orderBy("direction", "rank")
   }
 
+  /** qb1: bigram-LM cross-entropy / perplexity of the held-out split —
+    * the data-quality scorer one tier above q8g's unigram model: train
+    * counts (even doc_ids) smooth with add-½ over the train vocabulary,
+    * eval docs (odd) score every adjacent pair, unseen contexts fall
+    * out of the same formula via coalesce(0). High-perplexity docs are
+    * boilerplate/garbled/wrong-language candidates. The model relations
+    * are vocabulary-sized (broadcast); the eval side shuffles once on
+    * the bigram key. */
+  def bigramPerplexity(spark: SparkSession, dir: String,
+      k: Double = 0.5): DataFrame = {
+    val grams2 = docNgrams(spark, dir, 2, distinctPerDoc = false)
+    val train2 = grams2.where(col("doc_id") % 2 === 0)
+      .groupBy("gram").agg(count(lit(1)).as("c_ab"))
+    val train1 = docNgrams(spark, dir, 1, distinctPerDoc = false)
+      .where(col("doc_id") % 2 === 0)
+      .groupBy("gram").agg(count(lit(1)).as("c_a"))
+    val vocab = train1.agg(count(lit(1)).as("v"))
+    val scored = grams2.where(col("doc_id") % 2 === 1)
+      .join(broadcast(train2), Seq("gram"), "left")
+      .withColumn("w1", split(col("gram"), " ").getItem(0))
+      .join(broadcast(train1.withColumnRenamed("gram", "w1")), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("doc_id"),
+        log((coalesce(col("c_ab"), lit(0L)) + lit(k))
+          / (coalesce(col("c_a"), lit(0L)) + lit(k) * col("v"))).as("lp"))
+    scored.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(-sum("lp") / count(lit(1)), 6).as("cross_entropy"),
+        round(exp(-sum("lp") / count(lit(1))), 4).as("perplexity"))
+      .orderBy("doc_id")
+  }
+
   /** qay: dedup savings report — what exact dedup (q40's md5 groups)
     * would save, per source: docs and characters removed if every
     * non-keeper is dropped. The economics view of the dedup family; one

@@ -565,6 +565,90 @@ class Round5dSpec extends AnyFunSuite with SparkSuite {
       case _ => }
   }
 
+  test("cart abandonment replays the strictly-after reduction") {
+    val sessions = eventTimes()
+      .groupBy(e => (e._1, e._4 / 1000000L / 86400L * 86400L))
+      .filter(_._2.exists(_._3 == "click"))
+    val abandonedByDay = sessions.groupBy(_._1._2).view.mapValues { ss =>
+      val abandoned = ss.count { case (_, evs) =>
+        val cMin = evs.filter(_._3 == "click").map(_._4).min
+        !evs.exists(e => e._3 == "purchase" && e._4 > cMin)
+      }
+      (ss.size.toLong, abandoned.toLong)
+    }.toMap
+    val got = Events.cartAbandonment(spark, sfDir).collect()
+      .map(r => r.getLong(0) ->
+        (r.getAs[Long]("n_click_sessions"), r.getAs[Long]("n_abandoned")))
+      .toMap
+    assert(got == abandonedByDay)
+  }
+
+  test("bigram perplexity replays the add-half LM from raw counts") {
+    val docs = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty))
+    val train = docs.filter(_._1 % 2 == 0)
+    val c2 = train.flatMap(d => d._2.sliding(2).filter(_.length == 2)
+        .map(_.mkString(" ")))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val c1 = train.flatMap(_._2).groupBy(identity).view
+      .mapValues(_.length.toLong).toMap
+    val v = c1.size.toLong
+    val got = TextOps.bigramPerplexity(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getAs[Long]("n_bigrams"),
+        r.getAs[Double]("cross_entropy")))
+    val evalDocs = docs.filter(d => d._1 % 2 == 1 && d._2.length >= 2)
+    assert(got.length == evalDocs.length)
+    val gotMap = got.map(g => g._1 -> (g._2, g._3)).toMap
+    evalDocs.foreach { case (id, w) =>
+      val lps = w.sliding(2).filter(_.length == 2).map { bg =>
+        math.log((c2.getOrElse(bg.mkString(" "), 0L) + 0.5) /
+          (c1.getOrElse(bg(0), 0L) + 0.5 * v))
+      }.toSeq
+      assert(gotMap(id)._1 == lps.length.toLong)
+      assert(math.abs(gotMap(id)._2 - (-lps.sum / lps.length)) < 1e-5,
+        s"doc $id")
+    }
+  }
+
+  test("containment join finds exactly the brute directed pairs") {
+    val sets = Tables(spark, sfDir, "documents").select("doc_id", "text")
+      .collect().map { r =>
+        val w = r.getString(1).toLowerCase.split("\\s+").filter(_.nonEmpty)
+        r.getLong(0) -> w.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets
+      if a != b
+      c = (sa & sb).size.toDouble / sa.size
+      cr = BigDecimal(c).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if cr >= 0.8
+    } yield (a, b) -> cr).toMap
+    val got = Dedup.containmentJoin(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(got.keySet == want.keySet,
+      s"missing ${want.keySet -- got.keySet}, extra ${got.keySet -- want.keySet}")
+    want.foreach { case (k, c) => assert(math.abs(got(k) - c) < 1e-6) }
+  }
+
+  test("session-duration histogram conserves sessions with exact bins") {
+    val durations = eventTimes()
+      .groupBy(e => (e._1, e._4 / 1000000L / 86400L))
+      .values.map { evs =>
+        val ts = evs.map(_._4 / 1000000L)
+        ts.max - ts.min
+      }.toSeq
+    val want = durations.groupBy(_.toString.length).view.mapValues(g =>
+      (g.size.toLong, g.min, g.max)).toMap
+    val got = Events.sessionDurationHist(spark, sfDir).collect()
+      .map(r => r.getAs[Int]("digits") -> (r.getAs[Long]("n_sessions"),
+        r.getAs[Long]("min_dur_s"), r.getAs[Long]("max_dur_s"))).toMap
+    assert(got == want)
+  }
+
   test("tokenizer fertility replays under Java regex") {
     val pat = TextOps.BpePattern.r
     val per = Tables(spark, sfDir, "documents").select("lang", "text").collect()
