@@ -362,6 +362,14 @@ object SparkEntry {
     "qb2_containment" -> ((s, d) => Dedup.containmentJoin(s, d)),
     // session-duration histogram on the exact decimal-digit scale
     "qb3_session_hist" -> (Events.sessionDurationHist _),
+    // Adamic–Adar link prediction over non-adjacent co-purchase pairs
+    "qb4_adamic_adar" -> ((s, d) => GraphOps.adamicAdar(s, d)),
+    // rolling 7-day exact median of daily revenue (integer-cents base)
+    "qb5_rolling_median" -> (Relational.rollingMedianRevenue _),
+    // trapezoidal time-weighted average of each user's value series
+    "qb6_time_weighted" -> (Events.timeWeightedAvg _),
+    // order-independent md5-XOR content fingerprint per table partition
+    "qb7_fingerprint" -> (Relational.tableFingerprint _),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -1208,6 +1216,67 @@ object SparkEntry {
         |  max(dur_s) AS max_dur_s,
         |  round(CAST(count(*) AS DOUBLE) / min(total), 6) AS share
         |FROM d CROSS JOIN t GROUP BY 1 ORDER BY 1""".stripMargin,
+    // wedge enumeration over the q30 edge CTE; both engines order by the
+    // ROUNDED score so the top-k cut is identical despite double-sum order
+    "qb4_adamic_adar" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |      GROUP BY 1, 2 HAVING count(*) >= 3),
+        |adj AS (SELECT u AS z, v AS x FROM e UNION ALL SELECT v, u FROM e),
+        |deg AS (SELECT z, count(*) AS dz FROM adj GROUP BY 1),
+        |az AS (SELECT adj.z, adj.x, deg.dz FROM adj JOIN deg USING (z)),
+        |w AS (SELECT l.x AS a, r.x AS b, 1.0 / ln(l.dz) AS wt
+        |      FROM az l JOIN az r ON l.z = r.z AND l.x < r.x),
+        |s AS (SELECT a, b, count(*) AS common_nbrs, sum(wt) AS sc
+        |      FROM w GROUP BY 1, 2),
+        |c AS (SELECT s.* FROM s LEFT JOIN e ON s.a = e.u AND s.b = e.v
+        |      WHERE e.u IS NULL)
+        |SELECT a AS u, b AS v, common_nbrs, round(sc, 6) AS aa_score
+        |FROM c ORDER BY aa_score DESC, u, v LIMIT 50""".stripMargin,
+    // integer-cents daily sums feed the median, so no float boundary can
+    // shift either engine's frame contents; both interpolate even frames
+    "qb5_rolling_median" ->
+      """WITH d AS (SELECT o_orderdate AS d,
+        |    CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS rev_c
+        |  FROM orders GROUP BY 1)
+        |SELECT CAST(d AS VARCHAR) AS day, round(rev_c / 100.0, 2) AS revenue,
+        |  round(median(rev_c) OVER (ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) / 100.0, 4) AS med7,
+        |  count(*) OVER (ORDER BY d
+        |    ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS n_days
+        |FROM d ORDER BY day""".stripMargin,
+    // lag pairs replay the same polyline (ties broken by event_id);
+    // area/span normalizes before the single rounding
+    "qb6_time_weighted" ->
+      """WITH e AS (SELECT user_id, value,
+        |    CAST(floor(epoch(ts)) AS BIGINT) AS t,
+        |    lag(value) OVER (PARTITION BY user_id
+        |      ORDER BY floor(epoch(ts)), event_id) AS pv,
+        |    lag(CAST(floor(epoch(ts)) AS BIGINT)) OVER (PARTITION BY user_id
+        |      ORDER BY floor(epoch(ts)), event_id) AS pt
+        |  FROM events),
+        |p AS (SELECT user_id, (value + pv) / 2 * (t - pt) AS area_term,
+        |        t, pt FROM e WHERE pt IS NOT NULL)
+        |SELECT user_id, count(*) + 1 AS n_events,
+        |  max(t) - min(pt) AS span_s,
+        |  round(sum(area_term) / (max(t) - min(pt)), 6) AS twa
+        |FROM p GROUP BY 1 HAVING max(t) - min(pt) > 0
+        |ORDER BY user_id""".stripMargin,
+    // md5_number_lower = little-endian of digest bytes 9..16 — the engine
+    // reassembles the same quadword from hex-pair reversal; XOR is
+    // order-independent so partitioning never matters
+    "qb7_fingerprint" ->
+      """WITH c AS (SELECT o_orderstatus, md5_number_lower(
+        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+        |    CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
+        |    CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority) AS m
+        |  FROM orders)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |  bit_xor(CAST(m & 4294967295 AS BIGINT)) AS xor_lo,
+        |  bit_xor(CAST(m >> 32 AS BIGINT)) AS xor_hi
+        |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
     // add-one smoothing on integer counts; the single ln sees identical
     // doubles; both directions replay as rank windows
     "qaw_emerging_terms" ->

@@ -928,4 +928,34 @@ object Events {
       .orderBy(col("n_sessions").desc, col("path"))
       .limit(k)
   }
+
+  /** qb6: time-weighted average of each user's `value` series — trapezoidal
+    * integration over the irregular event timeline divided by the observed
+    * span, the correct mean for a signal SAMPLED at uneven intervals
+    * (a plain avg over-weights bursts: ten readings in one minute count
+    * ten times, even if the level never changed). One user-keyed window
+    * pass pairs each event with its predecessor (ties broken by event_id
+    * so both engines integrate the same polyline), one aggregate sums the
+    * trapezoids. Dividing area by span BEFORE rounding keeps the result
+    * at the signal's own magnitude, so 6-dp rounding is far above both
+    * engines' double-sum noise. Single-event users have no span and are
+    * excluded (same WHERE in the oracle). */
+  def timeWeightedAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    val e = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_timestamp(col("ts")).as("t"))
+      .select(col("user_id"), col("value"), col("t"),
+        lag("value", 1).over(w).as("pv"), lag("t", 1).over(w).as("pt"))
+      .where(col("pt").isNotNull)
+    e.groupBy("user_id")
+      .agg(sum((col("value") + col("pv")) / 2 * (col("t") - col("pt")))
+          .as("area"),
+        (max("t") - min("pt")).as("span_s"),
+        (count(lit(1)) + 1).as("n_events"))
+      .where(col("span_s") > 0)
+      .select(col("user_id"), col("n_events"), col("span_s"),
+        round(col("area") / col("span_s"), 6).as("twa"))
+      .orderBy("user_id")
+  }
 }

@@ -798,6 +798,40 @@ object GraphOps {
       .orderBy("degree")
   }
 
+  /** qb4: Adamic–Adar link prediction — top-k non-adjacent vertex pairs
+    * scored by Σ_z 1/ln(deg z) over their common neighbors z (the classic
+    * "weighted common neighbors" predictor: a shared low-degree neighbor
+    * is far stronger evidence than a shared hub). Shape: adjacency
+    * self-joined on the CENTER vertex enumerates each wedge once
+    * (a < b), the score is one partial+final sum over the pair key, and
+    * known edges leave via a left-anti join against the canonical u < v
+    * edge list. Work is Σ deg(z)² wedges — the same budget as the q89
+    * wedge join — and every stage shuffles on a key (center, then pair),
+    * nothing driver-side. Vertices with deg 1 center no wedge, so
+    * 1/ln(deg) never divides by ln(1)=0. Ordering uses the ROUNDED score
+    * (+ pair tie-break), so both engines cut the same top-k even where
+    * raw double sums differ in the last bits. */
+  def adamicAdar(spark: SparkSession, dir: String, k: Int = 50,
+      minShared: Int = 3): DataFrame = {
+    val e = coPurchaseEdges(spark, dir, minShared).select("u", "v") // u < v
+    val adj = e.select(col("u").as("z"), col("v").as("x"))
+      .unionAll(e.select(col("v").as("z"), col("u").as("x")))
+    val deg = adj.groupBy("z").agg(count(lit(1)).as("dz"))
+    val az = adj.join(deg, "z")
+    val wedges = az.as("l").join(az.as("r"),
+        col("l.z") === col("r.z") && col("l.x") < col("r.x"))
+      .select(col("l.x").as("a"), col("r.x").as("b"),
+        (lit(1.0) / log(col("l.dz"))).as("w"))
+    val scored = wedges.groupBy("a", "b")
+      .agg(count(lit(1)).as("common_nbrs"), sum("w").as("s"))
+    scored.join(e, scored("a") === e("u") && scored("b") === e("v"),
+        "left_anti")
+      .select(col("a").as("u"), col("b").as("v"), col("common_nbrs"),
+        round(col("s"), 6).as("aa_score"))
+      .orderBy(col("aa_score").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
   /** q8z: single-source shortest paths (unweighted hop counts) from the
     * minimum vertex id — the one graph primitive the family still lacked
     * (CC/PR/LPA/betweenness/triangles are all here). Frontier BFS: each

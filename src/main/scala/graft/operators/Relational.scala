@@ -752,4 +752,70 @@ object Relational {
         round(first("lo"), 6).as("p05"), round(first("hi"), 6).as("p95"))
       .orderBy("n_name")
   }
+
+  /** qb5: rolling 7-day exact median of daily revenue — the robust
+    * trend line a dashboard overlays on a spiky daily series (median
+    * shrugs off the one-day outliers that drag a rolling mean). Revenue
+    * is summed in exact integer cents per day (per-row cents rounding is
+    * deterministic; the long sum is order-independent — no float-boundary
+    * risk feeding the median), then the exact interpolating median of each
+    * 7-row moving frame. Spark's `median` aggregate rejects window frames,
+    * so the frame materializes through `collect_list` — sound precisely
+    * BECAUSE the frame is constant-bounded (7 values), the bounded-frame
+    * counterpart of an O(n) frame aggregate — and the sorted-array
+    * midpoint interpolates even frames exactly as the oracle's `median`.
+    * The window's ORDER BY spans the calendar day domain — thousands of
+    * rows at any corpus size, because the day-keyed aggregate already
+    * shuffled the data down to one row per day — so the single-partition
+    * window is bounded by the calendar, not the data. */
+  def rollingMedianRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val daily = Tables(spark, dir, "orders")
+      .groupBy(col("o_orderdate").as("d"))
+      .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("rev_c"))
+    val w = Window.orderBy("d").rowsBetween(-6, 0)
+    val n = size(col("fr"))
+    val med = when(n % 2 === 1,
+        element_at(col("fr"), ((n + 1) / 2).cast("int")).cast("double"))
+      .otherwise((element_at(col("fr"), (n / 2).cast("int"))
+        + element_at(col("fr"), (n / 2).cast("int") + 1)) / 2.0)
+    daily.select(col("d").cast("string").as("day"),
+        round(col("rev_c") / 100.0, 2).as("revenue"),
+        sort_array(collect_list(col("rev_c")).over(w)).as("fr"))
+      .select(col("day"), col("revenue"),
+        round(med / 100.0, 4).as("med7"), n.cast("long").as("n_days"))
+      .orderBy("day")
+  }
+
+  /** qb7: order-independent content fingerprint per table partition — the
+    * integrity check a 100 TB migration runs on BOTH sides: each row
+    * canonicalizes to a delimited string (floats as exact integer cents,
+    * dates as ISO strings — representations every engine prints
+    * identically), hashes through md5, and the partition fingerprint is
+    * the pair of XORs over the digest's low-quadword 32-bit halves plus
+    * the row count. XOR is commutative/associative, so the fingerprint
+    * is independent of row order and partitioning — mergeable across any
+    * split of the data — and a single flipped row flips it. The halves
+    * align with DuckDB's `md5_number_lower` (little-endian of digest
+    * bytes 9–16), giving a cross-engine EQUALITY oracle, not a
+    * statistical one. */
+  def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val canon = concat_ws("|",
+      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+      round(col("o_totalprice") * 100).cast("long"),
+      col("o_orderdate").cast("string"), col("o_orderpriority"))
+    // little-endian 32-bit halves of md5 bytes 9..16 (hex chars 17..32):
+    // byte pairs reversed, then hex→long — matches md5_number_lower & 0xffffffff
+    // and md5_number_lower >> 32 on the oracle side
+    def le32(h: Column, c0: Int): Column = conv(concat(
+      substring(h, c0 + 6, 2), substring(h, c0 + 4, 2),
+      substring(h, c0 + 2, 2), substring(h, c0, 2)), 16, 10).cast("long")
+    Tables(spark, dir, "orders")
+      .select(col("o_orderstatus"), md5(canon.cast("binary")).as("h"))
+      .select(col("o_orderstatus"), le32(col("h"), 17).as("lo"),
+        le32(col("h"), 25).as("hi"))
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_rows"),
+        expr("bit_xor(lo)").as("xor_lo"), expr("bit_xor(hi)").as("xor_hi"))
+      .orderBy("o_orderstatus")
+  }
 }
