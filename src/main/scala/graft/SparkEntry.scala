@@ -1226,13 +1226,15 @@ object SparkEntry {
         |adj AS (SELECT u AS z, v AS x FROM e UNION ALL SELECT v, u FROM e),
         |deg AS (SELECT z, count(*) AS dz FROM adj GROUP BY 1),
         |az AS (SELECT adj.z, adj.x, deg.dz FROM adj JOIN deg USING (z)),
-        |w AS (SELECT l.x AS a, r.x AS b, 1.0 / ln(l.dz) AS wt
+        |w AS (SELECT l.x AS a, r.x AS b,
+        |        CAST(round(1e9 / ln(l.dz)) AS BIGINT) AS wt
         |      FROM az l JOIN az r ON l.z = r.z AND l.x < r.x),
-        |s AS (SELECT a, b, count(*) AS common_nbrs, sum(wt) AS sc
+        |s AS (SELECT a, b, count(*) AS common_nbrs,
+        |        CAST(sum(wt) AS BIGINT) AS sc
         |      FROM w GROUP BY 1, 2),
         |c AS (SELECT s.* FROM s LEFT JOIN e ON s.a = e.u AND s.b = e.v
         |      WHERE e.u IS NULL)
-        |SELECT a AS u, b AS v, common_nbrs, round(sc, 6) AS aa_score
+        |SELECT a AS u, b AS v, common_nbrs, round(sc / 1e9, 6) AS aa_score
         |FROM c ORDER BY aa_score DESC, u, v LIMIT 50""".stripMargin,
     // integer-cents daily sums feed the median, so no float boundary can
     // shift either engine's frame contents; both interpolate even frames
@@ -1269,9 +1271,13 @@ object SparkEntry {
     // order-independent so partitioning never matters
     "qb7_fingerprint" ->
       """WITH c AS (SELECT o_orderstatus, md5_number_lower(
-        |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
-        |    CAST(round(o_totalprice * 100) AS BIGINT) || '|' ||
-        |    CAST(o_orderdate AS VARCHAR) || '|' || o_orderpriority) AS m
+        |    coalesce(CAST(o_orderkey AS VARCHAR), '\N') || '|' ||
+        |    coalesce(CAST(o_custkey AS VARCHAR), '\N') || '|' ||
+        |    coalesce(o_orderstatus, '\N') || '|' ||
+        |    coalesce(CAST(CAST(round(o_totalprice * 100) AS BIGINT)
+        |      AS VARCHAR), '\N') || '|' ||
+        |    coalesce(CAST(o_orderdate AS VARCHAR), '\N') || '|' ||
+        |    coalesce(o_orderpriority, '\N')) AS m
         |  FROM orders)
         |SELECT o_orderstatus, count(*) AS n_rows,
         |  bit_xor(CAST(m & 4294967295 AS BIGINT)) AS xor_lo,

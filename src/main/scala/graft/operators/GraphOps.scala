@@ -808,9 +808,11 @@ object GraphOps {
     * edge list. Work is Σ deg(z)² wedges — the same budget as the q89
     * wedge join — and every stage shuffles on a key (center, then pair),
     * nothing driver-side. Vertices with deg 1 center no wedge, so
-    * 1/ln(deg) never divides by ln(1)=0. Ordering uses the ROUNDED score
-    * (+ pair tie-break), so both engines cut the same top-k even where
-    * raw double sums differ in the last bits. */
+    * 1/ln(deg) never divides by ln(1)=0. Each wedge weight is quantized
+    * to a nano-scaled long BEFORE the sum (round(1e9/ln deg)), so the
+    * aggregate is an exact integer sum — order-independent and identical
+    * across engines — and the top-k cut can never shift with summation
+    * order; the displayed score divides back to 6 dp at the end. */
   def adamicAdar(spark: SparkSession, dir: String, k: Int = 50,
       minShared: Int = 3): DataFrame = {
     val e = coPurchaseEdges(spark, dir, minShared).select("u", "v") // u < v
@@ -821,13 +823,13 @@ object GraphOps {
     val wedges = az.as("l").join(az.as("r"),
         col("l.z") === col("r.z") && col("l.x") < col("r.x"))
       .select(col("l.x").as("a"), col("r.x").as("b"),
-        (lit(1.0) / log(col("l.dz"))).as("w"))
+        round(lit(1e9) / log(col("l.dz"))).cast("long").as("w"))
     val scored = wedges.groupBy("a", "b")
       .agg(count(lit(1)).as("common_nbrs"), sum("w").as("s"))
     scored.join(e, scored("a") === e("u") && scored("b") === e("v"),
         "left_anti")
       .select(col("a").as("u"), col("b").as("v"), col("common_nbrs"),
-        round(col("s"), 6).as("aa_score"))
+        round(col("s") / 1e9, 6).as("aa_score"))
       .orderBy(col("aa_score").desc, col("u"), col("v"))
       .limit(k)
   }

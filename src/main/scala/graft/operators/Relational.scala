@@ -797,12 +797,17 @@ object Relational {
     * split of the data — and a single flipped row flips it. The halves
     * align with DuckDB's `md5_number_lower` (little-endian of digest
     * bytes 9–16), giving a cross-engine EQUALITY oracle, not a
-    * statistical one. */
+    * statistical one. NULL-safe: every column passes through
+    * coalesce(…, "\\N") before concatenation (concat_ws would silently
+    * SKIP a null field — shifting all later fields left — while SQL `||`
+    * would nullify the whole row; the sentinel makes both engines hash
+    * the identical canonical string for null-bearing rows too). */
   def tableFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    def nn(c: Column): Column = coalesce(c.cast("string"), lit("\\N"))
     val canon = concat_ws("|",
-      col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
-      round(col("o_totalprice") * 100).cast("long"),
-      col("o_orderdate").cast("string"), col("o_orderpriority"))
+      nn(col("o_orderkey")), nn(col("o_custkey")), nn(col("o_orderstatus")),
+      nn(round(col("o_totalprice") * 100).cast("long")),
+      nn(col("o_orderdate").cast("string")), nn(col("o_orderpriority")))
     // little-endian 32-bit halves of md5 bytes 9..16 (hex chars 17..32):
     // byte pairs reversed, then hex→long — matches md5_number_lower & 0xffffffff
     // and md5_number_lower >> 32 on the oracle side
