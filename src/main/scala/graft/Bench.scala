@@ -41,6 +41,11 @@ object Bench {
       val v2 = r2.getOrElse(name, -1.0)
       name -> (if (v1 < 0 || v2 < 0) -1.0 else math.min(v1, v2))
     }
+    // Cold = pass-1 timing. min-of-2 is the noise-floor estimate but hides
+    // first-run regressions (a query whose cold path got 2x slower looks
+    // unchanged if its warm rerun is fast) — record both so a regression
+    // can be judged on the cold number.
+    val cold = r1
     // The harness captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window; 81 full-name full-precision entries blew
     // past it (rounds 1-2 went unparsed). Keep the stdout line compact —
@@ -61,7 +66,9 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     val detail = results.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + fmt(v) }
+      .map { case (k, v) =>
+        "\"" + k + "\":{\"min\":" + fmt(v) +
+          ",\"cold\":" + fmt(cold.getOrElse(k, -1.0)) + "}" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),

@@ -109,10 +109,9 @@ object EventStream {
 
     val stage = Paths.get(graft.sources.Staging.fresh("q69-src"))
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
-    val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long (nanos)
-    def streamOf(tpe: String) = spark.readStream.schema(raw.schema)
-      .parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts: raw layout
+    def streamOf(tpe: String) = graft.Tables.normalizeEventsTs(
+        spark.readStream.schema(raw.schema).parquet(stage.toString))
       .where(col("event_type") === tpe)
     // Spark refuses stream-stream joins without an equality predicate —
     // the batch range join's bin-bucketing (Events.rangeJoin) is exactly
@@ -147,13 +146,14 @@ object EventStream {
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       q.processAllAvailable()
-      val maxNs = raw.agg(max("ts")).head.getLong(0)
       val sentinelDir = Paths.get(graft.sources.Staging.fresh("q69-sentinel"))
       // one sentinel PER SIDE: each stream's watermark only advances on
-      // rows that survive its own event_type filter
-      val base = raw.limit(1)
+      // rows that survive its own event_type filter. Built from the max-ts
+      // row + 30 days IN THE RAW PHYSICAL TYPE so the sentinel file's
+      // schema byte-matches the staged fixture (nanos-long or timestamp).
+      val base = raw.orderBy(col("ts").desc).limit(1)
         .withColumn("event_id", lit(-1L))
-        .withColumn("ts", lit(maxNs + 30L * 24 * 3600 * 1000000000L))
+        .withColumn("ts", graft.Tables.sentinelTsPlus30d(raw.schema("ts").dataType))
       base.withColumn("event_type", lit("error"))
         .unionAll(base.withColumn("event_type", lit("click")))
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
@@ -194,9 +194,9 @@ object EventStream {
 
     val stage = Paths.get(graft.sources.Staging.fresh("q65-src"))
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
-    val raw = spark.read.parquet(s"$dir/events.parquet") // ts: long (nanos)
-    val stream = spark.readStream.schema(raw.schema).parquet(stage.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = spark.read.parquet(s"$dir/events.parquet") // ts: raw layout
+    val stream = graft.Tables.normalizeEventsTs(
+        spark.readStream.schema(raw.schema).parquet(stage.toString))
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
 
     val sink = "q65_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
@@ -215,11 +215,10 @@ object EventStream {
       q.processAllAvailable()
       // sentinel: same physical schema as the staged file, ts 30 days past
       // the fixture max — watermark sails past every open timeout
-      val maxNs = raw.agg(max("ts")).head.getLong(0)
       val sentinelDir = Paths.get(graft.sources.Staging.fresh("q65-sentinel"))
-      raw.limit(1)
+      raw.orderBy(col("ts").desc).limit(1)
         .withColumn("user_id", lit(-1L))
-        .withColumn("ts", lit(maxNs + 30L * 24 * 3600 * 1000000000L))
+        .withColumn("ts", graft.Tables.sentinelTsPlus30d(raw.schema("ts").dataType))
         .coalesce(1).write.mode("overwrite").parquet(sentinelDir.toString)
       val part = Files.list(sentinelDir).filter(_.toString.endsWith(".parquet"))
         .findFirst().get()

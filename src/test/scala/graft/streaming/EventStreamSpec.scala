@@ -37,8 +37,8 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
   }
 
   test("file-source streaming over the events fixture equals batch") {
-    import org.apache.spark.sql.functions.expr
-    // the fixture is TIMESTAMP(NANOS) parquet — same handling as graft.Tables
+    // the fixture has shipped as NANOS and MICROS parquet over time — the
+    // stream must route through the same layout dispatch as graft.Tables
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file source wants a directory; stage the single fixture file
     val stageDir = java.nio.file.Files.createTempDirectory("graft-stream-src")
@@ -46,9 +46,8 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
       java.nio.file.Paths.get(s"$sfDir/events.parquet"),
       stageDir.resolve("events.parquet"))
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
-    val stream = spark.readStream.schema(schema)
-      .parquet(stageDir.toString)
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val stream = Tables.normalizeEventsTs(
+      spark.readStream.schema(schema).parquet(stageDir.toString))
     val q = EventStream.hourlyCounts(stream)
       .writeStream.format("memory").queryName("hourly_file_src")
       .outputMode("complete").start()
