@@ -283,22 +283,122 @@ object GraphOps {
 
   def betweenness(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame =
     btwCache.computeIfAbsent((spark, dir, minShared), _ => {
-      import spark.implicits._
-      betweennessOfEdges(spark,
-        coPurchaseEdges(spark, dir, minShared).select("u", "v").as[(Long, Long)].collect())
+      betweennessAuto(spark, coPurchaseEdges(spark, dir, minShared).select("u", "v"))
         .cache()
     })
+
+  /** Guarded betweenness entry, mirroring [[componentsAuto]]: count the
+    * edge RELATION first — only below `driverEdgeLimit` is the
+    * collect + broadcast-CSR Brandes affordable (the collect itself is the
+    * driver-OOM at 100× edge counts, not just the O(V·E) work). Above the
+    * limit the edge list never leaves the executors:
+    * [[betweennessDistributed]] runs a source-sampled Brandes as pure
+    * DataFrame joins. `fraction` applies only to the over-limit tier
+    * (exact under the limit). */
+  def betweennessAuto(spark: SparkSession, edgeDf: DataFrame,
+      driverEdgeLimit: Long = 5000000L, fraction: Double = 0.05): DataFrame = {
+    import spark.implicits._
+    val e = edgeDf.select("u", "v").cache()
+    if (e.count() <= driverEdgeLimit)
+      betweennessOfEdges(spark, e.as[(Long, Long)].collect())
+    else betweennessDistributed(spark, e, fraction)
+  }
+
+  /** Brandes with NO driver-side edge materialization: BFS state lives in
+    * (src, v)-keyed relations, partitioned across executors by key — the
+    * tier for graphs whose edge list outgrows both the driver heap and the
+    * broadcast budget. Forward phase: one equi-join + partial-agg per BFS
+    * level accumulates path counts (σ); backward phase: one join per level
+    * walks the DAG in reverse, splitting credit σ_p/σ_w·(1+δ_w) across
+    * parent edges. 2·diameter shuffle rounds total, each
+    * `localCheckpoint`ed so lineage stays flat. Source-sampled
+    * (Brandes–Pich, deterministic hash) and rescaled 1/fraction;
+    * fraction=1.0 reproduces the exact tier bit-for-bit on integer-σ
+    * graphs (GraphSpec pins this). */
+  def betweennessDistributed(spark: SparkSession, edgeDf: DataFrame,
+      fraction: Double = 1.0, maxLevels: Int = 256): DataFrame = {
+    val canon = edgeDf
+      .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
+      .where(col("u") =!= col("v")).distinct().cache()
+    val sym = canon.select(col("u").as("a"), col("v").as("b"))
+      .unionAll(canon.select(col("v").as("a"), col("u").as("b"))).cache()
+    sym.count() // materialize once; reused 2·diameter times
+    val sources = sym.select(col("a").as("s")).distinct()
+      .where(pmod(xxhash64(col("s"), lit(42)), lit(1000000)) <
+        lit((fraction * 1000000).toLong))
+
+    // ---- forward: levels(d) = (src, v, sigma) at BFS distance d
+    val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    levels += sources
+      .select(col("s").as("src"), col("s").as("v"), lit(1.0).as("sigma"))
+      .localCheckpoint()
+    var visited = levels(0).select("src", "v")
+    var d = 0
+    while (d < maxLevels && !levels(d).isEmpty) {
+      val next = levels(d).alias("f")
+        .join(sym.alias("e"), col("f.v") === col("e.a"))
+        .groupBy(col("f.src").as("src"), col("e.b").as("v"))
+        .agg(sum("f.sigma").as("sigma"))
+        .join(visited, Seq("src", "v"), "left_anti")
+        .localCheckpoint()
+      visited = visited.unionAll(next.select("src", "v")).localCheckpoint()
+      levels += next
+      d += 1
+    }
+    val maxDist = levels.length - 1 // last level is empty
+
+    // ---- backward: per level, edge credit σ_p/σ_w·(1+δ_w); δ flows to parents
+    var delta: DataFrame = null // (src, v, delta) at the current level
+    val credits = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    var lvl = maxDist - 1
+    while (lvl >= 1) {
+      val wl0 = levels(lvl).alias("w")
+      val wl = (if (delta == null) wl0.withColumn("delta", lit(0.0))
+                else wl0.join(delta.withColumnRenamed("delta", "d2"),
+                    Seq("src", "v"), "left")
+                  .withColumn("delta", coalesce(col("d2"), lit(0.0))).drop("d2"))
+        .select(col("src"), col("v").as("w"), col("sigma"), col("delta"))
+      val pl = levels(lvl - 1)
+        .select(col("src").as("psrc"), col("v").as("p"), col("sigma").as("psigma"))
+      val edgeCred = wl.join(sym.alias("e2"), col("w") === col("e2.a"))
+        .join(pl, col("psrc") === col("src") && col("p") === col("e2.b"))
+        .select(col("src"), col("p"), col("w"),
+          (col("psigma") / col("sigma") * (lit(1.0) + col("delta"))).as("c"))
+        .localCheckpoint()
+      credits += edgeCred.select(least(col("p"), col("w")).as("u"),
+        greatest(col("p"), col("w")).as("v"), col("c"))
+      delta = edgeCred.groupBy(col("src"), col("p").as("v")).agg(sum("c").as("delta"))
+      lvl -= 1
+    }
+
+    val summed =
+      if (credits.isEmpty) canon.limit(0).withColumn("c", lit(0.0))
+      else credits.reduce(_ unionAll _)
+        .groupBy("u", "v").agg(sum("c").as("c"))
+    // zero-credit edges surface too, so the output edge set matches the
+    // exact tier's (and the ranking is total over the graph)
+    canon.join(summed, Seq("u", "v"), "left")
+      .select(col("u"), col("v"),
+        (coalesce(col("c"), lit(0.0)) / 2.0 / fraction).as("btw"))
+      .orderBy(col("btw").desc, col("u"), col("v"))
+  }
 
   /** Approximate betweenness by source sampling (Brandes–Pich): run the
     * BFS from a deterministic `fraction` of sources and rescale credits by
     * 1/fraction. THE scale path once exact O(V·E) is unaffordable —
     * unbiased per edge, variance shrinks with the sample. Sources are
-    * chosen by hash so the estimate is reproducible. */
+    * chosen by hash so the estimate is reproducible. Guarded like
+    * [[betweennessAuto]]: above `driverEdgeLimit` the edge list is never
+    * collected — the distributed tier runs at the same fraction. */
   def betweennessSampled(spark: SparkSession, dir: String,
-      fraction: Double, minShared: Int = 3): DataFrame = {
+      fraction: Double, minShared: Int = 3,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
     import spark.implicits._
-    val edges = coPurchaseEdges(spark, dir, minShared)
-      .select("u", "v").as[(Long, Long)].collect()
+    val edgeDf = coPurchaseEdges(spark, dir, minShared).select("u", "v")
+    if (edgeDf.count() > driverEdgeLimit)
+      return betweennessDistributed(spark, edgeDf, fraction)
+        .withColumnRenamed("btw", "btw_est")
+    val edges = edgeDf.as[(Long, Long)].collect()
     val g = buildCsr(edges)
     val bc = spark.sparkContext.broadcast(g)
     val n = g.verts.length
@@ -478,10 +578,21 @@ object GraphOps {
     * Output: one row per community at the modularity peak:
     * (community = min member id, size, members csv sorted).
     */
-  def communities(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+  def communities(spark: SparkSession, dir: String, minShared: Int = 3,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
     import spark.implicits._
-    val ranked = betweenness(spark, dir, minShared)
-      .select("u", "v").as[(Long, Long)].collect() // already sorted btw desc
+    val rankedDf = betweenness(spark, dir, minShared).select("u", "v")
+    // GN's search is driver-coordinated BY REFERENCE SEMANTICS (union-find
+    // over the residual edge list per candidate k, `Community.scala:67-148`)
+    // — above the limit that collect is a driver OOM, so fail fast and name
+    // the distributed alternative instead of dying mid-collect. Exact GN on
+    // a >5M-edge graph is not a thing any engine does; community detection
+    // at that scale is [[lpaCommunities]] (O(iters) edge shuffles, zero
+    // driver state).
+    require(rankedDf.count() <= driverEdgeLimit,
+      s"Girvan-Newman is driver-coordinated (reference semantics); above " +
+        s"$driverEdgeLimit edges use GraphOps.communitiesLpa (distributed LPA) instead")
+    val ranked = rankedDf.as[(Long, Long)].collect() // already sorted btw desc
     val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
     def qAfterRemoving(k: Int): (Double, Map[Long, Long]) = {
       val resid = ranked.drop(k)
@@ -1062,10 +1173,14 @@ object GraphOps {
 
   /** Modularity search trace: Q at each coarse removal step — exposes G5 as
     * a queryable result (deterministic; rows-only check). */
-  def modularityCurve(spark: SparkSession, dir: String, minShared: Int = 3): DataFrame = {
+  def modularityCurve(spark: SparkSession, dir: String, minShared: Int = 3,
+      driverEdgeLimit: Long = 5000000L): DataFrame = {
     import spark.implicits._
-    val ranked = betweenness(spark, dir, minShared)
-      .select("u", "v").as[(Long, Long)].collect()
+    val rankedDf = betweenness(spark, dir, minShared).select("u", "v")
+    require(rankedDf.count() <= driverEdgeLimit,
+      s"modularity curve walks the GN residual graph on the driver; above " +
+        s"$driverEdgeLimit edges use GraphOps.communitiesLpa instead")
+    val ranked = rankedDf.as[(Long, Long)].collect()
     val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
     val step = math.max(1, ranked.length / 14)
     val rows = (0 to ranked.length by step).map { k =>

@@ -1,35 +1,69 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 import graft.{SparkSuite, Tables}
 
 class MediaOpsSpec extends AnyFunSuite with SparkSuite {
 
-  test("media table carries binary payloads with typed metadata") {
+  test("media table carries REAL PNG payloads with typed metadata") {
     val m = MediaOps.mediaTable(spark, sfDir)
     val row = m.head()
     assert(row.media.nonEmpty)
-    assert(row.width >= 64 && row.height >= 64)
+    // PNG magic: every payload must be a genuine encoded image
+    assert((row.media.take(8).map(_ & 0xff) sameElements
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)),
+      "payload is not PNG-encoded")
+    assert(row.width >= 8 && row.height >= 8)
     assert(m.count() == Tables(spark, sfDir, "documents").count())
   }
 
-  test("feature extraction is batched, deterministic, fixed-dim") {
+  test("decodeImage recovers known pixel values from a hand-built PNG") {
+    // 2x1 image: pure white and pure black — bucket means are exact
+    val img = new BufferedImage(2, 1, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0xffffff)
+    img.setRGB(1, 0, 0x000000)
+    val png = MediaOps.encodePng(img)
+    assert(MediaOps.decodeImage(png, 2).toSeq == Seq(1.0, 0.0))
+    // one bucket: mean of the two pixels
+    assert(MediaOps.decodeImage(png, 1).toSeq == Seq(0.5))
+    // 3x1 with a mid-gray: (128+128+128)/3/255 rounded to 6dp
+    val img3 = new BufferedImage(3, 1, BufferedImage.TYPE_INT_RGB)
+    img3.setRGB(0, 0, 0xffffff); img3.setRGB(1, 0, 0x808080); img3.setRGB(2, 0, 0x000000)
+    val f3 = MediaOps.decodeImage(MediaOps.encodePng(img3), 3).toSeq
+    assert(f3 == Seq(1.0, math.rint(128.0 / 255.0 * 1e6) / 1e6, 0.0))
+  }
+
+  test("PNG encode∘decode round-trips rasterized pixels exactly") {
+    val raster = MediaOps.rasterize("the quick brown fox".getBytes, 11, 7)
+    val back = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(MediaOps.encodePng(raster)))
+    for (y <- 0 until 7; x <- 0 until 11)
+      assert((back.getRGB(x, y) & 0xffffff) == (raster.getRGB(x, y) & 0xffffff))
+  }
+
+  test("feature extraction decodes pixels, batched, deterministic, fixed-dim") {
     val m = MediaOps.mediaTable(spark, sfDir)
     val f1 = MediaOps.extractFeatures(m, dim = 8).collect().sortBy(_.media_id)
     val f2 = MediaOps.extractFeatures(m, dim = 8).collect().sortBy(_.media_id)
     assert(f1.forall(_.features.length == 8))
     assert(f1.zip(f2).forall { case (a, b) => a.features.sameElements(b.features) })
+    // luminance means are in [0, 1]
+    assert(f1.forall(_.features.forall(v => v >= 0.0 && v <= 1.0)))
     // payload length propagates
     val bytes = m.collect().map(r => r.media_id -> r.media.length).toMap
     f1.foreach(f => assert(f.n_bytes == bytes(f.media_id)))
   }
 
-  test("resize preserves aspect ratio cap") {
-    val resized = MediaOps.resizeMeta(MediaOps.mediaTable(spark, sfDir), 128).collect()
+  test("resize re-encodes under the aspect cap and stays decodable") {
+    val resized = MediaOps.resize(MediaOps.mediaTable(spark, sfDir), 16).collect()
     resized.foreach { r =>
-      assert(math.max(r.width, r.height) <= 128)
+      assert(math.max(r.width, r.height) <= 16)
       assert(r.width >= 1 && r.height >= 1)
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.media))
+      assert(img.getWidth == r.width && img.getHeight == r.height)
     }
   }
 
@@ -52,8 +86,7 @@ class MediaOpsSpec extends AnyFunSuite with SparkSuite {
     val byQuery = nn.groupBy(_.getLong(0))
     byQuery.values.foreach { rs =>
       assert(rs.length <= 3)
-      val cs = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
-      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b })
+      val cs = rs.map(_.getAs[Double]("cosine")).sorted.reverse
       assert(cs.forall(c => c >= -1.0001 && c <= 1.0001))
     }
   }

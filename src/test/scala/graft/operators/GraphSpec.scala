@@ -198,4 +198,55 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
     // d(1,2)+d(1,3)+d(1,4)+d(2,3)+d(2,4)+d(3,4) = 1+2+3+1+2+1 = 10
     assert(math.abs(m.values.sum - 10.0) < 1e-9)
   }
+
+  test("betweennessAuto guard routes above-limit edge lists to the distributed tier") {
+    import spark.implicits._
+    // asymmetric hand graph: bridge + cycle + pendant (same as sparse-tier test)
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (3L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (7L, 8L))
+    val exact = btwMap(edges.toArray)
+    // limit 0 forces the guard: the edge list must never be collected, the
+    // distributed join-based Brandes must produce the same credits at
+    // fraction 1.0 (all sources)
+    val guarded = GraphOps.betweennessAuto(spark, edges.toDF("u", "v"),
+        driverEdgeLimit = 0L, fraction = 1.0)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(guarded.keySet == exact.keySet)
+    exact.foreach { case (k, v) =>
+      assert(math.abs(guarded(k) - v) < 1e-9, s"edge $k: dist=${guarded(k)} exact=$v")
+    }
+    // and below the limit the same call takes the exact driver tier
+    val under = GraphOps.betweennessAuto(spark, edges.toDF("u", "v"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(under == exact)
+  }
+
+  test("distributed betweenness source-sampling rescales by 1/fraction on a symmetric graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.expr
+    // 4-cycle: each source's BFS deposits a total of Σ_t d(s,t) = 4 credit
+    // (before the ÷2), so the rescaled TOTAL is exactly k·4/2/fraction,
+    // where k replays the estimator's own deterministic source hash
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 4L), (3L, 4L))
+    val k = Seq(1L, 2L, 3L, 4L).toDF("s")
+      .where(expr("pmod(xxhash64(s, 42), 1000000) < 500000")).count()
+    val est = GraphOps.betweennessDistributed(spark, edges.toDF("u", "v"),
+        fraction = 0.5)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    assert(est.size == 4)
+    val expectedTotal = k * 4.0 / 2.0 / 0.5
+    assert(math.abs(est.values.sum - expectedTotal) < 1e-9,
+      s"$est total ${est.values.sum} vs expected $expectedTotal (k=$k)")
+  }
+
+  test("GN communities and modularity curve refuse above-limit graphs with a named alternative") {
+    val eC = intercept[IllegalArgumentException] {
+      GraphOps.communities(spark, sfDir, driverEdgeLimit = 0L)
+    }
+    assert(eC.getMessage.contains("communitiesLpa"))
+    val eM = intercept[IllegalArgumentException] {
+      GraphOps.modularityCurve(spark, sfDir, driverEdgeLimit = 0L)
+    }
+    assert(eM.getMessage.contains("communitiesLpa"))
+  }
 }
