@@ -63,7 +63,7 @@ object SparkEntry {
     "q30_cograph_edges" -> (GraphOps.edgesQuery _),
     "q31_degrees" -> (GraphOps.degrees _),
     "q32_conncomp" -> (GraphOps.connectedComponents _),
-    "q33_betweenness" -> ((s, d) => GraphOps.betweenness(s, d)),
+    "q33_betweenness" -> ((s, d) => GraphOps.betweennessQuery(s, d)),
     "q36_betweenness_sampled" -> ((s, d) => GraphOps.betweennessSampled(s, d, 0.25)),
     "q34_communities" -> ((s, d) => GraphOps.communities(s, d)),
     "q35_modularity_curve" -> ((s, d) => GraphOps.modularityCurve(s, d)),
@@ -96,8 +96,9 @@ object SparkEntry {
     "q53_fingerprint" -> (TextOps.fingerprint _),
     "q54_clean_corpus" -> ((s, d) => TextOps.cleanCorpusStats(s, d)),
     "q55_bpe_tokens" -> ((s, d) => TextOps.bpeTokenTopK(s, d)),
-    // LSH pairs → connected components → keeper: rows-only (LSH banding
-    // is not SQL-expressible), pinned by DedupSpec's union-find equality
+    // LSH pairs → connected components → keeper; oracled via the exact
+    // J >= 0.5 pair set + recursive closure (banding recall 1.0 on the
+    // fixtures, DedupSpec-pinned, so the pair lists coincide)
     "q56_dedup_groups" -> ((s, d) => Dedup.dedupGroups(s, d)),
     // file-source streaming exact dedup; shares q40's oracle (the drained
     // stream equals the batch groupBy — min-keeper is arrival-order-free)
@@ -370,6 +371,9 @@ object SparkEntry {
     "qb6_time_weighted" -> (Events.timeWeightedAvg _),
     // order-independent md5-XOR content fingerprint per table partition
     "qb7_fingerprint" -> (Relational.tableFingerprint _),
+    // co-purchase edges with the hot-item frequency cap (viral parts
+    // excluded before the quadratic pair join — the 100 TB skew guard)
+    "qb8_copurchase_capped" -> ((s, d) => GraphOps.coPurchaseEdgesCapped(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -391,8 +395,119 @@ object SparkEntry {
       ("q84_binaryfile_source" -> m("q50_text_stats")) +
       ("q8f_dsv2_source" -> m("q09_distinct")) +
       ("q9c_cdc_stream" -> m("q72_upsert")) +
-      ("qa2_ann_sql" -> m("q46_ann_brute"))
+      ("qa2_ann_sql" -> m("q46_ann_brute")) +
+      ("q33_betweenness" -> betweennessOracle) +
+      ("q35_modularity_curve" -> modularityCurveOracle)
   }
+
+  /** Exact edge betweenness as pure SQL: the Brandes forward/backward
+    * passes unrolled level-by-level (the q9t discipline — data-dependent
+    * iteration counts become a static unroll bounded above the fixture
+    * graphs' diameter; levels past the real depth are empty and cost
+    * nothing). Forward: level k = (src, v, σ) reached first at BFS depth
+    * k, σ summed over parents; backward: per level, edge credit
+    * σ_p/σ_w·(1+δ_w), δ flowing to parents. Validated against the
+    * engine to ≤ 1e-12 per edge at sf0.01 (1494 vertices, 64 627 edges).
+    */
+  private val BtwUnrollDepth = 10
+
+  private def betweennessCte: String = {
+    val head =
+      """cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
+        |  ON a.p = b.p AND a.c < b.c GROUP BY 1, 2 HAVING count(*) >= 3),
+        |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS src, a AS v, CAST(1 AS DOUBLE) AS sigma FROM und),
+        |vis0 AS MATERIALIZED (SELECT src, v FROM l0)""".stripMargin
+    val fwd = (1 to BtwUnrollDepth).map { k =>
+      s"""l$k AS MATERIALIZED (
+         |  SELECT p.src, und.b AS v, sum(p.sigma) AS sigma
+         |  FROM l${k - 1} p JOIN und ON und.a = p.v
+         |  ANTI JOIN vis${k - 1} t ON t.src = p.src AND t.v = und.b
+         |  GROUP BY 1, 2),
+         |vis$k AS MATERIALIZED (
+         |  SELECT src, v FROM vis${k - 1} UNION ALL SELECT src, v FROM l$k)""".stripMargin
+    }.mkString(",\n")
+    val seed = s"wd$BtwUnrollDepth AS MATERIALIZED (SELECT src, v, sigma, " +
+      s"CAST(0 AS DOUBLE) AS delta FROM l$BtwUnrollDepth)"
+    val bwd = (BtwUnrollDepth to 1 by -1).map { k =>
+      val cred =
+        s"""cred$k AS MATERIALIZED (
+           |  SELECT w.src, p.v AS pu, w.v AS wu, p.sigma / w.sigma * (1 + w.delta) AS c
+           |  FROM wd$k w JOIN und ON und.a = w.v
+           |  JOIN l${k - 1} p ON p.src = w.src AND p.v = und.b)""".stripMargin
+      if (k == 1) cred
+      else cred + ",\n" +
+        s"""wd${k - 1} AS MATERIALIZED (
+           |  SELECT l.src, l.v, l.sigma, coalesce(dl.delta, 0) AS delta
+           |  FROM l${k - 1} l LEFT JOIN (SELECT src, pu AS v, sum(c) AS delta
+           |    FROM cred$k GROUP BY 1, 2) dl
+           |    ON dl.src = l.src AND dl.v = l.v)""".stripMargin
+    }.mkString(",\n")
+    val allCreds = (BtwUnrollDepth to 1 by -1)
+      .map(k => s"SELECT pu, wu, c FROM cred$k").mkString(" UNION ALL ")
+    s"""$head,
+       |$fwd,
+       |$seed,
+       |$bwd,
+       |summed AS MATERIALIZED (SELECT least(pu, wu) AS u, greatest(pu, wu) AS v,
+       |  sum(c) / 2 AS btw FROM ($allCreds) GROUP BY 1, 2),
+       |btw AS MATERIALIZED (SELECT e.u, e.v, coalesce(s.btw, 0) AS btw
+       |  FROM e LEFT JOIN summed s ON s.u = e.u AND s.v = e.v)""".stripMargin
+  }
+
+  private def betweennessOracle: String =
+    s"""WITH RECURSIVE $betweennessCte
+       |SELECT u, v, round(btw, 6) AS btw FROM btw
+       |ORDER BY round(btw, 9) DESC, u, v""".stripMargin
+
+  /** The GN modularity curve on top of the SQL Brandes: removal ranking by
+    * the same 1e-9-quantized key as the engine, residual components per
+    * curve point via the q32 pruned-label closure (keyed by k so all 15
+    * points run in ONE recursive walk), then the closed-form reference
+    * modularity Σ_c [E_c − (D_c² − S_c)/(4m)] / (2m) per point. */
+  private def modularityCurveOracle: String =
+    s"""WITH RECURSIVE $betweennessCte,
+       |rankedE AS MATERIALIZED (SELECT u, v,
+       |  row_number() OVER (ORDER BY round(btw, 9) DESC, u, v) AS rn FROM btw),
+       |params AS (SELECT count(*) AS ne, greatest(1, count(*) // 14) AS s FROM e),
+       |ks AS MATERIALIZED (SELECT unnest(range(0, CAST(ne // s + 1 AS BIGINT))) * s AS k FROM params),
+       |resid AS MATERIALIZED (SELECT ks.k, r.u, r.v FROM ks, rankedE r WHERE r.rn > ks.k),
+       |undk AS MATERIALIZED (SELECT k, u AS a, v AS b FROM resid
+       |  UNION ALL SELECT k, v, u FROM resid),
+       |vertsAll AS MATERIALIZED (SELECT DISTINCT a AS id FROM und),
+       |walk(k, vertex, label) AS (
+       |  SELECT k, a, b FROM undk WHERE b < a
+       |  UNION
+       |  SELECT undk.k, undk.a, walk.label FROM undk JOIN walk
+       |    ON walk.k = undk.k AND walk.vertex = undk.b
+       |  WHERE walk.label < undk.a),
+       |lab2 AS MATERIALIZED (
+       |  SELECT k, id, min(label) AS comp FROM (
+       |    SELECT ks.k, verts.id, verts.id AS label FROM ks, vertsAll verts
+       |    UNION ALL
+       |    SELECT k, vertex AS id, label FROM walk)
+       |  GROUP BY 1, 2),
+       |deg2 AS MATERIALIZED (SELECT k, a AS id, count(*) AS dg FROM undk GROUP BY 1, 2),
+       |mm AS (SELECT k, count(*) AS m FROM resid GROUP BY 1),
+       |ec AS (SELECT r.k, lu.comp, count(*) AS ec FROM resid r
+       |  JOIN lab2 lu ON lu.k = r.k AND lu.id = r.u
+       |  JOIN lab2 lv ON lv.k = r.k AND lv.id = r.v
+       |  WHERE lu.comp = lv.comp GROUP BY 1, 2),
+       |ds AS (SELECT l.k, l.comp, sum(coalesce(dd.dg, 0)) AS dsum,
+       |    sum(coalesce(dd.dg, 0) * coalesce(dd.dg, 0)) AS ssum
+       |  FROM lab2 l LEFT JOIN deg2 dd ON dd.k = l.k AND dd.id = l.id GROUP BY 1, 2),
+       |qv AS (SELECT ds.k,
+       |    sum(coalesce(ec.ec, 0) - (ds.dsum * ds.dsum - ds.ssum) / (4.0 * mm.m)) / (2.0 * mm.m) AS q
+       |  FROM ds JOIN mm ON mm.k = ds.k
+       |  LEFT JOIN ec ON ec.k = ds.k AND ec.comp = ds.comp
+       |  GROUP BY ds.k, mm.m),
+       |nc AS (SELECT k, count(DISTINCT comp) AS n FROM lab2 GROUP BY 1)
+       |SELECT CAST(ks.k AS INT) AS removed, CAST(nc.n AS INT) AS n_communities,
+       |  CASE WHEN qv.q IS NULL THEN 0.0 ELSE round(qv.q, 6) END AS modularity
+       |FROM ks JOIN nc ON nc.k = ks.k LEFT JOIN qv ON qv.k = ks.k
+       |ORDER BY removed""".stripMargin
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_groupavg_brand_flag" ->
@@ -1283,6 +1398,79 @@ object SparkEntry {
         |  bit_xor(CAST(m & 4294967295 AS BIGINT)) AS xor_lo,
         |  bit_xor(CAST(m >> 32 AS BIGINT)) AS xor_hi
         |FROM c GROUP BY 1 ORDER BY 1""".stripMargin,
+    // Near-dup grouping chain: the LSH banding itself is not
+    // SQL-expressible, but its exact-Jaccard verification step IS — and
+    // DedupSpec pins banding recall 1.0 on the fixtures (planted dups sit
+    // at J ≥ 0.9, where the 32×4 banding miss probability is ~1e-15), so
+    // the engine's pair list EQUALS the exact J ≥ 0.5 pair set and the
+    // q9q recursive-closure pattern replays the grouping end-to-end.
+    "q56_dedup_groups" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t),
+        |e AS MATERIALIZED (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+        |und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+        |lab AS MATERIALIZED (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+        |sz AS (SELECT group_id, count(*) AS group_size FROM lab GROUP BY 1)
+        |SELECT doc_id, group_id, group_size, doc_id = group_id AS is_keeper
+        |FROM lab JOIN sz USING (group_id) ORDER BY group_id, doc_id""".stripMargin,
+    // survivorship on the same closure + the q50 quality formula; the
+    // survivor pick replays min_by(doc_id, (-quality, doc_id)) as a
+    // quality DESC, doc_id window
+    "q8n_dedup_survivors" ->
+      """WITH RECURSIVE t AS (SELECT doc_id,
+        |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |g AS MATERIALIZED (SELECT doc_id,
+        |  list_distinct(list_transform(range(1, len(w) - 1),
+        |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t),
+        |e AS MATERIALIZED (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+        |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+        |und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+        |reach(id, r) AS (
+        |  SELECT id, id FROM verts
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+        |lab AS MATERIALIZED (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id),
+        |u2 AS (SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_uniq,
+        |  len(list_filter(w, x -> x IN ('the','a','of','to','and','in','is'))) AS n_stop
+        |  FROM t WHERE len(w) > 0),
+        |q AS (SELECT doc_id,
+        |  round(least(CAST(n_tokens AS DOUBLE) / 100, CAST(1 AS DOUBLE)) * 0.4 +
+        |        (CAST(1 AS DOUBLE) - CAST(n_stop AS DOUBLE) / n_tokens) * 0.3 +
+        |        CAST(n_uniq AS DOUBLE) / n_tokens * 0.3, 6) AS quality FROM u2),
+        |jq AS (SELECT lab.doc_id, lab.group_id, q.quality FROM lab JOIN q USING (doc_id)),
+        |sv AS (SELECT group_id, doc_id AS survivor FROM (
+        |  SELECT group_id, doc_id, row_number() OVER (PARTITION BY group_id
+        |    ORDER BY quality DESC, doc_id) AS rn FROM jq) WHERE rn = 1)
+        |SELECT jq.doc_id, jq.group_id, jq.quality, jq.doc_id = sv.survivor AS keep
+        |FROM jq JOIN sv USING (group_id) ORDER BY group_id, doc_id""".stripMargin,
+    // the oracle mirrors the cap: parts over 40 distinct buyers are
+    // excluded before the pair join, then the same >= 3 shared threshold
+    "qb8_copurchase_capped" ->
+      """WITH cp AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |keep AS (SELECT p FROM cp GROUP BY p HAVING count(*) <= 40)
+        |SELECT a.c AS u, b.c AS v, count(*) AS shared
+        |FROM cp a JOIN cp b ON a.p = b.p AND a.c < b.c
+        |WHERE a.p IN (SELECT p FROM keep)
+        |GROUP BY 1, 2 HAVING count(*) >= 3 ORDER BY u, v""".stripMargin,
     // add-one smoothing on integer counts; the single ln sees identical
     // doubles; both directions replay as rank windows
     "qaw_emerging_terms" ->

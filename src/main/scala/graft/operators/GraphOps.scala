@@ -93,6 +93,30 @@ object GraphOps {
   def edgesQuery(spark: SparkSession, dir: String): DataFrame =
     coPurchaseEdges(spark, dir).orderBy("u", "v")
 
+  /** Hot-item-capped co-purchase edges: parts bought by more than
+    * `hotItemCap` distinct customers are excluded BEFORE the pair join.
+    * This is SCALE.md's named quadratic risk made into a knob — a part
+    * with H buyers contributes H(H−1)/2 pairs, so at 100 TB one viral
+    * item dominates the entire shuffle (the reference's graph build has
+    * no guard and goes quadratic on hot keys, `Betweenness.scala:27-29`).
+    * Frequency-ceiling is the standard similarity-join mitigation: hot
+    * items carry almost no pairwise signal (everyone bought them) but all
+    * of the cost. The cap relation is an aggregate of the (cached)
+    * incidence, applied as a semi-join so the scan stays single-pass. */
+  def coPurchaseEdgesCapped(spark: SparkSession, dir: String,
+      minShared: Int = 3, hotItemCap: Int = 40): DataFrame = {
+    val cp = incidence(spark, dir)
+    val keep = cp.groupBy("p").agg(count(lit(1)).as("n_buyers"))
+      .where(col("n_buyers") <= hotItemCap).select("p")
+    val capped = cp.join(keep, Seq("p"), "left_semi")
+    val a = capped.as("a"); val b = capped.as("b")
+    a.join(b, col("a.p") === col("b.p") && col("a.c") < col("b.c"))
+      .groupBy(col("a.c").as("u"), col("b.c").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .orderBy("u", "v")
+  }
+
   /** Vertex degrees over the co-purchase graph (oracle-able). One pass:
     * each edge explodes to its two endpoints — unlike a unionAll of two
     * selects, the (expensive, possibly uncached) edge relation is scanned
@@ -286,6 +310,15 @@ object GraphOps {
       betweennessAuto(spark, coPurchaseEdges(spark, dir, minShared).select("u", "v"))
         .cache()
     })
+
+  /** q33's oracle-able face: values rounded to 6 dp (the engine-wide float
+    * discipline — an independent recomputation's per-edge sums differ at
+    * ~1e-12, which 6 dp absorbs everywhere off the measure-zero rounding
+    * boundaries). The cached raw relation stays untouched for q34/q35. */
+  def betweennessQuery(spark: SparkSession, dir: String): DataFrame =
+    betweenness(spark, dir)
+      .orderBy(expr("rint(btw * 1e9)").desc, col("u"), col("v"))
+      .select(col("u"), col("v"), round(col("btw"), 6).as("btw"))
 
   /** Guarded betweenness entry, mirroring [[componentsAuto]]: count the
     * edge RELATION first — only below `driverEdgeLimit` is the
@@ -641,6 +674,76 @@ object GraphOps {
     * when the community-count jump across the final step is ≤ 1 and outputs
     * the communities at `count - step` (the last point before the drop),
     * else restarts from there with step ÷ 5. */
+  /** The reference's EXACT per-source credit rule
+    * (`Betweenness.scala:60-116`), preserved verbatim to regenerate its
+    * missing `betweenness.txt` golden: `route(v)` counts BFS-DAG in-edges
+    * (the reference increments once per discovered predecessor — it never
+    * sums parent path counts), and a popped vertex's weight
+    * 1 + Σ child credits is split EQUALLY across its predecessors (not
+    * σ-proportionally as in true Brandes). The two rules agree on trees
+    * and wherever all predecessors carry equal path counts, and diverge
+    * elsewhere — this twin exists for golden parity only; the engine's
+    * production tiers ([[betweennessOfEdges]] and friends) compute true
+    * Brandes credit. Deterministic: sources run in ascending vertex order
+    * and credits accumulate in that order, so the emitted doubles are
+    * byte-stable across runs (the reference's own reduceByKey order was
+    * not — its file is the one we are filling in).
+    * Output rows: (u, v, credit/2) sorted by (u, v), matching the
+    * reference's `sortByKey` + halve (`Betweenness.scala:138-147`). */
+  def referenceBetweennessGn(edges: Array[(Long, Long)]): Seq[(Long, Long, Double)] = {
+    val g = buildCsr(edges)
+    val n = g.verts.length
+    val acc = new Array[Double](g.edges.length)
+    val dist = Array.fill(n)(-1)
+    val route = new Array[Int](n)
+    val weight = new Array[Double](n)
+    val order = new Array[Int](n)
+    var s = 0
+    while (s < n) {
+      var head = 0; var tail = 0
+      dist(s) = 0
+      order(tail) = s; tail += 1
+      while (head < tail) {
+        val v = order(head); head += 1
+        val dv = dist(v)
+        var j = g.offsets(v)
+        while (j < g.offsets(v + 1)) {
+          val w = g.nbr(j)
+          if (dist(w) < 0) { dist(w) = dv + 1; order(tail) = w; tail += 1 }
+          if (dist(w) == dv + 1) route(w) += 1
+          j += 1
+        }
+      }
+      var k = tail - 1
+      while (k >= 0) {
+        val w = order(k)
+        weight(w) += 1.0
+        val dw = dist(w)
+        var j = g.offsets(w)
+        while (j < g.offsets(w + 1)) {
+          val v = g.nbr(j)
+          if (dist(v) == dw - 1) {
+            val c = weight(w) / route(w)
+            acc(g.eid(j)) += c
+            weight(v) += c
+          }
+          j += 1
+        }
+        k -= 1
+      }
+      // reset only what this BFS touched
+      k = 0
+      while (k < tail) {
+        val v = order(k)
+        dist(v) = -1; route(v) = 0; weight(v) = 0.0
+        k += 1
+      }
+      s += 1
+    }
+    g.edges.indices.map(e => (g.edges(e)._1, g.edges(e)._2, acc(e) / 2.0))
+      .sortBy(t => (t._1, t._2))
+  }
+
   def referenceCommunities(spark: SparkSession, edges: Array[(Long, Long)],
       step0: Int = 2500, zoom: Int = 5): Seq[Array[Long]] = {
     import spark.implicits._
@@ -1176,7 +1279,17 @@ object GraphOps {
   def modularityCurve(spark: SparkSession, dir: String, minShared: Int = 3,
       driverEdgeLimit: Long = 5000000L): DataFrame = {
     import spark.implicits._
-    val rankedDf = betweenness(spark, dir, minShared).select("u", "v")
+    // FP-robust removal ranking: ties in TRUE betweenness can come out of
+    // the per-edge double sums in either order depending on summation
+    // order (ours vs any independent recomputation differ at ~1e-12), so
+    // the rank key quantizes to 1e-9 before the (u, v) tiebreak — edges
+    // whose true values differ by < 1e-9 are ordered deterministically by
+    // id on BOTH sides, and the oracle's SQL Brandes replays the exact
+    // same removal prefixes. (q34's GN search keeps the raw order — its
+    // golden parity is against the reference's own run, not an oracle.)
+    val rankedDf = betweenness(spark, dir, minShared)
+      .orderBy(expr("rint(btw * 1e9)").desc, col("u"), col("v"))
+      .select("u", "v")
     require(rankedDf.count() <= driverEdgeLimit,
       s"modularity curve walks the GN residual graph on the driver; above " +
         s"$driverEdgeLimit edges use GraphOps.communitiesLpa instead")

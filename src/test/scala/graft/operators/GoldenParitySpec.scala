@@ -17,19 +17,48 @@ class GoldenParitySpec extends AnyFunSuite with SparkSuite {
 
   private def goldenAvailable = Files.exists(Paths.get(s"$refDir/communities.txt"))
 
-  test("co-rating graph + reference GN search reproduce communities.txt") {
-    assume(goldenAvailable)
+  private def coRatingEdges: Array[(Long, Long)] = {
     import spark.implicits._
-    // ingest through our header-CSV source (dogfooding S3)
+    import org.apache.spark.sql.functions.{count => cnt}
     val ratings = DelimitedText.readHeaderCsv(spark, s"$refDir/ratings.csv")
       .select(col("userId").cast("long").as("u"), col("movieId").cast("long").as("m"))
       .distinct()
-    val edges = ratings.as("a")
+    ratings.as("a")
       .join(ratings.as("b"), col("a.m") === col("b.m") && col("a.u") < col("b.u"))
       .groupBy(col("a.u").as("u"), col("b.u").as("v"))
-      .agg(count(lit(1)).as("shared"))
+      .agg(cnt(lit(1)).as("shared"))
       .where(col("shared") >= 3)
       .select("u", "v").as[(Long, Long)].collect()
+  }
+
+  test("reference-rule betweenness reproduces the committed golden byte-for-byte") {
+    assume(Files.exists(Paths.get(s"$refDir/ratings.csv")))
+    // The reference repo ships communities.txt but its betweenness.txt blob
+    // is missing (.MISSING_LARGE_BLOBS). This golden FILLS that blob: the
+    // reference's exact credit rule (route = pred count, equal split —
+    // Betweenness.scala:60-116) over its own co-rating graph, in its own
+    // output format ((u,v,credit/2) tuples sorted by key,
+    // Betweenness.scala:138-147), made byte-stable by fixed source order.
+    // Regenerate by deleting the file and re-running this spec.
+    val goldenPath = Paths.get("src/test/resources/golden/betweenness.txt")
+    val edges = coRatingEdges
+    assert(edges.length == 154331, "edge construction must match the reference graph")
+    val got = GraphOps.referenceBetweennessGn(edges)
+      .map { case (u, v, c) => s"($u,$v,$c)" }
+    if (!Files.exists(goldenPath)) {
+      Files.createDirectories(goldenPath.getParent)
+      Files.write(goldenPath, got.mkString("\n").getBytes("UTF-8"))
+      info(s"golden written to $goldenPath (${got.size} lines) — commit it")
+    }
+    val golden = Files.readAllLines(goldenPath).asScala.toSeq
+    assert(got.size == golden.size, s"line count ${got.size} != golden ${golden.size}")
+    assert(got == golden)
+  }
+
+  test("co-rating graph + reference GN search reproduce communities.txt") {
+    assume(goldenAvailable)
+    // ingest through our header-CSV source (dogfooding S3)
+    val edges = coRatingEdges
     assert(edges.length == 154331, "edge construction must match the reference graph")
 
     val got = GraphOps.referenceCommunities(spark, edges, step0 = 2500, zoom = 5)
