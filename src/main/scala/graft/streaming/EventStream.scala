@@ -133,7 +133,14 @@ object EventStream {
       expr("e_bin = c_bin AND c_ts >= e_ts AND c_ts < e_ts + INTERVAL 1 HOUR"),
       "leftOuter")
 
-    val sink = "q69_rj_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // FILE sink, not memory: the pre-aggregation join output is the RAW
+    // error×click pair stream — at 10× events that is GBs, and a memory
+    // sink is a driver collect (observed: 1.2 GB single-task result >
+    // maxResultSize at sf1). The parquet sink keeps every micro-batch's
+    // output distributed on disk; the batch-side aggregation below reads
+    // it back like any other relation.
+    val sinkDir = graft.sources.Staging.fresh("q69-sink")
+    val ckptDir = graft.sources.Staging.fresh("q69-ckpt")
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     // interval-join state is keyed by (bin, side): a month of fixture time
     // is ~720 hot keys, and each of the 4 store instances carries 4 state
@@ -141,7 +148,8 @@ object EventStream {
     // fatter stores win until key cardinality demands otherwise
     spark.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
-      try joined.writeStream.format("memory").queryName(sink)
+      try joined.writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
@@ -164,7 +172,7 @@ object EventStream {
       q.processAllAvailable()
     } finally q.stop()
 
-    spark.table(sink)
+    spark.read.parquet(sinkDir)
       .where(col("event_id") =!= -1L)
       .groupBy("event_id", "e_ts")
       .agg(count(col("c_ts")).as("clicks_1h"))

@@ -239,6 +239,30 @@ class GraphSpec extends AnyFunSuite with SparkSuite {
       s"$est total ${est.values.sum} vs expected $expectedTotal (k=$k)")
   }
 
+  test("GnProber equals the boxed unionFind + modularityOf reference at every probe") {
+    import spark.implicits._
+    // fixture-ranked edges (real betweenness order) + a hand graph
+    val fixtureRanked = GraphOps.betweenness(spark, sfDir)
+      .select("u", "v").as[(Long, Long)].collect()
+    val hand = Array((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L), (3L, 5L),
+      (5L, 6L), (6L, 7L), (7L, 5L), (7L, 8L))
+    for (ranked <- Seq(hand, fixtureRanked)) {
+      val prober = new GraphOps.GnProber(ranked)
+      val vertices = ranked.iterator.flatMap(e => Iterator(e._1, e._2)).toArray.distinct
+      val ks = (0 to ranked.length by math.max(1, ranked.length / 7)) ++ Seq(ranked.length)
+      ks.distinct.foreach { k =>
+        val resid = ranked.drop(k)
+        val comp = GraphOps.unionFind(vertices, resid)
+        val qRef = GraphOps.modularityOf(comp, resid)
+        val qFast = prober.modularityAt(k)
+        assert((qRef.isNaN && qFast.isNaN) || math.abs(qRef - qFast) < 1e-12,
+          s"k=$k: boxed=$qRef fast=$qFast")
+        assert(prober.componentsAt(k) == comp, s"k=$k component labels differ")
+        assert(prober.nCommunitiesAt(k) == comp.values.toSet.size)
+      }
+    }
+  }
+
   test("GN communities and modularity curve refuse above-limit graphs with a named alternative") {
     val eC = intercept[IllegalArgumentException] {
       GraphOps.communities(spark, sfDir, driverEdgeLimit = 0L)
