@@ -32,7 +32,12 @@ object CdcStream {
 
     val schema = spark.read.parquet(stage).schema
     val stream = spark.readStream.schema(schema).parquet(stage)
-    val sink = "q9c_cdc_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // complete-mode output is one row PER KEY — corpus-sized, so a memory
+    // sink would be a driver collect (the q69 lesson). File sinks only do
+    // append, so the standard complete-mode pattern applies: foreachBatch
+    // overwrites a parquet snapshot per micro-batch — a DISTRIBUTED write;
+    // the last snapshot is the drained state.
+    val outDir = graft.sources.Staging.fresh("q9c-sink")
     // state-store partition sizing: see EventStream.sessionizeFromFiles
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -43,11 +48,14 @@ object CdcStream {
         .groupBy("doc_id")
         .agg(max(struct(col("pri"), col("lang"), col("h"))).as("w"))
         .select(col("doc_id"), col("w.lang").as("lang"), col("w.h").as("h"))
-        .writeStream.format("memory").queryName(sink)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
         .outputMode("complete").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try q.processAllAvailable() finally q.stop()
 
-    spark.table(sink).orderBy("doc_id")
+    spark.read.parquet(outDir).orderBy("doc_id")
   }
 }

@@ -28,7 +28,10 @@ object DedupStream {
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
     val stream = spark.readStream.schema(schema).parquet(stage.toString)
 
-    val sink = "q58_dedup_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // one row per DISTINCT CONTENT — corpus-sized in the worst case, so no
+    // memory sink (driver collect); complete mode snapshots distributed
+    // via foreachBatch overwrite (see CdcStream)
+    val outDir = graft.sources.Staging.fresh("q58-sink")
     // state-store partition sizing: see EventStream.sessionizeFromFiles
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
@@ -36,11 +39,14 @@ object DedupStream {
       try stream
         .groupBy(md5(col("text").cast("binary")).as("content_hash"))
         .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
-        .writeStream.format("memory").queryName(sink)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("overwrite").parquet(outDir)
+        }
         .outputMode("complete").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try q.processAllAvailable() finally q.stop()
 
-    spark.table(sink).orderBy("keeper")
+    spark.read.parquet(outDir).orderBy("keeper")
   }
 }

@@ -191,9 +191,10 @@ object EventStream {
     * every open session's `last + gap` timeout flushes them, which is
     * exactly how a production stream's tail sessions close. `session_seq`
     * is a presentation step on the emitted sessions (row_number by start
-    * time), matching the batch face's chronological numbering. The memory
-    * sink bounds this harness to driver-collectable results; a deployment
-    * would `writeStream` to a real sink and skip the sentinel dance. */
+    * time), matching the batch face's chronological numbering. Output
+    * goes through a parquet FILE sink (sessions are data-sized; a memory
+    * sink would collect them to the driver); a deployment would point the
+    * same sink at real storage and skip the sentinel dance. */
   def sessionizeFromFiles(spark: SparkSession, dir: String,
       gapSec: Long = 1800): DataFrame = {
     import spark.implicits._
@@ -207,7 +208,10 @@ object EventStream {
         spark.readStream.schema(raw.schema).parquet(stage.toString))
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
 
-    val sink = "q65_sessions_" + java.util.UUID.randomUUID().toString.replace("-", "")
+    // sessions are one row per (user, session) — data-sized, so a FILE
+    // sink, not memory (the q69 lesson: memory = driver collect)
+    val sinkDir = graft.sources.Staging.fresh("q65-sink")
+    val ckptDir = graft.sources.Staging.fresh("q65-ckpt")
     // State-store partition count is baked into the query at start; each
     // partition owns an HDFS-backed store instance with per-batch commit +
     // maintenance overhead, so a harness run sizes it to the state (one
@@ -216,8 +220,9 @@ object EventStream {
     val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     val q =
-      try sessionize(stream, gapSec).writeStream
-        .format("memory").queryName(sink).outputMode("append").start()
+      try sessionize(stream, gapSec).writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", ckptDir)
+        .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       q.processAllAvailable()
@@ -237,7 +242,7 @@ object EventStream {
 
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("user_id").orderBy("start_s", "end_s")
-    spark.table(sink)
+    spark.read.parquet(sinkDir)
       .where(col("user_id") =!= -1L)
       .withColumn("session_seq", row_number().over(w).cast("long"))
       .select(col("user_id"), col("session_seq"),
