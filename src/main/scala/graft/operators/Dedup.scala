@@ -337,61 +337,103 @@ object Dedup {
     * in B, so one of A's |A| − ⌈t·|A|⌉ + 1 rarest shingles must be.
     * Direction is preserved (no pair canonicalization); verify =
     * intersect / |A|. */
+  /** Distinct-content collapse shared by the exact set-similarity joins
+    * (qad, qb2): one representative row per distinct shingle SET plus the
+    * doc membership. Exact duplicates are collapsed BEFORE any pairwise
+    * stage — g copies of one text would multiply candidate work by g²
+    * while adding zero information (the q8a lesson, measured 25× at a
+    * 10×-replicated corpus) — and re-expanded afterwards, so output stays
+    * doc-level and oracle-identical. `sh` is a sorted-distinct array, so
+    * set equality IS array equality and groups by the column directly;
+    * two docs share a group iff their Jaccard is exactly 1. */
+  private def contentGroups(spark: SparkSession, dir: String): DataFrame =
+    shingled(spark, dir).where(size(col("sh")) > 0)
+      .groupBy("sh")
+      .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members"))
+
   def containmentJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = shingled(spark, dir).where(size(col("sh")) > 0)
-    val toks = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val grp = contentGroups(spark, dir).cache()
+    val reps = grp.select(col("cid"), col("sh"))
+    val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
+    val toks = reps.select(col("cid"), explode(col("sh")).as("h"))
     val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
     val prefix = toks.join(df, "h")
-      .groupBy("doc_id")
+      .groupBy("cid")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
-      .select(col("doc_id"),
+      .select(col("cid"),
         explode(slice(transform(col("o"), s => s.getField("h")), lit(1),
           (size(col("o")) - ceil(size(col("o")) * lit(threshold)) + 1)
             .cast("int"))).as("h"))
     val cand = prefix.as("p").join(toks.as("i"),
-        col("p.h") === col("i.h") && col("p.doc_id") =!= col("i.doc_id"))
-      .select(col("p.doc_id").as("a"), col("i.doc_id").as("b"))
+        col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid"))
+      .select(col("p.cid").as("ca"), col("i.cid").as("cb"))
       .distinct()
     val inter = call_function("sorted_intersect_count",
       col("x.sh"), col("y.sh"))
-    cand.join(docs.as("x"), col("a") === col("x.doc_id"))
-      .join(docs.as("y"), col("b") === col("y.doc_id"))
-      .select(col("a"), col("b"),
+    val crossContent = cand.join(reps.as("x"), col("ca") === col("x.cid"))
+      .join(reps.as("y"), col("cb") === col("y.cid"))
+      .select(col("ca"), col("cb"),
         round(inter.cast("double") / size(col("x.sh")), 6)
           .as("containment"))
       .where(col("containment") >= threshold)
-      .orderBy("a", "b")
+    val cross = crossContent
+      .join(mem.as("ma"), col("ca") === col("ma.cid"))
+      .join(mem.as("mb"), col("cb") === col("mb.cid"))
+      .select(col("ma.doc_id").as("a"), col("mb.doc_id").as("b"), col("containment"))
+    // identical sets contain each other exactly (1.0 ≥ any threshold):
+    // every ORDERED pair within a content group
+    val within = grp.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"), lit(1.0).as("containment"))
+    cross.unionAll(within).orderBy("a", "b")
   }
 
   def prefixJaccardJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val docs = shingled(spark, dir)
-      .where(size(col("sh")) > 0)
-    val toks = docs.select(col("doc_id"), explode(col("sh")).as("h"))
+    val grp = contentGroups(spark, dir).cache()
+    val reps = grp.select(col("cid"), col("sh"))
+    val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
+    val toks = reps.select(col("cid"), explode(col("sh")).as("h"))
     val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
-    // per doc: tokens sorted rarest-first; keep only the prefix
+    // per content: tokens sorted rarest-first; keep only the prefix.
+    // (Rarity is a pruning HEURISTIC — prefix-filter completeness holds
+    // for ANY fixed global token order, so content-level df is as correct
+    // as doc-level df; candidates are exact-verified either way.)
     val prefix = toks.join(df, "h")
-      .groupBy("doc_id")
+      .groupBy("cid")
       .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
-      .select(col("doc_id"),
+      .select(col("cid"),
         explode(slice(transform(col("o"), s => s.getField("h")), lit(1),
           (size(col("o")) - ceil(size(col("o")) * lit(threshold)) + 1)
             .cast("int"))).as("h"))
     val cand = prefix.as("p").join(toks.as("i"),
-        col("p.h") === col("i.h") && col("p.doc_id") =!= col("i.doc_id"))
-      .select(least(col("p.doc_id"), col("i.doc_id")).as("u"),
-        greatest(col("p.doc_id"), col("i.doc_id")).as("v"))
+        col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid"))
+      .select(least(col("p.cid"), col("i.cid")).as("ca"),
+        greatest(col("p.cid"), col("i.cid")).as("cb"))
       .distinct()
     val inter = call_function("sorted_intersect_count", col("a.sh"), col("b.sh"))
-    cand.join(docs.as("a"), col("u") === col("a.doc_id"))
-      .join(docs.as("b"), col("v") === col("b.doc_id"))
-      .select(col("u"), col("v"),
+    val crossContent = cand.join(reps.as("a"), col("ca") === col("a.cid"))
+      .join(reps.as("b"), col("cb") === col("b.cid"))
+      .select(col("ca"), col("cb"),
         round(inter.cast("double")
           / (size(col("a.sh")) + size(col("b.sh")) - inter), 6).as("jaccard"))
       .where(col("jaccard") >= threshold)
-      .orderBy("u", "v")
+    val cross = crossContent
+      .join(mem.as("ma"), col("ca") === col("ma.cid"))
+      .join(mem.as("mb"), col("cb") === col("mb.cid"))
+      .select(least(col("ma.doc_id"), col("mb.doc_id")).as("u"),
+        greatest(col("ma.doc_id"), col("mb.doc_id")).as("v"), col("jaccard"))
+    // identical sets: J = 1.0 exactly — every unordered within-group pair
+    val within = grp.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("a"), col("members"))
+      .select(col("a"), explode(col("members")).as("b"))
+      .where(col("a") < col("b"))
+      .select(col("a").as("u"), col("b").as("v"), lit(1.0).as("jaccard"))
+    cross.unionAll(within).orderBy("u", "v")
   }
 }
