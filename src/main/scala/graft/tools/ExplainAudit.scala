@@ -50,7 +50,13 @@ object ExplainAudit {
       // broadcast query postings, the bitmap-distinct two-level merge, and
       // the shard-partitioned (never global) epoch-shuffle window
       "qad_prefix_join", "qao_bm25", "qa9_bitmap_distinct",
-      "qak_epoch_shuffle")
+      "qak_epoch_shuffle",
+      // round-7: the hot-item cap's aggregate→semi-join ahead of the pair
+      // join (qb8), the distinct-content collapse under the containment
+      // join (qb2: groupBy(sh) → rarity prefix over representatives →
+      // membership re-expansion), and q33's 6dp face over the cached
+      // betweenness relation
+      "qb8_copurchase_capped", "qb2_containment", "q33_betweenness")
       .foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
