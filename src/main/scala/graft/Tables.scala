@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr}
-import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType,
+  TimestampNTZType, TimestampType}
 
 /** Fixture-table loader. Every query resolves inputs through here so the
   * physical layout (one parquet per table under the sf dir) lives in one
@@ -25,6 +26,8 @@ object Tables {
       // UTC, so the NTZ→LTZ cast preserves the instant).
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       normalizeEventsTs(spark.read.parquet(s"$dir/$name.parquet"))
+    } else if (name == "embeddings") {
+      normalizeEmbedding(spark.read.parquet(s"$dir/$name.parquet"))
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Normalize an events-shaped relation's `ts` column to session-TZ
@@ -36,6 +39,21 @@ object Tables {
       case LongType         => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
       case TimestampNTZType => df.withColumn("ts", col("ts").cast(TimestampType))
       case _                => df
+    }
+
+  /** Normalize `embeddings.embedding` to the engine-canonical
+    * array<float> — the type every similarity/linalg kernel (float dot
+    * rewrite, PQ, pooling aggregates) is compiled for. The same
+    * schema-dispatch insurance as [[normalizeEventsTs]]: the ts fixture
+    * regenerating with a different physical type silently took down 44
+    * queries for a round; a float→double regen of the embedding column
+    * would take down the ~20 similarity queries the same way. A
+    * double-stored file of float-valued data casts losslessly. */
+  def normalizeEmbedding(df: DataFrame): DataFrame =
+    df.schema("embedding").dataType match {
+      case ArrayType(DoubleType, _) =>
+        df.withColumn("embedding", col("embedding").cast(ArrayType(FloatType)))
+      case _ => df
     }
 
   /** A `ts` expression 30 days past the row's own value, in the RAW layout's

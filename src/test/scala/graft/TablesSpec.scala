@@ -105,4 +105,39 @@ class TablesSpec extends AnyFunSuite with SparkSuite {
     assert(df.schema("ts").dataType === TimestampType)
     assert(df.limit(5).count() > 0)
   }
+
+  test("Tables.apply normalizes embeddings stored as float OR double to array<float>") {
+    // same insurance as the ts dispatch: a fixture regen that flips the
+    // embedding element type must not take down the similarity family
+    val base = Files.createTempDirectory("graft-emb").toString
+    val rows = Seq((1L, Array(0.25f, -1.5f, 3.0f), 0),
+      (2L, Array(0.5f, 2.0f, -0.125f), 1))
+    def write(dir: String, asDouble: Boolean): Unit = {
+      val elem = if (asDouble) DoubleType else FloatType
+      val schema = StructType(Seq(
+        StructField("vec_id", LongType, nullable = false),
+        StructField("embedding", ArrayType(elem), nullable = false),
+        StructField("label", IntegerType, nullable = false)))
+      val data = rows.map { case (id, v, l) =>
+        Row(id, if (asDouble) v.map(_.toDouble).toSeq else v.toSeq, l)
+      }
+      spark.createDataFrame(spark.sparkContext.parallelize(data, 1), schema)
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+    write(s"$base/f", asDouble = false)
+    write(s"$base/d", asDouble = true)
+    val loaded = Seq(s"$base/f", s"$base/d").map { d =>
+      val df = Tables(spark, d, "embeddings")
+      assert(df.schema("embedding").dataType === ArrayType(FloatType),
+        s"embedding must normalize to array<float> for $d")
+      df.collect().sortBy(_.getLong(0))
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+    }
+    // the fixture values are float-representable, so the double layout
+    // casts back losslessly and both reads are identical
+    assert(loaded(0) === loaded(1))
+    // and the shipped fixture resolves to the canonical type
+    assert(Tables(spark, sfDir, "embeddings")
+      .schema("embedding").dataType === ArrayType(FloatType))
+  }
 }
