@@ -374,6 +374,10 @@ object SparkEntry {
     // co-purchase edges with the hot-item frequency cap (viral parts
     // excluded before the quadratic pair join — the 100 TB skew guard)
     "qb8_copurchase_capped" -> ((s, d) => GraphOps.coPurchaseEdgesCapped(s, d)),
+    // the no-driver-OOM betweenness tier run end-to-end at fraction 1.0:
+    // join-based Brandes, edge list never leaves the executors
+    "qb9_betweenness_distributed" ->
+      ((s, d) => GraphOps.betweennessDistributedQuery(s, d)),
   )
 
   /** DuckDB oracle SQL per query (omitted → driver does a rows-only check).
@@ -397,7 +401,13 @@ object SparkEntry {
       ("q9c_cdc_stream" -> m("q72_upsert")) +
       ("qa2_ann_sql" -> m("q46_ann_brute")) +
       ("q33_betweenness" -> betweennessOracle) +
-      ("q35_modularity_curve" -> modularityCurveOracle)
+      ("q35_modularity_curve" -> modularityCurveOracle) +
+      // the distributed tier's face: same SQL Brandes, minShared=5
+      // subgraph (diameters 3/7 at the gate SFs), deeper unroll margin
+      ("qb9_betweenness_distributed" ->
+        s"""WITH RECURSIVE ${betweennessCteFor(5, 16)}
+           |SELECT u, v, round(btw, 6) AS btw FROM btw
+           |ORDER BY round(btw, 9) DESC, u, v""".stripMargin)
   }
 
   /** Exact edge betweenness as pure SQL: the Brandes forward/backward
@@ -409,24 +419,27 @@ object SparkEntry {
     * σ_p/σ_w·(1+δ_w), δ flowing to parents. Validated against the
     * engine to ≤ 1e-12 per edge at sf0.01 (1494 vertices, 64 627 edges).
     *
-    * Depth 10 is scoped to the CORRECTNESS-GATE fixtures: measured
-    * co-purchase diameters are 2 (sf0.001) and 5 (sf0.01), so 10 is a 2×
-    * margin. The sf0.1 graph is sparser (diameter ≥ 18) — this oracle is
-    * not valid there, and the gate never runs it there (bench SFs are
-    * timed, not oracled).
+    * Unroll depth is scoped to the CORRECTNESS-GATE fixtures: measured
+    * co-purchase diameters are 2 (sf0.001) and 5 (sf0.01) at minShared=3
+    * (depth 10 = 2× margin), 3 and 7 at minShared=5 (depth 16). The
+    * sf0.1 minShared=3 graph is sparser (diameter ≥ 18) — the q33/q35
+    * oracles are not valid there, and the gate never runs them there
+    * (bench SFs are timed, not oracled).
     */
   private val BtwUnrollDepth = 10
 
-  private def betweennessCte: String = {
+  private def betweennessCte: String = betweennessCteFor(3, BtwUnrollDepth)
+
+  private def betweennessCteFor(minShared: Int, depth: Int): String = {
     val head =
-      """cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      s"""cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
-        |  ON a.p = b.p AND a.c < b.c GROUP BY 1, 2 HAVING count(*) >= 3),
+        |  ON a.p = b.p AND a.c < b.c GROUP BY 1, 2 HAVING count(*) >= $minShared),
         |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
         |l0 AS MATERIALIZED (SELECT DISTINCT a AS src, a AS v, CAST(1 AS DOUBLE) AS sigma FROM und),
         |vis0 AS MATERIALIZED (SELECT src, v FROM l0)""".stripMargin
-    val fwd = (1 to BtwUnrollDepth).map { k =>
+    val fwd = (1 to depth).map { k =>
       s"""l$k AS MATERIALIZED (
          |  SELECT p.src, und.b AS v, sum(p.sigma) AS sigma
          |  FROM l${k - 1} p JOIN und ON und.a = p.v
@@ -435,9 +448,9 @@ object SparkEntry {
          |vis$k AS MATERIALIZED (
          |  SELECT src, v FROM vis${k - 1} UNION ALL SELECT src, v FROM l$k)""".stripMargin
     }.mkString(",\n")
-    val seed = s"wd$BtwUnrollDepth AS MATERIALIZED (SELECT src, v, sigma, " +
-      s"CAST(0 AS DOUBLE) AS delta FROM l$BtwUnrollDepth)"
-    val bwd = (BtwUnrollDepth to 1 by -1).map { k =>
+    val seed = s"wd$depth AS MATERIALIZED (SELECT src, v, sigma, " +
+      s"CAST(0 AS DOUBLE) AS delta FROM l$depth)"
+    val bwd = (depth to 1 by -1).map { k =>
       val cred =
         s"""cred$k AS MATERIALIZED (
            |  SELECT w.src, p.v AS pu, w.v AS wu, p.sigma / w.sigma * (1 + w.delta) AS c
@@ -451,7 +464,7 @@ object SparkEntry {
            |    FROM cred$k GROUP BY 1, 2) dl
            |    ON dl.src = l.src AND dl.v = l.v)""".stripMargin
     }.mkString(",\n")
-    val allCreds = (BtwUnrollDepth to 1 by -1)
+    val allCreds = (depth to 1 by -1)
       .map(k => s"SELECT pu, wu, c FROM cred$k").mkString(" UNION ALL ")
     s"""$head,
        |$fwd,

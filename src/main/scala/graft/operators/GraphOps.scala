@@ -416,6 +416,18 @@ object GraphOps {
       .orderBy(col("btw").desc, col("u"), col("v"))
   }
 
+  /** Query face for the distributed tier (qb9): exact (fraction = 1.0)
+    * join-based Brandes over the tighter minShared co-purchase subgraph,
+    * 6 dp values like [[betweennessQuery]]. This face exists so the
+    * 100 TB tier — the one [[betweennessAuto]] routes to when the edge
+    * list outgrows the driver — is itself oracle-checked end-to-end, not
+    * just spec-equal to the collect tier on hand graphs. */
+  def betweennessDistributedQuery(spark: SparkSession, dir: String,
+      minShared: Int = 5): DataFrame =
+    betweennessDistributed(spark,
+        coPurchaseEdges(spark, dir, minShared).select("u", "v"), fraction = 1.0)
+      .select(col("u"), col("v"), round(col("btw"), 6).as("btw"))
+
   /** Approximate betweenness by source sampling (Brandes–Pich): run the
     * BFS from a deterministic `fraction` of sources and rescale credits by
     * 1/fraction. THE scale path once exact O(V·E) is unaffordable —
