@@ -46,6 +46,13 @@ object FuzzyJoin {
     * levenshtein verify rejects them); they can only add candidates.
     */
   def customerNamePairs(spark: SparkSession, dir: String,
+      maxDist: Int = 1): DataFrame =
+    // presentation face: the global sort exists for the query contract
+    // only — internal consumers ([[entities]]) take the unsorted relation,
+    // since feeding a sorted stream into CC's shuffle throws the sort away
+    namePairs(spark, dir, maxDist).orderBy("id_a", "id_b")
+
+  private[operators] def namePairs(spark: SparkSession, dir: String,
       maxDist: Int = 1): DataFrame = {
     require(maxDist == 1, "deletion neighborhood implemented for k = 1")
     val c = Tables(spark, dir, "customer")
@@ -96,7 +103,7 @@ object FuzzyJoin {
         greatest(col("x.id"), col("y.id")).as("id_b"), col("dist"))
     // the two legs are disjoint (equal vs unequal names) and each is
     // duplicate-free, so a plain union suffices — no final distinct shuffle
-    sameName.unionAll(crossName).orderBy("id_a", "id_b")
+    sameName.unionAll(crossName)
   }
 
   /** q9q: entity resolution — the full record-linkage pipeline composed
@@ -113,7 +120,7 @@ object FuzzyJoin {
     * here is quadratic in records. Oracle: DuckDB recursive-CTE reachable
     * closure over the exact all-pairs levenshtein edges, min per record. */
   def entities(spark: SparkSession, dir: String): DataFrame = {
-    val edges = customerNamePairs(spark, dir)
+    val edges = namePairs(spark, dir)
       .select(col("id_a").as("u"), col("id_b").as("v"))
     val comp = GraphOps.componentsAuto(spark, edges)
     val ids = Tables(spark, dir, "customer").select(col("c_custkey").as("id"))
