@@ -42,9 +42,12 @@ object MediaOps {
   private[multimodal] def rasterize(bytes: Array[Byte], w: Int, h: Int): BufferedImage = {
     val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
     var i = 0
-    val n = math.max(1, bytes.length)
+    // empty payload → deterministic single-zero-byte image (bytes(i % n)
+    // with n clamped to 1 would otherwise read bytes(0) of an empty array)
+    val b = if (bytes.isEmpty) Array[Byte](0) else bytes
+    val n = b.length
     while (i < w * h) {
-      var z = bytes(i % n).toLong + 0x9e3779b97f4a7c15L * (i + 1)
+      var z = b(i % n).toLong + 0x9e3779b97f4a7c15L * (i + 1)
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z ^= z >>> 31

@@ -122,13 +122,27 @@ object Baskets {
     * shuffle. Driver memory grows only with the candidate count (support-
     * bounded), never with basket count.
     */
-  def son(spark: SparkSession, dir: String, supportOpt: Option[Int] = None): DataFrame = {
+  def son(spark: SparkSession, dir: String, supportOpt: Option[Int] = None,
+      maxCandidates: Long = 1000000L): DataFrame = {
     import spark.implicits._
     val baskets = Tables(spark, dir, "lineitem")
       .select("l_orderkey", "l_partkey").distinct()
       .groupBy("l_orderkey")
       .agg(sort_array(collect_list(col("l_partkey"))).as("items"))
       .select("items").as[Seq[Long]]
+    sonOnBaskets(spark, baskets, supportOpt, maxCandidates)
+  }
+
+  /** SON over an arbitrary basket relation — the reusable core behind
+    * [[son]] (lineitem baskets) and the reference-lifecycle app face
+    * ([[graft.apps.SonApp]]: ml-1m-shaped `::` text, the reference's
+    * case-1/case-2 baskets). Resolves a relative default support exactly
+    * like [[son]]. */
+  def sonOnBaskets(spark: SparkSession, basketsIn:
+      org.apache.spark.sql.Dataset[Seq[Long]], supportOpt: Option[Int],
+      maxCandidates: Long = 1000000L): DataFrame = {
+    import spark.implicits._
+    val baskets = basketsIn
       .repartition(32)
       .cache()
 
@@ -137,10 +151,25 @@ object Baskets {
     val nChunks = math.max(1, math.min(32, support / 2))
     val localSup = math.max(1, support / nChunks) // reference: SON.scala:62-64
     // Phase 1: per-chunk A-priori → candidate itemsets.
-    val candidates = baskets
+    val candDs = baskets
       .coalesce(nChunks) // no shuffle; chunk count tied to support, see above
       .mapPartitions(it => localApriori(it.toArray, localSup))
-      .distinct().collect()
+      .distinct()
+      .cache() // counted then collected — don't run phase 1 twice
+    // Guard the driver-side collect (same fail-fast discipline as
+    // betweennessAuto / communities): with the RELATIVE default support the
+    // candidate count is bounded by construction, but an explicit absolute
+    // support that is tiny relative to the corpus (say 3 at sf100) makes
+    // phase 1 emit an unbounded candidate set — count it BEFORE pulling it
+    // into the driver heap, and name the fix in the error.
+    val nCand = candDs.count()
+    require(nCand <= maxCandidates,
+      s"SON phase 1 produced $nCand candidate itemsets (> $maxCandidates): " +
+        s"support $support is too low for this corpus ($nBaskets baskets). " +
+        s"Use the relative default (0.02% of baskets, supportOpt = None) or " +
+        s"raise maxCandidates if the driver heap really can hold them.")
+    val candidates = candDs.collect()
+    candDs.unpersist()
     val bc = spark.sparkContext.broadcast {
       val bySize = candidates.groupBy(_.size)
       bySize.map { case (k, sets) => (k, sets.toSet) }

@@ -332,9 +332,13 @@ object GraphOps {
       driverEdgeLimit: Long = 5000000L, fraction: Double = 0.05): DataFrame = {
     import spark.implicits._
     val e = edgeDf.select("u", "v").cache()
-    if (e.count() <= driverEdgeLimit)
-      betweennessOfEdges(spark, e.as[(Long, Long)].collect())
-    else betweennessDistributed(spark, e, fraction)
+    try {
+      if (e.count() <= driverEdgeLimit)
+        betweennessOfEdges(spark, e.as[(Long, Long)].collect())
+      else betweennessDistributed(spark, e, fraction)
+    } finally e.unpersist() // both tiers consume `e` eagerly (collect /
+    // localCheckpoint'ed canon) — holding the block past return would
+    // just accumulate pinned memory across invocations
   }
 
   /** Brandes with NO driver-side edge materialization: BFS state lives in
@@ -350,9 +354,12 @@ object GraphOps {
     * graphs (GraphSpec pins this). */
   def betweennessDistributed(spark: SparkSession, edgeDf: DataFrame,
       fraction: Double = 1.0, maxLevels: Int = 256): DataFrame = {
+    // localCheckpoint (eager), not cache: materialized once, lineage cut,
+    // and the blocks are released by the ContextCleaner when the returned
+    // relation is garbage-collected — no static pin to leak across calls
     val canon = edgeDf
       .select(least(col("u"), col("v")).as("u"), greatest(col("u"), col("v")).as("v"))
-      .where(col("u") =!= col("v")).distinct().cache()
+      .where(col("u") =!= col("v")).distinct().localCheckpoint()
     val sym = canon.select(col("u").as("a"), col("v").as("b"))
       .unionAll(canon.select(col("v").as("a"), col("u").as("b"))).cache()
     sym.count() // materialize once; reused 2·diameter times
@@ -378,6 +385,12 @@ object GraphOps {
       levels += next
       d += 1
     }
+    // the loop may exit on the level budget with a NON-empty frontier —
+    // maxDist below assumes the last level is empty, so a truncated BFS
+    // must fail loudly instead of silently dropping the longest paths
+    require(levels.last.isEmpty,
+      s"BFS not converged within $maxLevels levels (graph diameter exceeds " +
+        s"the budget) — raise maxLevels")
     val maxDist = levels.length - 1 // last level is empty
 
     // ---- backward: per level, edge credit σ_p/σ_w·(1+δ_w); δ flows to parents
@@ -408,6 +421,10 @@ object GraphOps {
       if (credits.isEmpty) canon.limit(0).withColumn("c", lit(0.0))
       else credits.reduce(_ unionAll _)
         .groupBy("u", "v").agg(sum("c").as("c"))
+    // both passes are done (every level/credit is localCheckpoint'ed) —
+    // the returned relation reads only canon + credits, so release sym now
+    // rather than pinning 2|E| rows until someone calls clearCaches
+    sym.unpersist()
     // zero-credit edges surface too, so the output edge set matches the
     // exact tier's (and the ranking is total over the graph)
     canon.join(summed, Seq("u", "v"), "left")
@@ -447,8 +464,21 @@ object GraphOps {
     val g = buildCsr(edges)
     val bc = spark.sparkContext.broadcast(g)
     val n = g.verts.length
-    val keep = (s: Int) => (math.abs(scala.util.hashing.MurmurHash3
-      .stringHash(s.toString, 42)) % 1000000) < fraction * 1000000
+    // Source selection is keyed by vertex ID through the SAME expression
+    // as the distributed tier (pmod(xxhash64(id, 42), 1e6) < f·1e6) — a
+    // fraction must pick the identical source set on both sides of the
+    // driverEdgeLimit boundary, or the estimate jumps discontinuously
+    // across tiers. Evaluated as a one-job Spark expression so the two
+    // tiers share the hash implementation by construction.
+    val keepByIdx: Array[Boolean] = {
+      val keepIds = spark.createDataset(g.verts.toSeq).toDF("s")
+        .where(pmod(xxhash64(col("s"), lit(42)), lit(1000000)) <
+          lit((fraction * 1000000).toLong))
+        .as[Long].collect().toSet
+      g.verts.map(keepIds.contains)
+    }
+    val bcKeep = spark.sparkContext.broadcast(keepByIdx)
+    val keep = (s: Int) => bcKeep.value(s)
     val credits = spark.sparkContext.parallelize(0 until n, 32)
       .mapPartitions { sources =>
         val csr = bc.value

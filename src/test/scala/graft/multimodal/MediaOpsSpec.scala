@@ -36,6 +36,14 @@ class MediaOpsSpec extends AnyFunSuite with SparkSuite {
     assert(f3 == Seq(1.0, math.rint(128.0 / 255.0 * 1e6) / 1e6, 0.0))
   }
 
+  test("rasterize handles an empty payload (deterministic, no crash)") {
+    val a = MediaOps.rasterize(Array.empty[Byte], 4, 3)
+    val b = MediaOps.rasterize(Array[Byte](0), 4, 3)
+    for (y <- 0 until 3; x <- 0 until 4)
+      assert(a.getRGB(x, y) == b.getRGB(x, y),
+        "empty payload must rasterize like the single-zero-byte payload")
+  }
+
   test("PNG encode∘decode round-trips rasterized pixels exactly") {
     val raster = MediaOps.rasterize("the quick brown fox".getBytes, 11, 7)
     val back = javax.imageio.ImageIO.read(

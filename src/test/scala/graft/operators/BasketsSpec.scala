@@ -60,4 +60,14 @@ class BasketsSpec extends AnyFunSuite with SparkSuite {
       .collect().map(r => (r.getString(0), r.getLong(2))).toSet
     assert(pairs == son2)
   }
+
+  test("SON fails fast when the candidate set exceeds the driver budget") {
+    // the guard must fire BEFORE the collect, with a message naming the
+    // relative-support default — not OOM mid-collect at scale
+    val e = intercept[IllegalArgumentException] {
+      Baskets.son(spark, sfDir, Some(3), maxCandidates = 1L)
+    }
+    assert(e.getMessage.contains("candidate itemsets") &&
+      e.getMessage.contains("0.02%"), e.getMessage)
+  }
 }

@@ -70,7 +70,11 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val lsh = Similarity.cosineTopKLsh(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = brute.intersect(lsh).size.toDouble / brute.size
-    assert(recall >= 0.3, s"LSH recall $recall below floor")
+    info(s"LSH recall: $recall")
+    // floor = stable measured recall (0.57 across rounds 5-7) minus 0.1:
+    // tight enough that a real recall regression fails, loose enough for
+    // fixture-regen jitter
+    assert(recall >= 0.47, s"LSH recall $recall below floor")
   }
 
   test("IVF top-5 recall vs brute force is usable and beats its probe ratio") {
@@ -79,7 +83,9 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     val ivf = Similarity.cosineTopKIvf(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = brute.intersect(ivf).size.toDouble / brute.size
-    assert(recall >= 0.3, s"IVF recall $recall below floor")
+    info(s"IVF recall: $recall")
+    // measured 0.63 stable across rounds; floor = measured - 0.1
+    assert(recall >= 0.53, s"IVF recall $recall below floor")
   }
 
   test("PQ shortlist + exact re-rank recall vs brute force") {
@@ -91,7 +97,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     info(s"PQ recall: $recall")
     // shortlist=50 of 500 corpus vectors: random retrieval would land ~10%
     // of the true top-5; the ADC scan has to do far better
-    assert(recall >= 0.4, s"PQ recall $recall below floor")
+    // measured 0.73 stable across rounds; floor = measured - 0.1
+    assert(recall >= 0.63, s"PQ recall $recall below floor")
     // re-ranked cosines are exact: every reported cosine must equal the
     // brute-force cosine for the same (query, neighbor) pair
     val bruteCos = Similarity.cosineTopK(spark, sfDir, k = 5).collect()
