@@ -265,6 +265,9 @@ object SparkEntry {
     "q9p_scd2" -> (Events.scd2History _),
     // entity resolution: fuzzy match edges → CC → canonical entity id
     "q9q_entities" -> ((s, d) => FuzzyJoin.entities(s, d)),
+    // the pair-budget tier: hot variant buckets semi-joined away before
+    // pair enumeration (bounded recall trade, oracle mirrors the cap)
+    "qba_entities_capped" -> ((s, d) => FuzzyJoin.entitiesCapped(s, d)),
     // z-order clustered layout round-trip, 2-d box predicate
     "q9r_zorder_box" -> (ScaleOps.zorderedBoxQuery _),
     // distributed d×d Gramian via the mergeable GramSum aggregate
@@ -402,6 +405,67 @@ object SparkEntry {
       ("qa2_ann_sql" -> m("q46_ann_brute")) +
       ("q33_betweenness" -> betweennessOracle) +
       ("q35_modularity_curve" -> modularityCurveOracle) +
+      // Exact-pair oracles for the LSH/blocked near-dup faces (the q56
+      // method): the banding/blocking itself is not SQL, but every face's
+      // OUTPUT is the exact-verified pair set, which is. Validity:
+      //  - q42/q4c: DedupSpec pins banding recall 1.0 AND that no fixture
+      //    pair falls in the banding-lossy Jaccard band [0.5, 0.85) — the
+      //    32×4 S-curve's miss probability at the fixtures' J ≥ 0.85 is
+      //    < 1e-9, so engine pairs = the exact J ≥ 0.5 set, values from
+      //    the same round-6dp formula (hashed shingles are a set-
+      //    preserving relabeling, the q45 argument).
+      //  - q4b: the same set restricted to pairs touching the delta
+      //    (spec: incremental = full ∩ delta).
+      //  - q44: DETERMINISTICALLY complete — 4×16-bit chunk blocking
+      //    covers hamming ≤ 3 by pigeonhole, no probabilistic step; the
+      //    portable md5-quadword token hash (qb7's md5_number_lower
+      //    alignment) lets DuckDB replay the SimHash fingerprints bit-
+      //    for-bit. Same for q43's raw fingerprints.
+      ("q42_minhash_pairs" ->
+        s"""WITH $exactJaccardPairsCte
+           |SELECT doc_a, doc_b, jaccard FROM e WHERE jaccard >= 0.5
+           |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) +
+      ("q4c_minhash_oph" ->
+        s"""WITH $exactJaccardPairsCte
+           |SELECT doc_a, doc_b, jaccard FROM e WHERE jaccard >= 0.5
+           |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) +
+      ("q4b_dedup_incremental" ->
+        s"""WITH $exactJaccardPairsCte
+           |SELECT doc_a, doc_b, jaccard FROM e
+           |WHERE jaccard >= 0.5 AND (doc_a >= 400 OR doc_b >= 400)
+           |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) +
+      ("q43_simhash" ->
+        s"""WITH $portableSimhashCte
+           |SELECT doc_id, fp FROM fps ORDER BY doc_id""".stripMargin) +
+      // winnowing replay on the same portable gram hash. Grams convert to
+      // SIGNED two's-complement before the window min — the engine's
+      // array_min compares int64s, where values with the top bit set sort
+      // BELOW positives, the opposite of unsigned order. bit_xor then runs
+      // on the signed values directly (same bits, no read-back needed).
+      ("q53_fingerprint" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+          |  FROM documents),
+          |g AS (SELECT doc_id, list_transform(range(1, len(w) - 3), i ->
+          |    CAST(CASE WHEN md5_number_lower(w[i] || ' ' || w[i+1] || ' ' ||
+          |        w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) >= 9223372036854775808
+          |      THEN md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+          |        w[i+3] || ' ' || w[i+4]) - 18446744073709551616
+          |      ELSE md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
+          |        w[i+3] || ' ' || w[i+4]) END AS BIGINT)) AS grams FROM t),
+          |m AS (SELECT doc_id, list_distinct(list_transform(range(1, len(grams) - 2),
+          |    i -> list_aggregate(grams[i:i+3], 'min'))) AS fps FROM g),
+          |u AS (SELECT doc_id, unnest(fps) AS f FROM m),
+          |x AS (SELECT doc_id, count(*) AS n_fp, bit_xor(f) AS fp_xor FROM u GROUP BY doc_id)
+          |SELECT doc_id, CAST(n_fp AS INT) AS n_fp, fp_xor
+          |FROM x ORDER BY doc_id""".stripMargin) +
+      ("q44_simhash_pairs" ->
+        s"""WITH $portableSimhashCte
+           |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |  CAST(bit_count(xor(a.fpu, b.fpu)) AS BIGINT) AS hamming
+           |FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+           |WHERE bit_count(xor(a.fpu, b.fpu)) <= 3
+           |ORDER BY hamming, doc_a, doc_b""".stripMargin) +
       // the distributed tier's face: same SQL Brandes, minShared=5
       // subgraph (diameters 3/7 at the gate SFs), deeper unroll margin
       ("qb9_betweenness_distributed" ->
@@ -527,6 +591,51 @@ object SparkEntry {
        |  CASE WHEN qv.q IS NULL THEN 0.0 ELSE round(qv.q, 6) END AS modularity
        |FROM ks JOIN nc ON nc.k = ks.k LEFT JOIN qv ON qv.k = ks.k
        |ORDER BY removed""".stripMargin
+
+  /** Shared CTE: raw word-3-gram shingle sets + ALL exact-Jaccard pairs
+    * (`e`), the DuckDB-side ground truth the LSH faces' outputs equal on
+    * the fixtures (see the flip rationale at the oracleSql call sites).
+    * Same tokenization/shingling/round-6dp formula as q45/q56. */
+  private def exactJaccardPairsCte: String =
+    """t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |g AS MATERIALIZED (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t),
+      |e AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |    round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id)""".stripMargin
+
+  /** Shared CTE: bit-exact replay of the engine's SimHash fingerprints
+    * ([[graft.functions.SimHash64]] over the PORTABLE md5-quadword token
+    * hash = DuckDB's `md5_number_lower`, the qb7 alignment). Per bit j,
+    * the engine sets it iff (#tokens with bit j) − (#without) > 0, i.e.
+    * 2·#set > n; `fps` carries both the unsigned fingerprint (`fpu`, for
+    * xor/bit_count) and its signed two's-complement reading (`fp`,
+    * matching the engine's BIGINT output). Docs with no tokens keep
+    * fp = 0 exactly as the engine's empty fold does. */
+  private def portableSimhashCte: String =
+    """t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |toks AS MATERIALIZED (SELECT doc_id, md5_number_lower(u.h) AS hv
+      |  FROM (SELECT doc_id, unnest(w) AS h FROM t) u),
+      |bits AS (SELECT doc_id, r.j,
+      |    CASE WHEN 2 * sum(CASE WHEN (hv >> CAST(r.j AS INTEGER)) & 1 = 1
+      |      THEN 1 ELSE 0 END) > count(*) THEN 1 ELSE 0 END AS b
+      |  FROM toks CROSS JOIN range(64) r(j) GROUP BY doc_id, r.j),
+      |fpraw AS (SELECT doc_id,
+      |    sum(CASE WHEN b = 1 THEN CAST(1 AS UBIGINT) << CAST(j AS INTEGER)
+      |        ELSE CAST(0 AS UBIGINT) END) AS fpsum
+      |  FROM bits GROUP BY doc_id),
+      |fps AS (SELECT t.doc_id,
+      |    CAST(coalesce(fpraw.fpsum, 0) AS UBIGINT) AS fpu,
+      |    CAST(CASE WHEN coalesce(fpraw.fpsum, 0) >= 9223372036854775808
+      |      THEN coalesce(fpraw.fpsum, 0) - 18446744073709551616
+      |      ELSE coalesce(fpraw.fpsum, 0) END AS BIGINT) AS fp
+      |  FROM t LEFT JOIN fpraw USING (doc_id))""".stripMargin
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_groupavg_brand_flag" ->
@@ -1219,6 +1328,49 @@ object SparkEntry {
         |   AND levenshtein(a.c_name, b.c_name) <= 1),
         |und AS MATERIALIZED (
         |  SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+        |reach(id, r) AS (
+        |  SELECT c_custkey, c_custkey FROM customer
+        |  UNION
+        |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+        |lab AS MATERIALIZED (
+        |  SELECT id, min(r) AS entity FROM reach GROUP BY id),
+        |sz AS (SELECT entity, count(*) AS n_members FROM lab GROUP BY 1)
+        |SELECT id, entity, n_members FROM lab JOIN sz USING (entity)
+        |ORDER BY id""".stripMargin,
+    // the capped tier's oracle REPLAYS the blocking itself: deletion
+    // variants per distinct name (DISTINCT collapses equal-character runs
+    // exactly like the engine's last-of-run filter), bucket occupancy on
+    // the variant strings (the engine buckets on xxhash64(variant) — a
+    // bucket-preserving relabeling while the hash is collision-free, which
+    // at 500–5000 distinct names it is), hot buckets dropped, survivors
+    // pair-joined, exact levenshtein verify, then the q9q closure
+    "qba_entities_capped" ->
+      """WITH RECURSIVE names AS (SELECT DISTINCT c_name AS name FROM customer),
+        |vars AS MATERIALIZED (
+        |  SELECT DISTINCT name,
+        |    CASE WHEN p.p = 0 THEN name
+        |      ELSE substr(name, 1, CAST(p.p AS INT) - 1) ||
+        |           substr(name, CAST(p.p AS INT) + 1) END AS variant
+        |  FROM names, LATERAL unnest(range(0, len(name) + 1)) p(p)),
+        |occ AS (SELECT variant, count(*) AS occ FROM vars GROUP BY 1),
+        |keep AS (SELECT variant FROM occ WHERE occ <= 64),
+        |cand AS (
+        |  SELECT DISTINCT a.name AS name_a, b.name AS name_b
+        |  FROM vars a JOIN vars b
+        |    ON a.variant = b.variant AND a.name < b.name
+        |  WHERE a.variant IN (SELECT variant FROM keep)),
+        |ne AS (SELECT name_a, name_b FROM cand
+        |       WHERE levenshtein(name_a, name_b) <= 1),
+        |e AS MATERIALIZED (
+        |  SELECT x.c_custkey AS u, y.c_custkey AS v
+        |  FROM ne JOIN customer x ON x.c_name = ne.name_a
+        |          JOIN customer y ON y.c_name = ne.name_b
+        |  UNION ALL
+        |  SELECT a.c_custkey, b.c_custkey FROM customer a JOIN customer b
+        |    ON a.c_name = b.c_name AND a.c_custkey < b.c_custkey),
+        |und AS MATERIALIZED (
+        |  SELECT least(u, v) AS u, greatest(u, v) AS v FROM e
+        |  UNION ALL SELECT greatest(u, v), least(u, v) FROM e),
         |reach(id, r) AS (
         |  SELECT c_custkey, c_custkey FROM customer
         |  UNION

@@ -82,16 +82,29 @@ object Dedup {
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Per-call `.cache()`s (content groups, OPH signatures, SimHash
+    * fingerprints, band tables) are not keyed views — they exist so one
+    * invocation's self-joins don't recompute the build — but the returned
+    * relation still references them lazily, so they can't be unpersisted
+    * before return. Track them here instead; [[clearCaches]] drains the
+    * list, so repeated invocations in one session can't accumulate pinned
+    * blocks indefinitely. */
+  private val transientCaches =
+    java.util.Collections.synchronizedList(new java.util.ArrayList[DataFrame]())
+  private def tracked(df: DataFrame): DataFrame = { transientCaches.add(df); df }
+
   /** Drop every cached relation (unpersist + forget). The static maps
     * otherwise pin DataFrames — and through them their sessions — for the
     * JVM lifetime, and would serve stale results if a documents table were
     * rewritten in-place under the same path. Call on fixture rewrite or
     * session teardown (DedupSpec exercises it). */
   def clearCaches(): Unit = {
-    (shingleCache.values.asScala ++ sigCache.values.asScala)
+    (shingleCache.values.asScala ++ sigCache.values.asScala ++
+        transientCaches.asScala)
       .foreach(df => scala.util.Try(df.unpersist()))
     shingleCache.clear()
     sigCache.clear()
+    transientCaches.clear()
   }
 
   /** (doc_id, sh) shingle-hash relation, cached per (session, dir). Only
@@ -178,9 +191,9 @@ object Dedup {
   def minhashPairsOph(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sig = shingled(spark, dir)
+    val sig = tracked(shingled(spark, dir)
       .withColumn("sig", call_function("oph_sig", col("sh"), lit(NumHashes)))
-      .cache() // self-joined twice over; CacheManager dedupes re-registrations
+      .cache()) // self-joined twice over; CacheManager dedupes re-registrations
     pairsFromBands(bandsOf(sig), sig, minJaccard)
   }
 
@@ -204,7 +217,7 @@ object Dedup {
   def minhashPairsIncremental(spark: SparkSession, dir: String,
       deltaFrom: Long = 400, minJaccard: Double = 0.5): DataFrame = {
     val sig = denseSigs(spark, dir)
-    val bands = bandsOf(sig).cache()
+    val bands = tracked(bandsOf(sig).cache())
     val cand = bands.where(col("doc_id") >= deltaFrom).as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -215,16 +228,32 @@ object Dedup {
     verifyPairs(cand, sig, minJaccard)
   }
 
+  /** PORTABLE 64-bit string hash: the low quadword of md5, assembled
+    * little-endian from digest bytes 9–16 (hex chars 17–32) — the same
+    * alignment [[Relational.tableFingerprint]] uses, equal bit-for-bit to
+    * DuckDB's `md5_number_lower` read as two's-complement. SimHash only
+    * needs SOME uniform 64-bit hash, so choosing the one every engine can
+    * recompute turns the whole fingerprint family into an EQUALITY oracle
+    * (q43/q44) instead of a spec-only check; md5-vs-xxhash costs a few
+    * ns/token, invisible next to the shuffle the pair join pays. */
+  private[operators] def portableHash64(c: Column): Column = {
+    val h = md5(c.cast("binary"))
+    def le32(c0: Int): Column = conv(concat(
+      substring(h, c0 + 6, 2), substring(h, c0 + 4, 2),
+      substring(h, c0 + 2, 2), substring(h, c0, 2)), 16, 10).cast("long")
+    shiftleft(le32(25), 32).bitwiseOR(le32(17))
+  }
+
   /** 64-bit SimHash fingerprint per document: per bit j, sign of
-    * Σ_tokens (±1 by bit j of xxhash64(token)). Each token is hashed ONCE
-    * (`th`), then [[graft.functions.SimHash64]] folds all 64 bit-counters
-    * in a single codegen'd loop (bit-parity with the nested
+    * Σ_tokens (±1 by bit j of [[portableHash64]](token)). Each token is
+    * hashed ONCE (`th`), then [[graft.functions.SimHash64]] folds all 64
+    * bit-counters in a single codegen'd loop (bit-parity with the nested
     * aggregate/zip_with HOF formulation asserted in DedupSpec). */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
-      .withColumn("th", expr("transform(tokens, t -> xxhash64(t))"))
+      .withColumn("th", transform(col("tokens"), t => portableHash64(t)))
       .withColumn("fp", call_function("simhash64", col("th")))
       .select("doc_id", "fp")
       .orderBy("doc_id")
@@ -235,7 +264,7 @@ object Dedup {
     * bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = simhash(spark, dir).cache() // self-joined: don't evaluate twice
+    val fp = tracked(simhash(spark, dir).cache()) // self-joined: don't evaluate twice
     val chunks = fp.select(col("doc_id"), col("fp"),
         explode(expr("transform(sequence(0, 3), j -> " +
           "struct(j AS chunk, (shiftright(fp, j * 16) & 65535) AS cv))")).as("c"))
@@ -244,7 +273,7 @@ object Dedup {
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).as("hamming"))
+        bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
       .orderBy("hamming", "doc_a", "doc_b")
@@ -346,15 +375,35 @@ object Dedup {
     * doc-level and oracle-identical. `sh` is a sorted-distinct array, so
     * set equality IS array equality and groups by the column directly;
     * two docs share a group iff their Jaccard is exactly 1. */
-  private def contentGroups(spark: SparkSession, dir: String): DataFrame =
-    shingled(spark, dir).where(size(col("sh")) > 0)
-      .groupBy("sh")
-      .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members"))
+  /** ADAPTIVE: the collapse is the right asymptotic under heavy
+    * duplication (g copies → g² candidate work, measured 10× at a 10×-
+    * replicated sf1 corpus) but pure overhead when content is near-unique
+    * — on the sf0.1 fixture (gmax = 2) it cost qb2 +0.23 s for nothing.
+    * Probe the duplication profile first with a NARROW shuffle (8-byte
+    * xxhash64 of the shingle set, cached input) — far cheaper than the
+    * array-keyed groupBy + collect_list it decides about — and skip the
+    * collapse when no content group exceeds [[CollapseMaxGroup]] (the
+    * residual g² inflation is then ≤ 16 micro-pairs per group, while
+    * identical-set pairs still surface through the prefix join, so the
+    * OUTPUT is provably unchanged — only the plan adapts). */
+  private val CollapseMaxGroup = 4L
+
+  private def contentGroups(spark: SparkSession, dir: String): DataFrame = {
+    val base = shingled(spark, dir).where(size(col("sh")) > 0)
+    val gmax = base.groupBy(xxhash64(col("sh")).as("h"))
+      .agg(count(lit(1)).as("g")).agg(max("g")).head.getLong(0)
+    if (gmax <= CollapseMaxGroup)
+      base.select(col("doc_id").as("cid"), col("sh"),
+        array(col("doc_id")).as("members"))
+    else
+      base.groupBy("sh")
+        .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members"))
+  }
 
   def containmentJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val grp = contentGroups(spark, dir).cache()
+    val grp = tracked(contentGroups(spark, dir).cache())
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
     val toks = reps.select(col("cid"), explode(col("sh")).as("h"))
@@ -395,7 +444,7 @@ object Dedup {
   def prefixJaccardJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val grp = contentGroups(spark, dir).cache()
+    val grp = tracked(contentGroups(spark, dir).cache())
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
     val toks = reps.select(col("cid"), explode(col("sh")).as("h"))

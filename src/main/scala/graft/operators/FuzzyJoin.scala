@@ -52,27 +52,28 @@ object FuzzyJoin {
     // since feeding a sorted stream into CC's shuffle throws the sort away
     namePairs(spark, dir, maxDist).orderBy("id_a", "id_b")
 
-  private[operators] def namePairs(spark: SparkSession, dir: String,
-      maxDist: Int = 1): DataFrame = {
+  /** Distinct-name match edges (name_a < name_b, dist ∈ {0?, 1}): the
+    * blocked fuzzy kernel at NAME level — everything record-level
+    * (pair faces, entity labels) derives from this relation, which is
+    * bounded by the distinct-name universe regardless of how many records
+    * share a name. */
+  private[operators] def nameEdges(spark: SparkSession, dir: String,
+      maxDist: Int = 1, maxBucket: Option[Int] = None): DataFrame = {
     require(maxDist == 1, "deletion neighborhood implemented for k = 1")
-    val c = Tables(spark, dir, "customer")
-      .select(col("c_custkey").as("id"), col("c_name").as("name"))
     // ER-standard duplicate collapse: the fuzzy stage runs over DISTINCT
     // name STRINGS, not records — g exact copies of one name would
     // otherwise multiply every variant bucket's occupancy by g and the
     // candidate pair count by g² (measured: a 10×-replicated corpus took
-    // the id-level join from 1.2 s to 67 s). Record-level pairs re-expand
-    // afterwards: same-name groups emit their C(g,2) dist-0 pairs, cross-
-    // name matches the g_a×g_b product — joins linear in OUTPUT size,
-    // the quadratic floor no plan can undercut.
-    val names = c.select("name").distinct()
+    // the id-level join from 1.2 s to 67 s).
+    val names = Tables(spark, dir, "customer")
+      .select(col("c_name").as("name")).distinct()
     // p = 0 keeps the string itself; p >= 1 deletes character p. Deleting
     // ANY character of a run of equal characters yields the same variant
     // ("…000…" has one deletion variant, not three) — emitting them all
     // would square per-variant multiplicity through the self-join — so
     // only the LAST position of each run emits: each distinct variant
     // exactly once, as a filter instead of an array_distinct pass.
-    val nbh = names
+    val nbhAll = names
       .select(col("name"),
         explode(sequence(lit(0), length(col("name")))).as("p"))
       .where(col("p") === 0 || col("p") === length(col("name")) ||
@@ -82,21 +83,46 @@ object FuzzyJoin {
         xxhash64(when(col("p") === 0, col("name")).otherwise(concat(
           col("name").substr(lit(1), col("p") - 1),
           col("name").substr(col("p") + 1, length(col("name")))))).as("vh"))
+    // Pair-budget guard (the qb8 hot-item discipline): a variant bucket of
+    // occupancy g contributes ~g² candidate pairs, so one pathological
+    // bucket — a boilerplate name family, a template string — can square
+    // the join. With a cap, hot buckets are semi-joined away BEFORE pair
+    // enumeration; matches only discoverable through a hot bucket are
+    // knowingly dropped (bounded recall loss, the same trade qb8 makes),
+    // everything else still surfaces through its other variants.
+    val nbh = maxBucket match {
+      case None => nbhAll
+      case Some(cap) =>
+        val hot = nbhAll.groupBy("vh").agg(count(lit(1)).as("occ"))
+          .where(col("occ") > cap).select("vh")
+        nbhAll.join(hot, Seq("vh"), "left_anti")
+    }
     graft.functions.GraftFunctions.register(spark)
     // edit1_dist == levenshtein(a, b, 1) by contract (0 / 1 / -1), but
     // O(len) two-pointer instead of the banded DP — the verify stage was
     // ~4.5 µs/pair of levenshtein over every candidate
-    val namePairs = nbh.as("a")
+    nbh.as("a")
       .join(nbh.as("b"), col("a.vh") === col("b.vh") && col("a.name") < col("b.name"))
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
       .distinct()
       .withColumn("dist",
         call_function("edit1_dist", col("name_a"), col("name_b")).cast("long"))
       .where(col("dist") >= 0 && col("dist") <= maxDist)
+  }
+
+  /** Record-level pair expansion of [[nameEdges]]: same-name groups emit
+    * their C(g,2) dist-0 pairs, cross-name matches the g_a×g_b product —
+    * joins linear in OUTPUT size, the quadratic floor no PAIR-emitting
+    * query can undercut (entity labels avoid it entirely — see
+    * [[entities]]). */
+  private[operators] def namePairs(spark: SparkSession, dir: String,
+      maxDist: Int = 1, maxBucket: Option[Int] = None): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
     val sameName = c.as("x")
       .join(c.as("y"), col("x.name") === col("y.name") && col("x.id") < col("y.id"))
       .select(col("x.id").as("id_a"), col("y.id").as("id_b"), lit(0L).as("dist"))
-    val crossName = namePairs
+    val crossName = nameEdges(spark, dir, maxDist, maxBucket)
       .join(c.as("x"), col("x.name") === col("name_a"))
       .join(c.as("y"), col("y.name") === col("name_b"))
       .select(least(col("x.id"), col("y.id")).as("id_a"),
@@ -119,13 +145,44 @@ object FuzzyJoin {
     * and the size join is an aggregation of the labels relation — nothing
     * here is quadratic in records. Oracle: DuckDB recursive-CTE reachable
     * closure over the exact all-pairs levenshtein edges, min per record. */
-  def entities(spark: SparkSession, dir: String): DataFrame = {
-    val edges = namePairs(spark, dir)
-      .select(col("id_a").as("u"), col("id_b").as("v"))
+  def entities(spark: SparkSession, dir: String): DataFrame =
+    entitiesByName(spark, dir, maxBucket = None)
+
+  /** qba: [[entities]] with the pair-budget guard engaged — the face a
+    * duplicate-heavy 100 TB corpus runs, where an unbounded variant bucket
+    * would square the candidate join (the q9q sf1 lesson: the 13.6× curve
+    * was pair-count-bound). `maxBucket` bounds per-bucket candidate fan-in;
+    * on clean fixtures no bucket is hot, so the output equals q9q's and the
+    * oracle mirrors the cap on the variant STRINGS (hashing is a bucket-
+    * preserving relabeling at fixture scale). */
+  def entitiesCapped(spark: SparkSession, dir: String,
+      maxBucket: Int = 64): DataFrame =
+    entitiesByName(spark, dir, maxBucket = Some(maxBucket))
+
+  /** Label assignment WITHOUT record-level pair expansion — the shape that
+    * keeps q9q linear in records under heavy duplication (the sf1 run
+    * measured 13.6× wall at 10×-replicated names, entirely in the C(g,2)/
+    * g_a×g_b pair materialization, which labels never needed): CC runs on
+    * the distinct-NAME graph (vertex = a name's minimum custkey, edges =
+    * [[nameEdges]] matches), and records join their name's component label
+    * back in one linear pass. The induced record partition is identical to
+    * CC over the expanded record graph (same-name records are a clique
+    * there; cross-name edges connect whole name groups), and so is the
+    * label: every record's custkey ≥ its name's minimum, so the min nid of
+    * a component IS the min custkey of its records. */
+  private def entitiesByName(spark: SparkSession, dir: String,
+      maxBucket: Option[Int]): DataFrame = {
+    val c = Tables(spark, dir, "customer")
+      .select(col("c_custkey").as("id"), col("c_name").as("name"))
+    val nameId = c.groupBy("name").agg(min("id").as("nid"))
+    val edges = nameEdges(spark, dir, maxBucket = maxBucket)
+      .join(nameId.as("na"), col("name_a") === col("na.name"))
+      .join(nameId.as("nb"), col("name_b") === col("nb.name"))
+      .select(col("na.nid").as("u"), col("nb.nid").as("v"))
     val comp = GraphOps.componentsAuto(spark, edges)
-    val ids = Tables(spark, dir, "customer").select(col("c_custkey").as("id"))
-    val labeled = ids.join(comp, ids("id") === comp("vertex"), "left_outer")
-      .select(col("id"), coalesce(col("component"), col("id")).as("entity"))
+    val recNid = c.join(nameId, "name").select(col("id"), col("nid"))
+    val labeled = recNid.join(comp, recNid("nid") === comp("vertex"), "left_outer")
+      .select(col("id"), coalesce(col("component"), col("nid")).as("entity"))
     val sizes = labeled.groupBy("entity").agg(count(lit(1)).as("n_members"))
     labeled.join(sizes, "entity")
       .select(col("id"), col("entity"), col("n_members"))

@@ -149,15 +149,20 @@ object TextOps {
       .orderBy("lang")
   }
 
-  /** Winnowing fingerprints (Schleimer et al.): rolling xxhash64 over word
+  /** Winnowing fingerprints (Schleimer et al.): rolling hash over word
     * 5-grams, keep the min of each 4-window, distinct. Output per doc:
-    * fingerprint count + xor-fold (deterministic content signature). */
+    * fingerprint count + xor-fold (deterministic content signature). The
+    * gram hash is [[Dedup.portableHash64]] (md5 low quadword) — winnowing
+    * only needs SOME uniform hash, and the portable one makes the whole
+    * face a DuckDB EQUALITY oracle (`md5_number_lower` replays the grams,
+    * window mins, and xor-fold bit-for-bit) instead of a rows-only check. */
   def fingerprint(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
-      .withColumn("grams", expr(
-        "transform(sequence(0, greatest(size(tokens) - 5, 0)), i -> " +
-          "xxhash64(concat_ws(' ', slice(tokens, i + 1, 5))))"))
+      .withColumn("grams", transform(
+        sequence(lit(0), greatest(size(col("tokens")) - 5, lit(0))),
+        i => Dedup.portableHash64(
+          concat_ws(" ", slice(col("tokens"), i + 1, lit(5))))))
       .withColumn("fps", expr(
         "array_distinct(transform(sequence(0, greatest(size(grams) - 4, 0)), i -> " +
           "array_min(slice(grams, i + 1, 4))))"))

@@ -132,7 +132,47 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(1))).toMap
     Dedup.simhashPairs(spark, sfDir).collect().foreach { r =>
       val h = java.lang.Long.bitCount(fp(r.getLong(0)) ^ fp(r.getLong(1)))
-      assert(h == r.getInt(2) && h <= 3)
+      assert(h == r.getLong(2) && h <= 3)
+    }
+  }
+
+  test("portable token hash matches DuckDB's md5_number_lower on knowns") {
+    // md5('hello') = 5d41402abc4b2a76b9719d911017c592 → bytes 9..16
+    // little-endian = 0x92c5171091 9d71b9; pin two values so a digest-
+    // slicing regression fails loudly (the q43/q44 oracles depend on it)
+    val got = spark.range(1)
+      .select(Dedup.portableHash64(org.apache.spark.sql.functions.lit("hello")),
+        Dedup.portableHash64(org.apache.spark.sql.functions.lit("")))
+      .head
+    assert(got.getLong(0) == java.lang.Long.parseUnsignedLong("92c51710919d71b9", 16))
+    // md5('') = d41d8cd98f00b204e9800998ecf8427e → LE bytes 9..16
+    assert(got.getLong(1) == java.lang.Long.parseUnsignedLong("7e42f8ec980980e9", 16))
+  }
+
+  test("no fixture pair falls in the banding-lossy Jaccard band [0.5, 0.85)") {
+    // The q42/q4b/q4c/q56/q8n oracles assert engine pairs == the exact
+    // J >= 0.5 set. That equality relies on the 32x4 banding having
+    // effectively-certain recall, which holds only for J >= ~0.85 (at
+    // J = 0.5 a pair is missed with ~13% probability). Recall == 1.0 on
+    // today's fixtures is not enough: a fixture regen could plant a pair
+    // inside the lossy band and fail the gate with a confusing
+    // engine-vs-oracle mismatch — so pin the precondition itself, per
+    // fixture scale the gates use, with a diagnosable message.
+    def shingles(t: String): Set[String] =
+      t.toLowerCase.split("\\s+").filter(_.nonEmpty)
+        .sliding(3).map(_.mkString(" ")).toSet
+    for (dir <- Seq(sfDir, "/root/testdata/sf0.01")) {
+      val sh = Tables(spark, dir, "documents").collect()
+        .map(r => (r.getAs[Long]("doc_id"), shingles(r.getAs[String]("text"))))
+      val lossy = for {
+        (a, sa) <- sh; (b, sb) <- sh if a < b
+        j = sa.intersect(sb).size.toDouble / sa.union(sb).size
+        if j >= 0.5 && j < 0.85
+      } yield (a, b, j)
+      assert(lossy.isEmpty,
+        s"$dir: pairs in the banding-lossy band [0.5, 0.85) — the exact-" +
+          s"pair oracles for q42/q4b/q4c/q56 are no longer sound: " +
+          lossy.take(5).mkString(", "))
     }
   }
 

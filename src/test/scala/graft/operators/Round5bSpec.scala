@@ -60,6 +60,24 @@ class Round5bSpec extends AnyFunSuite with SparkSuite {
     ents.unpersist()
   }
 
+  test("entity pair-budget cap: no-op on clean data, engages when tiny") {
+    // fixture buckets are all far below the default cap, so the guarded
+    // face must reproduce q9q exactly (this is what makes its mirrored
+    // oracle sound) …
+    val uncapped = FuzzyJoin.entities(spark, sfDir).collect().toSeq
+    val capped = FuzzyJoin.entitiesCapped(spark, sfDir).collect().toSeq
+    assert(capped == uncapped, "default cap must not fire on the fixture")
+    // … and a cap of 0 drops every variant bucket: only exact-duplicate
+    // names (the sameName leg, which bypasses blocking) may still link,
+    // so no cluster can exceed the biggest same-name family
+    val strangled = FuzzyJoin.entitiesCapped(spark, sfDir, maxBucket = 0)
+    val maxCluster = strangled.agg(max(col("n_members"))).head.getLong(0)
+    val maxSameName = Tables(spark, sfDir, "customer")
+      .groupBy("c_name").count().agg(max("count")).head.getLong(0)
+    assert(maxCluster <= maxSameName,
+      s"cap=0 still linked distinct names (max cluster $maxCluster)")
+  }
+
   test("morton key interleaves bits (known values + order locality)") {
     import spark.implicits._
     val df = Seq((0L, 0L), (1L, 0L), (0L, 1L), (3L, 5L), (0xFFFFL, 0L),
