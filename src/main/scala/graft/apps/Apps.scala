@@ -1,0 +1,238 @@
+package graft.apps
+
+import java.nio.file.{Files, Paths}
+import java.util.Locale
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.operators.{Baskets, GraphOps}
+import graft.sources.DelimitedText
+
+/** Runnable app faces for the reference's CLI lifecycle: each reference
+  * README documents a `spark-submit` command over raw `::`/CSV text that
+  * writes a committed output file — these objects are the engine's
+  * equivalents, built on the same operators the oracle queries exercise
+  * (DelimitedText S2/S3 sources, Relational-style aggregates, Baskets SON,
+  * GraphOps GN) rather than private logic. A reference user can replay
+  * every README run command against this library:
+  *
+  *   spark-submit --class graft.apps.AvgRatingApp      <jar> ratings.dat users.dat [outDir]
+  *   spark-submit --class graft.apps.GenreAvgRatingApp <jar> ratings.dat users.dat movies.dat [outDir]
+  *   spark-submit --class graft.apps.SonApp            <jar> case ratings.dat users.dat support [outDir]
+  *   spark-submit --class graft.apps.CommunityApp      <jar> ratings.csv communities.txt betweenness.txt
+  *
+  * Output formats are byte-compatible with the reference's committed
+  * results (`result_task1.txt`, `SON.case1_1200.txt`, `communities.txt`) —
+  * AppsSpec pins them on a committed ml-1m-shaped fixture.
+  */
+object Apps {
+
+  /** Shared session factory for `main` entry points: reuses an active
+    * session (tests) or builds the standard local one (spark-submit). */
+  private[apps] def session(): SparkSession =
+    SparkSession.builder()
+      .appName("graft-apps")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      .getOrCreate()
+
+  /** The reference's number rendering (`task1.scala:83`):
+    * `"%.11f".format(avg).toDouble` — 11-dp rounding, then Scala's Double
+    * string form (drops trailing zeros: 4.5 not 4.50000000000). Locale
+    * pinned to ROOT so the decimal separator never follows the host. */
+  private[apps] def fmt11(v: Double): String =
+    String.format(Locale.ROOT, "%.11f", Double.box(v)).toDouble.toString
+
+  private[apps] val ratingsSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("mid", IntegerType),
+    StructField("rating", LongType), StructField("ts", StringType)))
+  private[apps] val usersSchema = StructType(Seq(
+    StructField("uid", LongType), StructField("gender", StringType),
+    StructField("age", StringType), StructField("occp", StringType),
+    StructField("zip", StringType)))
+  private[apps] val moviesSchema = StructType(Seq(
+    StructField("mid", IntegerType), StructField("title", StringType),
+    StructField("genres", StringType)))
+
+  private[apps] def ratings(spark: SparkSession, path: String): DataFrame =
+    DelimitedText.read(spark, path, "::", ratingsSchema)
+      .select("uid", "mid", "rating")
+  private[apps] def users(spark: SparkSession, path: String): DataFrame =
+    DelimitedText.read(spark, path, "::", usersSchema).select("uid", "gender")
+}
+
+/** Task 1 (`1-Group Average Calculation/task1.scala`): per-movie average
+  * rating by rater gender, over raw `ratings.dat` ⋈ `users.dat` (`::`
+  * text). Spark-first shape: one broadcast-able equi-join + one partial+
+  * final average — the reference's reduceByKey pair-sum IS Catalyst's
+  * HashAggregate pair, so nothing is hand-scheduled. Output: single text
+  * file of `mid,gender,avg11dp` rows sorted by (mid, gender), the
+  * committed `result_task1.txt` format (7,152 rows on real ml-1m). */
+object AvgRatingApp {
+
+  /** The analytic core, exposed for the spec: (mid, gender, avg) sorted. */
+  def movieAvgByGender(spark: SparkSession, ratingsPath: String,
+      usersPath: String): DataFrame =
+    Apps.ratings(spark, ratingsPath)
+      .join(Apps.users(spark, usersPath), "uid")
+      .groupBy(col("mid"), col("gender"))
+      // integer sum / count, divided once — identical arithmetic to the
+      // reference's (sumRatings, count) pair fold (task1.scala:76-79)
+      .agg((sum("rating").cast("double") / count(lit(1))).as("avg"))
+      .orderBy("mid", "gender")
+
+  def writeOutput(df: DataFrame, outDir: String): Unit = {
+    import df.sparkSession.implicits._
+    df.select(col("mid"), col("gender"), col("avg"))
+      .as[(Int, String, Double)]
+      .map { case (m, g, a) => s"$m,$g,${Apps.fmt11(a)}" }
+      .coalesce(1).write.mode("overwrite").text(outDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session()
+    val outDir = args.lift(2).getOrElse("./movieAvgRating")
+    writeOutput(movieAvgByGender(spark, args(0), args(1)), outDir)
+  }
+}
+
+/** Task 2 (`task2.scala`): per-GENRE-STRING average rating by gender —
+  * the genre field stays the unsplit `A|B|C` string, as the reference
+  * keeps it. Same join+aggregate shape plus the movies lookup (broadcast
+  * dimension). Output sorted by (genres, gender), `result_task2.txt`
+  * format. */
+object GenreAvgRatingApp {
+
+  def genreAvgByGender(spark: SparkSession, ratingsPath: String,
+      usersPath: String, moviesPath: String): DataFrame = {
+    val movies = DelimitedText.read(spark, moviesPath, "::", Apps.moviesSchema)
+      .select("mid", "genres")
+    Apps.ratings(spark, ratingsPath)
+      .join(Apps.users(spark, usersPath), "uid")
+      .join(broadcast(movies), "mid")
+      .groupBy(col("genres"), col("gender"))
+      .agg((sum("rating").cast("double") / count(lit(1))).as("avg"))
+      .orderBy("genres", "gender")
+  }
+
+  def writeOutput(df: DataFrame, outDir: String): Unit = {
+    import df.sparkSession.implicits._
+    df.select(col("genres"), col("gender"), col("avg"))
+      .as[(String, String, Double)]
+      .map { case (ge, g, a) => s"$ge,$g,${Apps.fmt11(a)}" }
+      .coalesce(1).write.mode("overwrite").text(outDir)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session()
+    val outDir = args.lift(3).getOrElse("./genreAvgRating")
+    writeOutput(
+      genreAvgByGender(spark, args(0), args(1), args(2)), outDir)
+  }
+}
+
+/** SON app (`2-Market Basket Analysis/Solutions/SON.scala`): case 1 mines
+  * frequent MOVIE sets over male users' baskets, case 2 frequent FEMALE-
+  * USER sets over per-movie baskets. Runs [[Baskets.sonOnBaskets]] — the
+  * oracle-checked engine kernel — and renders the reference's committed
+  * output format (`SON.case1_1200.txt`): one line per itemset size,
+  * itemsets sorted elementwise ascending, each printed `(a, b, c)` and
+  * joined by `", "`, every line newline-terminated (`SON.scala:271-278`). */
+object SonApp {
+
+  def baskets(spark: SparkSession, caseNumber: Int, ratingsPath: String,
+      usersPath: String): Dataset[Seq[Long]] = {
+    import spark.implicits._
+    val joined = Apps.ratings(spark, ratingsPath)
+      .join(Apps.users(spark, usersPath), "uid")
+    val pairs =
+      if (caseNumber == 1)
+        joined.where(col("gender") === "M")
+          .select(col("uid").as("k"), col("mid").cast("long").as("item"))
+      else
+        joined.where(col("gender") === "F")
+          .select(col("mid").cast("long").as("k"), col("uid").as("item"))
+    pairs.distinct()
+      .groupBy("k").agg(sort_array(collect_list(col("item"))).as("items"))
+      .select("items").as[Seq[Long]]
+  }
+
+  /** Frequent itemsets rendered to the reference's file content. */
+  def render(frequent: DataFrame): String = {
+    // (itemset csv, size, support) → lines grouped by size. The engine
+    // already emits size-then-lex order (O4); regroup driver-side — the
+    // frequent-set count is support-bounded, exactly what the reference
+    // itself collects (SON.scala:260-271).
+    val rows = frequent.collect()
+      .map(r => (r.getInt(1), r.getString(0).split(",").map(_.toLong).toSeq))
+    val bySize = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val sb = new StringBuilder
+    bySize.foreach { case (_, sets) =>
+      sb.append(sets.map(_._2).sortBy(_.toIndexedSeq)(
+          scala.math.Ordering.Implicits.seqOrdering)
+        .map(_.mkString("(", ", ", ")")).mkString(", "))
+      sb.append("\n")
+    }
+    sb.toString
+  }
+
+  def run(spark: SparkSession, caseNumber: Int, ratingsPath: String,
+      usersPath: String, support: Int, outDir: String): java.nio.file.Path = {
+    val freq = Baskets.sonOnBaskets(spark,
+      baskets(spark, caseNumber, ratingsPath, usersPath), Some(support))
+    val out = Paths.get(outDir, s"SON.case${caseNumber}_$support.txt")
+    Files.createDirectories(out.getParent)
+    Files.writeString(out, render(freq))
+    out
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session()
+    run(spark, args(0).toInt, args(1), args(2), args(3).toInt,
+      args.lift(4).getOrElse("."))
+    ()
+  }
+}
+
+/** Community app (`3-Graph Community Detection`): ratings.csv (header CSV)
+  * → co-rating graph (users sharing ≥ 3 movies) → compute-once GN with the
+  * reference's exact betweenness credit rule and coarse-to-fine modularity
+  * search. Writes BOTH files the reference CLI writes: `betweenness.txt`
+  * (`(u,v,credit)` tuples, sorted by key) and `communities.txt`
+  * (`[v1,v2,…]` per community) — the same pipeline GoldenParitySpec proves
+  * byte-identical against the reference's own committed outputs. */
+object CommunityApp {
+
+  def coRatingEdges(spark: SparkSession, ratingsCsv: String,
+      minShared: Int = 3): Array[(Long, Long)] = {
+    import spark.implicits._
+    val ratings = DelimitedText.readHeaderCsv(spark, ratingsCsv)
+      .select(col("userId").cast("long").as("u"),
+        col("movieId").cast("long").as("m"))
+      .distinct()
+    ratings.as("a")
+      .join(ratings.as("b"), col("a.m") === col("b.m") && col("a.u") < col("b.u"))
+      .groupBy(col("a.u").as("u"), col("b.u").as("v"))
+      .agg(count(lit(1)).as("shared"))
+      .where(col("shared") >= minShared)
+      .select("u", "v").as[(Long, Long)].collect()
+  }
+
+  def run(spark: SparkSession, ratingsCsv: String, communitiesOut: String,
+      betweennessOut: String): Unit = {
+    val edges = coRatingEdges(spark, ratingsCsv)
+    val btw = GraphOps.referenceBetweennessGn(edges)
+      .map { case (u, v, c) => s"($u,$v,$c)" }
+    Files.writeString(Paths.get(betweennessOut), btw.mkString("\n") + "\n")
+    val comms = GraphOps.referenceCommunities(spark, edges)
+      .map(_.mkString("[", ",", "]"))
+    Files.writeString(Paths.get(communitiesOut), comms.mkString("\n") + "\n")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Apps.session()
+    run(spark, args(0), args(1), args(2))
+  }
+}
