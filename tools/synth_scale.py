@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Synthesize an N-times scale fixture from sf0.1 by key-offset replication
+(the round-7 sf1 method, kept identical so ratios compare across rounds):
+every id space is offset by replica * stride (strides = max key + 1 per id
+space, shared across tables so referential integrity is preserved exactly);
+region/nation dims and all CONTENT columns (names, texts, embeddings) are
+replicated unchanged. Consequence to keep in mind when reading per-query
+ratios: every document/name has N identical copies, so similarity PAIR sets
+grow ~C(N,2) by construction — output-bound queries inherit that curve from
+the method, not from the plan.
+
+Usage: python3 tools/synth_scale.py <N> <outDir>   # e.g. 100 /tmp/sf10
+"""
+import sys
+import duckdb
+
+SRC = "/root/testdata/sf0.1"
+
+
+def main(n, out):
+    con = duckdb.connect()
+    con.execute("PRAGMA threads=32")
+    import os
+    os.makedirs(out, exist_ok=True)
+
+    def stride(table, col):
+        return con.execute(
+            f"SELECT max({col}) + 1 FROM '{SRC}/{table}.parquet'").fetchone()[0]
+
+    ok = stride("orders", "o_orderkey")
+    ck = stride("customer", "c_custkey")
+    pk = stride("part", "p_partkey")
+    sk = stride("supplier", "s_suppkey")
+    dk = stride("documents", "doc_id")
+    vk = stride("embeddings", "vec_id")
+    ek = stride("events", "event_id")
+    uk = stride("events", "user_id")
+
+    def rep(table, select):
+        con.execute(
+            f"COPY (SELECT {select} FROM '{SRC}/{table}.parquet', "
+            f"range({n}) r(i)) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
+        print(table, con.execute(
+            f"SELECT count(*) FROM '{out}/{table}.parquet'").fetchone()[0])
+
+    rep("lineitem",
+        f"l_orderkey + i * {ok} AS l_orderkey, "
+        f"l_partkey + i * {pk} AS l_partkey, "
+        f"l_suppkey + i * {sk} AS l_suppkey, "
+        "l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, "
+        "l_returnflag, l_linestatus, l_shipdate")
+    rep("orders",
+        f"o_orderkey + i * {ok} AS o_orderkey, "
+        f"o_custkey + i * {ck} AS o_custkey, "
+        "o_orderstatus, o_totalprice, o_orderdate, o_orderpriority")
+    rep("customer",
+        f"c_custkey + i * {ck} AS c_custkey, "
+        "c_name, c_nationkey, c_acctbal, c_mktsegment")
+    rep("part",
+        f"p_partkey + i * {pk} AS p_partkey, "
+        "p_name, p_brand, p_type, p_size, p_retailprice")
+    rep("supplier",
+        f"s_suppkey + i * {sk} AS s_suppkey, s_name, s_nationkey, s_acctbal")
+    rep("documents",
+        f"doc_id + i * {dk} AS doc_id, text, lang, source, n_chars")
+    rep("embeddings",
+        f"vec_id + i * {vk} AS vec_id, embedding, label")
+    rep("events",
+        f"event_id + i * {ek} AS event_id, ts, "
+        f"user_id + i * {uk} AS user_id, event_type, value, props")
+    for t in ("nation", "region"):
+        con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
+                    f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
+        print(t, "copied")
+
+
+if __name__ == "__main__":
+    main(int(sys.argv[1]), sys.argv[2])
