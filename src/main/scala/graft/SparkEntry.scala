@@ -64,7 +64,8 @@ object SparkEntry {
     "q31_degrees" -> (GraphOps.degrees _),
     "q32_conncomp" -> (GraphOps.connectedComponents _),
     "q33_betweenness" -> ((s, d) => GraphOps.betweennessQuery(s, d)),
-    "q36_betweenness_sampled" -> ((s, d) => GraphOps.betweennessSampled(s, d, 0.25)),
+    "q36_betweenness_sampled" ->
+      ((s, d) => GraphOps.betweennessSampledQuery(s, d, 0.25)),
     "q34_communities" -> ((s, d) => GraphOps.communities(s, d)),
     "q35_modularity_curve" -> ((s, d) => GraphOps.modularityCurve(s, d)),
     // --- dedup (training-data pipeline) ---
@@ -404,6 +405,14 @@ object SparkEntry {
       ("q9c_cdc_stream" -> m("q72_upsert")) +
       ("qa2_ann_sql" -> m("q46_ann_brute")) +
       ("q33_betweenness" -> betweennessOracle) +
+      // the SAMPLED tier's oracle: the same SQL Brandes restricted to the
+      // portably-hashed source set (srcKeySql == the engine's
+      // portableSourceKey bit-for-bit), credits rescaled by 1/fraction
+      ("q36_betweenness_sampled" ->
+        s"""WITH RECURSIVE ${betweennessCteFor(3, BtwUnrollDepth,
+             srcFilter = srcKeySql("a") + " < 250000")}
+           |SELECT u, v, round(btw * 4, 6) AS btw_est FROM btw
+           |ORDER BY round(btw * 4, 9) DESC, u, v""".stripMargin) +
       ("q35_modularity_curve" -> modularityCurveOracle) +
       // Exact-pair oracles for the LSH/blocked near-dup faces (the q56
       // method): the banding/blocking itself is not SQL, but every face's
@@ -494,14 +503,25 @@ object SparkEntry {
 
   private def betweennessCte: String = betweennessCteFor(3, BtwUnrollDepth)
 
-  private def betweennessCteFor(minShared: Int, depth: Int): String = {
+  /** DuckDB replay of [[graft.operators.GraphOps]]'s portable source key:
+    * md5 low quadword of the id's decimal string, read signed, double-mod
+    * pmod (both engines reduce `%` with sign-of-dividend). */
+  private def srcKeySql(c: String): String = {
+    val h = s"md5_number_lower(CAST($c AS VARCHAR))"
+    s"((CAST(CASE WHEN $h >= 9223372036854775808 THEN $h - 18446744073709551616 " +
+      s"ELSE $h END AS BIGINT) % 1000000) + 1000000) % 1000000"
+  }
+
+  private def betweennessCteFor(minShared: Int, depth: Int,
+      srcFilter: String = ""): String = {
+    val where = if (srcFilter.isEmpty) "" else s" WHERE $srcFilter"
     val head =
       s"""cp AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e AS MATERIALIZED (SELECT a.c AS u, b.c AS v FROM cp a JOIN cp b
         |  ON a.p = b.p AND a.c < b.c GROUP BY 1, 2 HAVING count(*) >= $minShared),
         |und AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-        |l0 AS MATERIALIZED (SELECT DISTINCT a AS src, a AS v, CAST(1 AS DOUBLE) AS sigma FROM und),
+        |l0 AS MATERIALIZED (SELECT DISTINCT a AS src, a AS v, CAST(1 AS DOUBLE) AS sigma FROM und$where),
         |vis0 AS MATERIALIZED (SELECT src, v FROM l0)""".stripMargin
     val fwd = (1 to depth).map { k =>
       s"""l$k AS MATERIALIZED (

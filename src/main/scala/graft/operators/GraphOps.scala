@@ -1,7 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -364,8 +364,7 @@ object GraphOps {
       .unionAll(canon.select(col("v").as("a"), col("u").as("b"))).cache()
     sym.count() // materialize once; reused 2·diameter times
     val sources = sym.select(col("a").as("s")).distinct()
-      .where(pmod(xxhash64(col("s"), lit(42)), lit(1000000)) <
-        lit((fraction * 1000000).toLong))
+      .where(portableSourceKey(col("s")) < lit((fraction * 1000000).toLong))
 
     // ---- forward: levels(d) = (src, v, sigma) at BFS distance d
     val levels = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
@@ -445,6 +444,25 @@ object GraphOps {
         coPurchaseEdges(spark, dir, minShared).select("u", "v"), fraction = 1.0)
       .select(col("u"), col("v"), round(col("btw"), 6).as("btw"))
 
+  /** Source-sampling key in [0, 1e6): pmod of the PORTABLE md5-quadword
+    * hash of the vertex id's decimal string ([[Dedup.portableHash64]]).
+    * Portability is the point — DuckDB recomputes the identical key via
+    * `md5_number_lower(CAST(id AS VARCHAR))` read as two's-complement,
+    * which is what lets the SAMPLED tier (q36) carry a full SQL-Brandes
+    * equality oracle restricted to the same source set, not just a spec.
+    * Both engines reduce with sign-of-dividend `%`, so the double-mod
+    * pmod form matches exactly. */
+  private def portableSourceKey(c: Column): Column =
+    pmod(Dedup.portableHash64(c.cast("string")), lit(1000000L))
+
+  /** q36's oracle-able face: 6-dp values, 1e-9-quantized rank order (the
+    * q33 discipline) over [[betweennessSampled]]'s estimates. */
+  def betweennessSampledQuery(spark: SparkSession, dir: String,
+      fraction: Double): DataFrame =
+    betweennessSampled(spark, dir, fraction)
+      .orderBy(expr("rint(btw_est * 1e9)").desc, col("u"), col("v"))
+      .select(col("u"), col("v"), round(col("btw_est"), 6).as("btw_est"))
+
   /** Approximate betweenness by source sampling (Brandes–Pich): run the
     * BFS from a deterministic `fraction` of sources and rescale credits by
     * 1/fraction. THE scale path once exact O(V·E) is unaffordable —
@@ -465,15 +483,14 @@ object GraphOps {
     val bc = spark.sparkContext.broadcast(g)
     val n = g.verts.length
     // Source selection is keyed by vertex ID through the SAME expression
-    // as the distributed tier (pmod(xxhash64(id, 42), 1e6) < f·1e6) — a
-    // fraction must pick the identical source set on both sides of the
+    // as the distributed tier ([[portableSourceKey]] < f·1e6) — a fraction
+    // must pick the identical source set on both sides of the
     // driverEdgeLimit boundary, or the estimate jumps discontinuously
     // across tiers. Evaluated as a one-job Spark expression so the two
     // tiers share the hash implementation by construction.
     val keepByIdx: Array[Boolean] = {
       val keepIds = spark.createDataset(g.verts.toSeq).toDF("s")
-        .where(pmod(xxhash64(col("s"), lit(42)), lit(1000000)) <
-          lit((fraction * 1000000).toLong))
+        .where(portableSourceKey(col("s")) < lit((fraction * 1000000).toLong))
         .as[Long].collect().toSet
       g.verts.map(keepIds.contains)
     }
