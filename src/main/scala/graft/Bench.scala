@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // many-small-files sources (binaryFile staging, streaming file
+      // sinks): the default 4 MB per-file open cost packs ~32 tiny files
+      // per task, so a 500k-file corpus plans 15k tasks and q84 goes
+      // scheduling-bound (measured 17.6 s at sf10). 256 KB packs ~500
+      // files/task (~1k tasks); parquet scans are unaffected (big files).
+      .config("spark.sql.files.openCostInBytes", 262144L)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

@@ -56,7 +56,11 @@ object ExplainAudit {
       // join (qb2: groupBy(sh) → rarity prefix over representatives →
       // membership re-expansion), and q33's 6dp face over the cached
       // betweenness relation
-      "qb8_copurchase_capped", "qb2_containment", "q33_betweenness")
+      "qb8_copurchase_capped", "qb2_containment", "q33_betweenness",
+      // round-8: name-level entity resolution (CC over distinct-name graph,
+      // no record-pair materialization) and its capped twin (occupancy
+      // aggregate → left_anti ahead of the variant self-join)
+      "q9q_entities", "qba_entities_capped")
       .foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
