@@ -105,6 +105,11 @@ object SparkEntry {
     // stream equals the batch groupBy — min-keeper is arrival-order-free)
     "q58_dedup_stream" -> ((s, d) =>
       graft.streaming.DedupStream.dedupExactFromFiles(s, d)),
+    // streaming LSH near-dup: delta files probe the static corpus band
+    // index per micro-batch (stream-static join, no state store); drained
+    // result == q4b exactly, so it shares q4b's exact-pair oracle
+    "qbb_dedup_stream_lsh" -> ((s, d) =>
+      graft.streaming.DedupStream.minhashPairsFromStream(s, d)),
     // --- event/window analytics ---
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
@@ -395,6 +400,7 @@ object SparkEntry {
       ("q65_sessionize_stream" -> m("q62_sessionize")) +
       ("q66_topk_per_group_native" -> m("q61_events_ranked")) +
       ("q58_dedup_stream" -> m("q40_dedup_exact")) +
+      ("qbb_dedup_stream_lsh" -> incrementalPairsOracle) +
       ("q69_range_join_stream" -> m("q68_range_join")) +
       ("q73_events_json_source" -> m("q60_events_hourly")) +
       ("q75_session_window" -> m("q62_sessionize")) +
@@ -438,11 +444,7 @@ object SparkEntry {
         s"""WITH $exactJaccardPairsCte
            |SELECT doc_a, doc_b, jaccard FROM e WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) +
-      ("q4b_dedup_incremental" ->
-        s"""WITH $exactJaccardPairsCte
-           |SELECT doc_a, doc_b, jaccard FROM e
-           |WHERE jaccard >= 0.5 AND (doc_a >= 400 OR doc_b >= 400)
-           |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) +
+      ("q4b_dedup_incremental" -> incrementalPairsOracle) +
       ("q43_simhash" ->
         s"""WITH $portableSimhashCte
            |SELECT doc_id, fp FROM fps ORDER BY doc_id""".stripMargin) +
@@ -611,6 +613,15 @@ object SparkEntry {
        |  CASE WHEN qv.q IS NULL THEN 0.0 ELSE round(qv.q, 6) END AS modularity
        |FROM ks JOIN nc ON nc.k = ks.k LEFT JOIN qv ON qv.k = ks.k
        |ORDER BY removed""".stripMargin
+
+  /** The q4b/qbb oracle: the exact J >= 0.5 pair set restricted to pairs
+    * touching the delta (doc_id >= 400) — the batch-incremental face and
+    * its streaming twin drain to the identical relation. */
+  private def incrementalPairsOracle: String =
+    s"""WITH $exactJaccardPairsCte
+       |SELECT doc_a, doc_b, jaccard FROM e
+       |WHERE jaccard >= 0.5 AND (doc_a >= 400 OR doc_b >= 400)
+       |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin
 
   /** Shared CTE: raw word-3-gram shingle sets + ALL exact-Jaccard pairs
     * (`e`), the DuckDB-side ground truth the LSH faces' outputs equal on

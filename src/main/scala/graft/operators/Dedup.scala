@@ -125,6 +125,31 @@ object Dedup {
     sigCache.computeIfAbsent((spark, dir), _ =>
       shingled(spark, dir).withColumn("sig", minhashSigCol(col("sh"))).cache())
 
+  /** (doc_id, sh, band, bh) banding of an arbitrary documents relation —
+    * the full signature pipeline (shingles → dense MinHash → LSH bands) as
+    * one composable transform. Exposed for the STREAMING ingest face
+    * ([[graft.streaming.DedupStream.minhashPairsFromStream]]): every stage
+    * is a deterministic per-row expression (the registered codegen
+    * functions), so the identical plan runs over a `readStream` source,
+    * and a stream-static join against this same transform of the corpus
+    * IS the q4b incremental shape with arrival semantics. */
+  private[graft] def withBands(docs: DataFrame): DataFrame = {
+    graft.functions.GraftFunctions.register(docs.sparkSession)
+    docs
+      .select(col("doc_id"), shingleHashes(tokensCol(col("text")), 3).as("sh"))
+      .withColumn("sig", minhashSigCol(col("sh")))
+      .select(col("doc_id"), col("sh"),
+        posexplode(call_function("band_hashes", col("sig"), lit(Bands))))
+      .select(col("doc_id"), col("sh"), col("pos").as("band"), col("col").as("bh"))
+  }
+
+  /** The exact-Jaccard column [[verifyPairs]] computes, for reuse where
+    * the join already carries both sorted shingle sets. */
+  private[graft] def jaccardOf(sa: Column, sb: Column): Column = {
+    val inter = call_function("sorted_intersect_count", sa, sb)
+    round(inter.cast("double") / (size(sa) + size(sb) - inter), 6)
+  }
+
   /** Exact dedup: md5 of the raw text, one row per distinct content with the
     * keeper (min doc_id) and the duplicate count. Oracle-able. */
   def exact(spark: SparkSession, dir: String): DataFrame =

@@ -49,4 +49,55 @@ object DedupStream {
 
     spark.read.parquet(outDir).orderBy("keeper")
   }
+
+  /** Streaming NEAR-dup detection — the LSH ingest twin of
+    * [[graft.operators.Dedup.minhashPairsIncremental]] (q4b): delta
+    * documents land as files, each micro-batch runs the full signature
+    * pipeline (shingles → MinHash → bands, all codegen expressions, so
+    * the streaming plan is the batch plan) and probes the STATIC corpus
+    * band index with a stream-static equi-join; candidates verify with
+    * exact Jaccard in-stream and append to a distributed file sink. The
+    * drained result equals q4b exactly (same candidates, same verify,
+    * same threshold), so the face shares q4b's DuckDB oracle — a
+    * hash-checked STREAMING LSH. Scale shape: per batch, only the
+    * delta's band keys shuffle against the index (|delta| × bucket
+    * occupancy, never |corpus|²); the band-duplicate collapse happens at
+    * read-back (pairs re-surface once per shared band, with identical
+    * payload — a `distinct` over the drained sink, not streaming state),
+    * so the stream itself needs NO state store at all. */
+  def minhashPairsFromStream(spark: SparkSession, dir: String,
+      deltaFrom: Long = 400, minJaccard: Double = 0.5): DataFrame = {
+    import graft.operators.Dedup
+    val stage = graft.sources.Staging.fresh("lshstream-src")
+    val docs = graft.Tables(spark, dir, "documents")
+    docs.where(col("doc_id") >= deltaFrom).write.mode("overwrite").parquet(stage)
+    val schema = docs.schema
+    val stream = spark.readStream.schema(schema).parquet(stage)
+
+    val streamBands = Dedup.withBands(stream)
+    val corpusBands = Dedup.withBands(docs) // static side: the full index
+    val pairs = streamBands.as("x")
+      .join(corpusBands.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+          col("x.doc_id") =!= col("y.doc_id"))
+      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+        Dedup.jaccardOf(col("x.sh"), col("y.sh")).as("jaccard"))
+      .where(col("jaccard") >= minJaccard)
+
+    val outDir = graft.sources.Staging.fresh("lshstream-sink")
+    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try pairs.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.write.mode("append").parquet(outDir)
+        }
+        .outputMode("append").start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.processAllAvailable() finally q.stop()
+
+    spark.read.parquet(outDir).distinct()
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
 }

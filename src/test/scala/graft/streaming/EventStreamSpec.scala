@@ -151,4 +151,13 @@ class EventStreamSpec extends AnyFunSuite with SparkSuite {
       .collect().map(_.toSeq)
     assert(streamed.sameElements(batch))
   }
+
+  test("streaming LSH near-dup equals the batch incremental face") {
+    val streamed = DedupStream.minhashPairsFromStream(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.operators.Dedup.minhashPairsIncremental(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty && streamed.sameElements(batch),
+      s"streamed ${streamed.length} pairs vs batch ${batch.length}")
+  }
 }
