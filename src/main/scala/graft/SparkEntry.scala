@@ -110,6 +110,12 @@ object SparkEntry {
     // result == q4b exactly, so it shares q4b's exact-pair oracle
     "qbb_dedup_stream_lsh" -> ((s, d) =>
       graft.streaming.DedupStream.minhashPairsFromStream(s, d)),
+    // near-dup-aware split: the split key is the q56 group, so no
+    // near-dup pair ever straddles the train/test wall
+    "qbc_groupaware_split" -> ((s, d) => Sampling.groupAwareSplit(s, d)),
+    // concat-and-cut packing manifest: global token offsets via the
+    // two-phase prefix sum (no single-partition global window)
+    "qbd_packing_manifest" -> ((s, d) => TextOps.packingManifest(s, d)),
     // --- event/window analytics ---
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
@@ -401,6 +407,36 @@ object SparkEntry {
       ("q66_topk_per_group_native" -> m("q61_events_ranked")) +
       ("q58_dedup_stream" -> m("q40_dedup_exact")) +
       ("qbb_dedup_stream_lsh" -> incrementalPairsOracle) +
+      // q56's closure labels the groups, q57's arithmetic splits them;
+      // ungrouped docs key on their own id (left join + coalesce)
+      ("qbc_groupaware_split" ->
+        s"""WITH RECURSIVE $dedupClosureCte,
+           |keyed AS (SELECT d.doc_id,
+           |    coalesce(lab.group_id, d.doc_id) AS group_id
+           |  FROM documents d LEFT JOIN lab ON lab.doc_id = d.doc_id),
+           |f AS (SELECT doc_id, group_id,
+           |    (group_id * 2654435761) % 4294967296 / 4294967296.0 AS frac
+           |  FROM keyed)
+           |SELECT doc_id, group_id,
+           |  CASE WHEN frac < 0.9 THEN 'train'
+           |       WHEN frac < 0.95 THEN 'val' ELSE 'test' END AS split
+           |FROM f ORDER BY doc_id""".stripMargin) +
+      // integer token counts -> one global running sum; window arithmetic
+      // is exact, so first/last window ids replay bit-for-bit
+      ("qbd_packing_manifest" ->
+        """WITH t AS (SELECT doc_id, CAST(len(list_filter(
+          |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS INT)
+          |    AS n_tokens FROM documents),
+          |c AS (SELECT doc_id, n_tokens,
+          |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) - n_tokens AS BIGINT)
+          |      AS start
+          |  FROM t)
+          |SELECT doc_id, n_tokens, start,
+          |  CAST(floor(start / 512) AS BIGINT) AS seq_first,
+          |  CAST(floor((start + n_tokens - 1) / 512) AS BIGINT) AS seq_last,
+          |  CAST(floor((start + n_tokens - 1) / 512) -
+          |       floor(start / 512) + 1 AS BIGINT) AS n_seqs
+          |FROM c ORDER BY doc_id""".stripMargin) +
       ("q69_range_join_stream" -> m("q68_range_join")) +
       ("q73_events_json_source" -> m("q60_events_hourly")) +
       ("q75_session_window" -> m("q62_sessionize")) +
@@ -613,6 +649,31 @@ object SparkEntry {
        |  CASE WHEN qv.q IS NULL THEN 0.0 ELSE round(qv.q, 6) END AS modularity
        |FROM ks JOIN nc ON nc.k = ks.k LEFT JOIN qv ON qv.k = ks.k
        |ORDER BY removed""".stripMargin
+
+  /** The q56 near-dup grouping closure as a reusable CTE block: exact
+    * J ≥ 0.5 edges over raw 3-gram sets, reachability closure, `lab` =
+    * (doc_id, group_id = min reachable id). Valid for the same reason the
+    * q56 oracle is (banding recall pinned structurally by DedupSpec's
+    * lossy-band assertion). */
+  private def dedupClosureCte: String =
+    """t AS (SELECT doc_id,
+      |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+      |  FROM documents),
+      |g AS MATERIALIZED (SELECT doc_id,
+      |  list_distinct(list_transform(range(1, len(w) - 1),
+      |    i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh FROM t),
+      |e AS MATERIALIZED (
+      |  SELECT a.doc_id AS u, b.doc_id AS v
+      |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+      |  WHERE round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+      |    (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) >= 0.5),
+      |und AS MATERIALIZED (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e),
+      |verts AS MATERIALIZED (SELECT DISTINCT u AS id FROM und),
+      |reach(id, r) AS (
+      |  SELECT id, id FROM verts
+      |  UNION
+      |  SELECT reach.id, und.v FROM reach JOIN und ON und.u = reach.r),
+      |lab AS MATERIALIZED (SELECT id AS doc_id, min(r) AS group_id FROM reach GROUP BY id)""".stripMargin
 
   /** The q4b/qbb oracle: the exact J >= 0.5 pair set restricted to pairs
     * touching the delta (doc_id >= 400) — the batch-incremental face and

@@ -222,4 +222,30 @@ object Sampling {
       .select("doc_id", "shard", "pos")
       .orderBy("shard", "pos")
   }
+
+  /** qbc: NEAR-DUP-AWARE train/val/test split — the leakage guard q57
+    * alone cannot give: hash-splitting documents independently puts two
+    * near-identical documents on opposite sides of the train/test wall
+    * (the classic eval-contamination path), so the split key must be the
+    * near-dup GROUP, not the document. Composes two oracle-checked
+    * kernels: [[Dedup.dedupGroups]] labels every grouped doc with its
+    * connected-component group id (ungrouped docs are their own group),
+    * and [[hashSplit]]'s pure-arithmetic fraction assigns the GROUP —
+    * every member inherits the group's split, so no near-dup pair ever
+    * straddles splits (spec-pinned). Scale: one left join of the corpus
+    * against the (small) grouped relation + the stateless split
+    * arithmetic; the dedup-group build is q56's own bounded shape. */
+  def groupAwareSplit(spark: SparkSession, dir: String,
+      weights: Seq[(String, Double)] = Seq(
+        "train" -> 0.9, "val" -> 0.05, "test" -> 0.05)): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select("doc_id")
+    val groups = Dedup.dedupGroups(spark, dir)
+      .select(col("doc_id"), col("group_id"))
+    val keyed = docs.join(groups, Seq("doc_id"), "left_outer")
+      .select(col("doc_id"),
+        coalesce(col("group_id"), col("doc_id")).as("group_id"))
+    hashSplit(keyed, "group_id", weights)
+      .select("doc_id", "group_id", "split")
+      .orderBy("doc_id")
+  }
 }

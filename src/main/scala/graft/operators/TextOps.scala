@@ -727,4 +727,42 @@ object TextOps {
           sum(when(col("q") > 0, col("q") * log2(col("q") / col("m")))
             .otherwise(0.0))) / 2, 6).as("jsd_bits"))
   }
+
+  /** qbd: concat-and-cut packing manifest — GPT-style pretraining packs
+    * the corpus by concatenating token streams in a fixed order and
+    * cutting fixed-`budget` windows; a document's tokens land at a global
+    * START OFFSET and may straddle window boundaries (the attention-mask
+    * segment ids handle that downstream). This face emits the manifest:
+    * per doc, its token count, global start offset, first/last window
+    * and windows spanned. The prefix sum is the scalable two-phase shape,
+    * NOT a global-order window (which would move the corpus to one
+    * partition): range-repartition by doc_id, per-partition partial sums,
+    * a partitions-sized offset relation (32 rows) cumulated and broadcast
+    * back, local window per partition. All-integer output — bit-identical
+    * cross-engine, so the DuckDB oracle replays the global cumsum
+    * directly. */
+  def packingManifest(spark: SparkSession, dir: String,
+      budget: Int = 512): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(Dedup.tokensCol(col("text"))).as("n_tokens"))
+      .repartitionByRange(32, col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // partition totals -> cumulative offset per partition (32 rows: the
+    // single-partition window here is over the PARTITION COUNT, not data)
+    val offs = docs.groupBy("pid").agg(sum("n_tokens").as("ptot"))
+      .withColumn("off",
+        coalesce(sum("ptot").over(Window.orderBy("pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("pid", "off")
+    val local = Window.partitionBy("pid").orderBy("doc_id")
+    docs.join(broadcast(offs), "pid")
+      .withColumn("start",
+        col("off") + sum("n_tokens").over(local) - col("n_tokens"))
+      .select(col("doc_id"), col("n_tokens"), col("start"),
+        floor(col("start") / budget).as("seq_first"),
+        floor((col("start") + col("n_tokens") - 1) / budget).as("seq_last"))
+      .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1L)
+      .orderBy("doc_id")
+  }
 }
