@@ -75,7 +75,11 @@ object DedupStream {
     val stream = spark.readStream.schema(schema).parquet(stage)
 
     val streamBands = Dedup.withBands(stream)
-    val corpusBands = Dedup.withBands(docs) // static side: the full index
+    // static side: the full corpus index, cached for the drain — every
+    // micro-batch probes it, and without the pin Spark re-derives the
+    // whole signature pipeline per batch (measured 31 s at sf1); a
+    // resident deployment maintains this as its materialized band index
+    val corpusBands = Dedup.withBands(docs).cache()
     val pairs = streamBands.as("x")
       .join(corpusBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -95,7 +99,7 @@ object DedupStream {
         }
         .outputMode("append").start()
       finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); corpusBands.unpersist() }
 
     spark.read.parquet(outDir).distinct()
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
