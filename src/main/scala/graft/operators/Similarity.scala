@@ -408,21 +408,55 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: the top-k most similar pairs
     * among LSH-bucket collisions (the scalable near-dup shape — candidates
     * come from the bucket equijoin, never the full cross product). In a
-    * dedup pipeline the `where(cosine >= threshold)` replaces the top-k. */
+    * dedup pipeline the `where(cosine >= threshold)` replaces the top-k.
+    *
+    * Duplicate collapse (the qad/qb2/q8a discipline applied to the
+    * embedding family — the sf10 run measured 200 s without it): the
+    * bucket self-join runs over DISTINCT vectors only; g exact copies of
+    * one embedding would otherwise put g rows in every one of its buckets
+    * and square the candidate work. Record-level pairs re-expand
+    * afterwards: within-group pairs carry cosine 1.0 exactly (the
+    * round-6dp of d/√d² is 1.0 to well past 6 dp), and only the top-k
+    * REPRESENTATIVE pairs expand (any expanded pair's cosine equals its
+    * representative pair's, so the global top-k cross-group pairs all
+    * descend from the top-k representative pairs). Output on a
+    * duplicate-free corpus is bit-identical to the uncollapsed plan. */
   def cosineNearDups(spark: SparkSession, dir: String, k: Int = 20,
       nBits: Int = 0, nTables: Int = 4): DataFrame = {
     val base = normalized(spark, dir)
-    val bits = if (nBits > 0) nBits else autoBits(base.count())
-    val e = lshBuckets(base, bits, nTables).cache()
-    e.as("a").join(e.as("b"),
+    val grp = base.groupBy(col("v"), col("norm"))
+      .agg(min("vec_id").as("rid"), sort_array(collect_list("vec_id")).as("members"))
+      .cache()
+    val reps = grp.select(col("rid").as("vec_id"), col("v"), col("norm"))
+    val bits = if (nBits > 0) nBits else autoBits(reps.count())
+    val e = lshBuckets(reps, bits, nTables).cache() // self-joined a/b
+    val repPairs = e.as("a").join(e.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"),
         col("a.v").as("va"), col("b.v").as("vb"),
         col("a.norm").as("na"), col("b.norm").as("nb"))
-      .dropDuplicates("vec_a", "vec_b")
-      .select(col("vec_a"), col("vec_b"),
+      .dropDuplicates("ra", "rb")
+      .select(col("ra"), col("rb"),
         round(cdot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      .orderBy(col("cosine").desc, col("ra"), col("rb"))
+      .limit(k)
+    val mem = grp.select(col("rid"), col("members"))
+    val cross = repPairs
+      .join(mem.as("ma"), col("ra") === col("ma.rid"))
+      .join(mem.as("mb"), col("rb") === col("mb.rid"))
+      .select(explode(col("ma.members")).as("ia"), col("mb.members"), col("cosine"))
+      .select(col("ia"), explode(col("members")).as("ib"), col("cosine"))
+      .select(least(col("ia"), col("ib")).as("vec_a"),
+        greatest(col("ia"), col("ib")).as("vec_b"), col("cosine"))
+    // identical vectors: every unordered within-group pair at cosine 1.0
+    val within = grp.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("ia"), col("members"))
+      .select(col("ia"), explode(col("members")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("vec_a"), col("ib").as("vec_b"),
+        lit(1.0).as("cosine"))
+    cross.unionAll(within)
       .orderBy(col("cosine").desc, col("vec_a"), col("vec_b"))
       .limit(k)
   }
