@@ -197,14 +197,57 @@ object Dedup {
           (size(col("sa.sh")) + size(col("sb.sh")) - inter), 6))
       .where(col("jaccard") >= minJaccard)
       .select("doc_a", "doc_b", "jaccard")
-      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+  }
+
+  /** Distinct-content groups with a signature column — the collapsed base
+    * of the whole LSH pair family. Banding/verification run over one row
+    * per distinct shingle SET; record-level pairs re-expand afterwards
+    * ([[expandPairs]]). g exact copies of one text would otherwise put g
+    * rows in every band bucket and square the candidate join — measured
+    * 180-245 s for the uncollapsed embedding twin at a 100×-replicated
+    * corpus, and dedup's whole raison d'être IS duplicate-heavy corpora.
+    * [[contentGroups]]' adaptive probe applies: on near-unique corpora the
+    * collapse groupBy is skipped and this is the plain per-doc relation. */
+  private def groupedSigs(spark: SparkSession, dir: String,
+      sigOf: Column => Column): DataFrame =
+    tracked(contentGroups(spark, dir).cache())
+      .select(col("cid").as("doc_id"), col("sh"), col("members"),
+        sigOf(col("sh")).as("sig"))
+
+  /** Record-level expansion of verified content-pair results: cross-group
+    * pairs inherit the representatives' jaccard (identical sets ⇒ identical
+    * similarity), within-group pairs are exactly 1.0 (set equality). Joins
+    * are linear in OUTPUT size — the quadratic floor no pair-emitting
+    * query can undercut. `withinFrom` narrows which groups emit their
+    * internal pairs (the incremental face passes only delta-touching
+    * groups, preserving its O(delta) shape). */
+  private def expandPairs(repPairs: DataFrame, grp: DataFrame,
+      withinFrom: DataFrame, minJaccard: Double): DataFrame = {
+    val mem = grp.select(col("doc_id").as("cid"), col("members"))
+    val cross = repPairs
+      .join(mem.as("ma"), col("doc_a") === col("ma.cid"))
+      .join(mem.as("mb"), col("doc_b") === col("mb.cid"))
+      .select(explode(col("ma.members")).as("ia"),
+        col("mb.members").as("mbm"), col("jaccard"))
+      .select(col("ia"), explode(col("mbm")).as("ib"), col("jaccard"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("jaccard"))
+    val within = withinFrom.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("ia"), col("members"))
+      .select(col("ia"), explode(col("members")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
+        lit(1.0).as("jaccard"))
+      .where(lit(1.0) >= minJaccard)
+    cross.unionAll(within)
   }
 
   def minhashPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val sig = denseSigs(spark, dir)
-    val bands = bandsOf(sig)
-    pairsFromBands(bands, sig, minJaccard)
+    val grp = groupedSigs(spark, dir, minhashSigCol)
+    val repPairs = pairsFromBands(bandsOf(grp), grp, minJaccard)
+    expandPairs(repPairs, grp, grp, minJaccard)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
   /** [[minhashPairs]] on ONE-permutation signatures
@@ -216,10 +259,11 @@ object Dedup {
   def minhashPairsOph(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val sig = tracked(shingled(spark, dir)
-      .withColumn("sig", call_function("oph_sig", col("sh"), lit(NumHashes)))
-      .cache()) // self-joined twice over; CacheManager dedupes re-registrations
-    pairsFromBands(bandsOf(sig), sig, minJaccard)
+    val grp = tracked(groupedSigs(spark, dir,
+      sh => call_function("oph_sig", sh, lit(NumHashes))).cache())
+    val repPairs = pairsFromBands(bandsOf(grp), grp, minJaccard)
+    expandPairs(repPairs, grp, grp, minJaccard)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
   private def pairsFromBands(bands: DataFrame, sig: DataFrame,
@@ -234,23 +278,30 @@ object Dedup {
 
   /** Incremental near-dup detection — the ingest shape: a DELTA of new
     * documents checked against the existing corpus (and within itself)
-    * without re-pairing the corpus against itself. Candidates = delta
-    * bands ⋈ all bands, so the join cost is |delta| × bucket occupancy,
-    * not |corpus|² — at 100 TB the corpus band table is a materialized
-    * index and each ingest batch only probes it. Emits exactly the
-    * [[minhashPairs]] rows that touch the delta (spec-asserted). */
+    * without re-pairing the corpus against itself. Candidates = bands of
+    * delta-touching content groups ⋈ all bands, so the join cost is
+    * |delta| × bucket occupancy, not |corpus|² — at 100 TB the corpus
+    * band table is a materialized index and each ingest batch only probes
+    * it. Emits exactly the [[minhashPairs]] rows that touch the delta
+    * (spec-asserted); within-group pairs come only from delta-touching
+    * groups, so expansion stays O(delta-output) too. */
   def minhashPairsIncremental(spark: SparkSession, dir: String,
       deltaFrom: Long = 400, minJaccard: Double = 0.5): DataFrame = {
-    val sig = denseSigs(spark, dir)
-    val bands = tracked(bandsOf(sig).cache())
-    val cand = bands.where(col("doc_id") >= deltaFrom).as("x")
+    val grp = groupedSigs(spark, dir, minhashSigCol)
+    val bands = tracked(bandsOf(grp).cache())
+    val deltaGroups = grp.where(array_max(col("members")) >= deltaFrom)
+    val deltaCids = deltaGroups.select(col("doc_id").as("dcid"))
+    val cand = bands.join(deltaCids, col("doc_id") === col("dcid")).as("x")
       .join(bands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") =!= col("y.doc_id"))
       .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
       .distinct()
-    verifyPairs(cand, sig, minJaccard)
+    val repPairs = verifyPairs(cand, grp, minJaccard)
+    expandPairs(repPairs, grp, deltaGroups, minJaccard)
+      .where(col("doc_a") >= deltaFrom || col("doc_b") >= deltaFrom)
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 
   /** PORTABLE 64-bit string hash: the low quadword of md5, assembled
@@ -289,19 +340,41 @@ object Dedup {
     * bit_count(xor). */
   def simhashPairs(spark: SparkSession, dir: String,
       maxHamming: Int = 3): DataFrame = {
-    val fp = tracked(simhash(spark, dir).cache()) // self-joined: don't evaluate twice
-    val chunks = fp.select(col("doc_id"), col("fp"),
+    // duplicate collapse on the FINGERPRINT (a narrow 8-byte groupBy — no
+    // adaptive probe needed): identical texts share fp, so g copies would
+    // otherwise square every chunk bucket; fp-equal pairs re-expand at
+    // hamming 0, cross-fp pairs inherit their representatives' distance
+    val grp = tracked(simhash(spark, dir)
+      .groupBy("fp")
+      .agg(min("doc_id").as("cid"), sort_array(collect_list("doc_id")).as("members"))
+      .cache())
+    val chunks = grp.select(col("cid"), col("fp"),
         explode(expr("transform(sequence(0, 3), j -> " +
           "struct(j AS chunk, (shiftright(fp, j * 16) & 65535) AS cv))")).as("c"))
-      .select(col("doc_id"), col("fp"), col("c.chunk"), col("c.cv"))
-    chunks.as("x").join(chunks.as("y"),
+      .select(col("cid"), col("fp"), col("c.chunk"), col("c.cv"))
+    val repPairs = chunks.as("x").join(chunks.as("y"),
         col("x.chunk") === col("y.chunk") && col("x.cv") === col("y.cv") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+          col("x.cid") < col("y.cid"))
+      .select(col("x.cid").as("ca"), col("y.cid").as("cb"),
         bit_count(col("x.fp").bitwiseXOR(col("y.fp"))).cast("long").as("hamming"))
       .distinct()
       .where(col("hamming") <= maxHamming)
-      .orderBy("hamming", "doc_a", "doc_b")
+    val mem = grp.select(col("cid"), col("members"))
+    val cross = repPairs
+      .join(mem.as("ma"), col("ca") === col("ma.cid"))
+      .join(mem.as("mb"), col("cb") === col("mb.cid"))
+      .select(explode(col("ma.members")).as("ia"),
+        col("mb.members").as("mbm"), col("hamming"))
+      .select(col("ia"), explode(col("mbm")).as("ib"), col("hamming"))
+      .select(least(col("ia"), col("ib")).as("doc_a"),
+        greatest(col("ia"), col("ib")).as("doc_b"), col("hamming"))
+    val within = grp.where(size(col("members")) > 1)
+      .select(explode(col("members")).as("ia"), col("members"))
+      .select(col("ia"), explode(col("members")).as("ib"))
+      .where(col("ia") < col("ib"))
+      .select(col("ia").as("doc_a"), col("ib").as("doc_b"),
+        lit(0L).as("hamming"))
+    cross.unionAll(within).orderBy("hamming", "doc_a", "doc_b")
   }
 
   /** Exact word-3-gram Jaccard: top-k most similar pairs. Brute pairwise is
