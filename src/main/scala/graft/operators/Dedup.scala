@@ -242,10 +242,18 @@ object Dedup {
     cross.unionAll(within)
   }
 
+  /** Verified content-level pairs + the group relation they index — the
+    * shared kernel of [[minhashPairs]] (expanded pair face) and
+    * [[dedupGroups]] (which clusters WITHOUT expanding). */
+  private def repPairsAndGroups(spark: SparkSession, dir: String,
+      minJaccard: Double): (DataFrame, DataFrame) = {
+    val grp = groupedSigs(spark, dir, minhashSigCol)
+    (pairsFromBands(bandsOf(grp), grp, minJaccard), grp)
+  }
+
   def minhashPairs(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val grp = groupedSigs(spark, dir, minhashSigCol)
-    val repPairs = pairsFromBands(bandsOf(grp), grp, minJaccard)
+    val (repPairs, grp) = repPairsAndGroups(spark, dir, minJaccard)
     expandPairs(repPairs, grp, grp, minJaccard)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
@@ -429,13 +437,32 @@ object Dedup {
 
   def dedupGroups(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
-    val edges = minhashPairs(spark, dir, minJaccard)
-      .select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // CC runs at CONTENT level (the q9q name-level discipline): vertices
+    // are content representatives, edges the verified rep pairs; the
+    // expanded record graph's components are exactly the unions of its
+    // contents' member sets (within-content docs are a clique via J = 1,
+    // cross-content edges connect whole member sets), and min-doc labels
+    // coincide (every member ≥ its content's cid). Docs join their
+    // content's label back in one linear pass — no 27M-edge record CC
+    // (measured: 10.9 s → content CC is 5k vertices at sf10).
+    val (repPairs, grp) = repPairsAndGroups(spark, dir, minJaccard)
+    val edges = repPairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val comp = GraphOps.componentsAuto(spark, edges) // label = min member
-    val sizes = comp.groupBy(col("component").as("group_id"))
-      .agg(count(lit(1)).as("group_size"))
-    comp.select(col("vertex").as("doc_id"), col("component").as("group_id"))
-      .join(sizes, "group_id")
+    val mem = grp.select(col("doc_id").as("cid"), col("members"))
+    // a doc is "grouped" iff its content pairs with another content, or
+    // its content has ≥ 2 copies (the within-clique at J = 1.0 ≥ minJ)
+    val hasEdge = edges.select(col("u").as("cid"))
+      .unionAll(edges.select(col("v").as("cid"))).distinct()
+      .withColumn("he", lit(true))
+    val docs = mem
+      .join(comp, mem("cid") === comp("vertex"), "left_outer")
+      .join(hasEdge, Seq("cid"), "left_outer")
+      .where(col("he").isNotNull ||
+        (size(col("members")) > 1 && lit(1.0) >= minJaccard))
+      .select(explode(col("members")).as("doc_id"),
+        coalesce(col("component"), col("cid")).as("group_id"))
+    val sizes = docs.groupBy("group_id").agg(count(lit(1)).as("group_size"))
+    docs.join(sizes, "group_id")
       .withColumn("is_keeper", col("doc_id") === col("group_id"))
       .select("doc_id", "group_id", "group_size", "is_keeper")
       .orderBy("group_id", "doc_id")
