@@ -128,6 +128,9 @@ object GraftFunctions {
         require(es(1).foldable, "shingle_hashes: k must be a literal")
         ShingleHashes(es(0), es(1).eval().asInstanceOf[Int])
       }),
+    (FunctionIdentifier("md5_quad64"),
+      new ExpressionInfo(classOf[Md5Quad64].getName, "md5_quad64"),
+      (es: Seq[Expression]) => Md5Quad64(es(0))),
     (FunctionIdentifier("edit1_dist"),
       new ExpressionInfo(classOf[EditDistanceLe1].getName, "edit1_dist"),
       (es: Seq[Expression]) => EditDistanceLe1(es(0), es(1))),

@@ -357,6 +357,55 @@ case class MinHashSignature(child: Expression, numHashes: Int)
   * `aggregate(...zip_with...)` SQL formulation (integer arithmetic
   * throughout), but one |th|·64 loop of generated Java instead of 64
   * interpreted array allocations per document. */
+/** Low quadword of md5 read little-endian from digest bytes 9–16 — equal
+  * bit-for-bit to DuckDB's `md5_number_lower` as two's-complement, the
+  * engine's PORTABLE cross-engine string hash (q43/q44/q53 oracles, the
+  * sampled-betweenness source key). One digest + 8 byte reads per value;
+  * the expression exists because the Column-level formulation (md5 → hex
+  * string → 8 substrings → 2 base-16 convs → shift/or) paid a full string
+  * round-trip per hash — measured as most of a 95 s fingerprint build over
+  * a 150M-token corpus. Digests come from a thread-local MessageDigest
+  * (getInstance per row is the other classic cost). */
+case class Md5Quad64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_quad64"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case BinaryType => TypeCheckSuccess
+      case _ => TypeCheckFailure("md5_quad64(binary)")
+    }
+  }
+
+  override def nullSafeEval(b: Any): Any =
+    Md5Quad64.hash(b.asInstanceOf[Array[Byte]])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.Md5Quad64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Md5Quad64 =
+    copy(child = newChild)
+}
+
+object Md5Quad64 {
+  private val md = ThreadLocal.withInitial[java.security.MessageDigest](() =>
+    java.security.MessageDigest.getInstance("MD5"))
+
+  /** Little-endian long over digest bytes 8..15 (0-indexed): byte 8 is
+    * least significant, byte 15 most — `md5_number_lower`'s layout. */
+  def hash(bytes: Array[Byte]): Long = {
+    val m = md.get()
+    m.reset()
+    val d = m.digest(bytes)
+    var x = 0L
+    var i = 15
+    while (i >= 8) { x = (x << 8) | (d(i) & 0xffL); i -= 1 }
+    x
+  }
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

@@ -320,7 +320,13 @@ object Dedup {
     * recompute turns the whole fingerprint family into an EQUALITY oracle
     * (q43/q44) instead of a spec-only check; md5-vs-xxhash costs a few
     * ns/token, invisible next to the shuffle the pair join pays. */
-  private[operators] def portableHash64(c: Column): Column = {
+  private[operators] def portableHash64(c: Column): Column =
+    call_function("md5_quad64", c.cast("binary"))
+
+  /** The pre-codegen Column formulation of [[portableHash64]] (md5 → hex →
+    * substring×8 → conv×2) — kept as the bit-parity witness for the spec,
+    * never on the query path. */
+  private[operators] def portableHash64Lambda(c: Column): Column = {
     val h = md5(c.cast("binary"))
     def le32(c0: Int): Column = conv(concat(
       substring(h, c0 + 6, 2), substring(h, c0 + 4, 2),

@@ -136,6 +136,17 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("codegen'd md5_quad64 equals the conv-based formulation bit-for-bit") {
+    graft.functions.GraftFunctions.register(spark)
+    val toks = Tables(spark, sfDir, "documents").limit(100)
+      .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("t"))
+    val rows = toks.select(Dedup.portableHash64(col("t")).as("fast"),
+        Dedup.portableHash64Lambda(col("t")).as("slow"))
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+
   test("portable token hash matches DuckDB's md5_number_lower on knowns") {
     // md5('hello') = 5d41402abc4b2a76b9719d911017c592 → bytes 9..16
     // little-endian = 0x92c5171091 9d71b9; pin two values so a digest-
