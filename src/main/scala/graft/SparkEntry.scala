@@ -489,18 +489,22 @@ object SparkEntry {
       // array_min compares int64s, where values with the top bit set sort
       // BELOW positives, the opposite of unsigned order. bit_xor then runs
       // on the signed values directly (same bits, no read-back needed).
+      // Window ranges carry the engine's greatest(...) CLAMPS: a doc with
+      // < 5 tokens still emits one (truncated) gram and one fingerprint —
+      // array_to_string over the truncated slice matches the engine's
+      // concat_ws∘slice exactly, including the empty-text '' gram. The
+      // unclamped range(1, len(w)-3) formulation silently DROPPED short
+      // docs from the output (a latent equality-gate failure on any
+      // fixture regen containing them).
       ("q53_fingerprint" ->
         """WITH t AS (SELECT doc_id,
           |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
           |  FROM documents),
-          |g AS (SELECT doc_id, list_transform(range(1, len(w) - 3), i ->
-          |    CAST(CASE WHEN md5_number_lower(w[i] || ' ' || w[i+1] || ' ' ||
-          |        w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]) >= 9223372036854775808
-          |      THEN md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-          |        w[i+3] || ' ' || w[i+4]) - 18446744073709551616
-          |      ELSE md5_number_lower(w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' ||
-          |        w[i+3] || ' ' || w[i+4]) END AS BIGINT)) AS grams FROM t),
-          |m AS (SELECT doc_id, list_distinct(list_transform(range(1, len(grams) - 2),
+          |g AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 3, 2)), i ->
+          |    CAST(CASE WHEN md5_number_lower(array_to_string(w[i:i+4], ' ')) >= 9223372036854775808
+          |      THEN md5_number_lower(array_to_string(w[i:i+4], ' ')) - 18446744073709551616
+          |      ELSE md5_number_lower(array_to_string(w[i:i+4], ' ')) END AS BIGINT)) AS grams FROM t),
+          |m AS (SELECT doc_id, list_distinct(list_transform(range(1, greatest(len(grams) - 2, 2)),
           |    i -> list_aggregate(grams[i:i+3], 'min'))) AS fps FROM g),
           |u AS (SELECT doc_id, unnest(fps) AS f FROM m),
           |x AS (SELECT doc_id, count(*) AS n_fp, bit_xor(f) AS fp_xor FROM u GROUP BY doc_id)

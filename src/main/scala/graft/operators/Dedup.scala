@@ -81,6 +81,10 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val sigCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val contentCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val groupedDenseCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Per-call `.cache()`s (content groups, OPH signatures, SimHash
     * fingerprints, band tables) are not keyed views — they exist so one
@@ -100,10 +104,13 @@ object Dedup {
     * session teardown (DedupSpec exercises it). */
   def clearCaches(): Unit = {
     (shingleCache.values.asScala ++ sigCache.values.asScala ++
+        contentCache.values.asScala ++ groupedDenseCache.values.asScala ++
         transientCaches.asScala)
       .foreach(df => scala.util.Try(df.unpersist()))
     shingleCache.clear()
     sigCache.clear()
+    contentCache.clear()
+    groupedDenseCache.clear()
     transientCaches.clear()
   }
 
@@ -210,9 +217,21 @@ object Dedup {
     * collapse groupBy is skipped and this is the plain per-doc relation. */
   private def groupedSigs(spark: SparkSession, dir: String,
       sigOf: Column => Column): DataFrame =
-    tracked(contentGroups(spark, dir).cache())
+    contentGroups(spark, dir)
       .select(col("cid").as("doc_id"), col("sh"), col("members"),
         sigOf(col("sh")).as("sig"))
+
+  /** [[groupedSigs]] with the DENSE MinHash signature, cached per
+    * (session, dir) — five faces (q42, q4b, q56, q8n, qbc) consume this
+    * exact relation, and before the cache each invocation re-ran the
+    * occupancy probe AND the 128-fold signature build over the content
+    * groups (the bulk of q8n's r8 0.7 → 1.9 s drift at sf0.1: q8n pays
+    * the build once for its pair stage and ExplainAudit/verify pay it
+    * again per face). Same keyed-materialized-view discipline as
+    * [[shingleCache]]; dropped by [[clearCaches]]. */
+  private def groupedDense(spark: SparkSession, dir: String): DataFrame =
+    groupedDenseCache.computeIfAbsent((spark, dir), _ =>
+      groupedSigs(spark, dir, minhashSigCol).cache())
 
   /** Record-level expansion of verified content-pair results: cross-group
     * pairs inherit the representatives' jaccard (identical sets ⇒ identical
@@ -247,7 +266,7 @@ object Dedup {
     * [[dedupGroups]] (which clusters WITHOUT expanding). */
   private def repPairsAndGroups(spark: SparkSession, dir: String,
       minJaccard: Double): (DataFrame, DataFrame) = {
-    val grp = groupedSigs(spark, dir, minhashSigCol)
+    val grp = groupedDense(spark, dir)
     (pairsFromBands(bandsOf(grp), grp, minJaccard), grp)
   }
 
@@ -295,7 +314,7 @@ object Dedup {
     * groups, so expansion stays O(delta-output) too. */
   def minhashPairsIncremental(spark: SparkSession, dir: String,
       deltaFrom: Long = 400, minJaccard: Double = 0.5): DataFrame = {
-    val grp = groupedSigs(spark, dir, minhashSigCol)
+    val grp = groupedDense(spark, dir)
     val bands = tracked(bandsOf(grp).cache())
     val deltaGroups = grp.where(array_max(col("members")) >= deltaFrom)
     val deltaCids = deltaGroups.select(col("doc_id").as("dcid"))
@@ -519,22 +538,29 @@ object Dedup {
     * OUTPUT is provably unchanged — only the plan adapts). */
   private val CollapseMaxGroup = 4L
 
-  private def contentGroups(spark: SparkSession, dir: String): DataFrame = {
-    val base = shingled(spark, dir).where(size(col("sh")) > 0)
-    val gmax = base.groupBy(xxhash64(col("sh")).as("h"))
-      .agg(count(lit(1)).as("g")).agg(max("g")).head.getLong(0)
-    if (gmax <= CollapseMaxGroup)
-      base.select(col("doc_id").as("cid"), col("sh"),
-        array(col("doc_id")).as("members"))
-    else
-      base.groupBy("sh")
-        .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members"))
-  }
+  private def contentGroups(spark: SparkSession, dir: String): DataFrame =
+    contentCache.computeIfAbsent((spark, dir), _ => {
+      val base = shingled(spark, dir).where(size(col("sh")) > 0)
+      // the max aggregate over an EMPTY corpus (or one where every text
+      // yields zero shingles) returns a null row — read it safely so the
+      // empty-corpus case stays "empty output", not an NPE at plan time
+      val gmax = Option(base.groupBy(xxhash64(col("sh")).as("h"))
+          .agg(count(lit(1)).as("g")).agg(max("g")).head.get(0))
+        .map(_.asInstanceOf[Long]).getOrElse(0L)
+      val grp =
+        if (gmax <= CollapseMaxGroup)
+          base.select(col("doc_id").as("cid"), col("sh"),
+            array(col("doc_id")).as("members"))
+        else
+          base.groupBy("sh")
+            .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members"))
+      grp.cache()
+    })
 
   def containmentJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val grp = tracked(contentGroups(spark, dir).cache())
+    val grp = contentGroups(spark, dir) // session-cached keyed view
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
     val toks = reps.select(col("cid"), explode(col("sh")).as("h"))
@@ -575,7 +601,7 @@ object Dedup {
   def prefixJaccardJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val grp = tracked(contentGroups(spark, dir).cache())
+    val grp = contentGroups(spark, dir) // session-cached keyed view
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
     val toks = reps.select(col("cid"), explode(col("sh")).as("h"))

@@ -416,11 +416,14 @@ object Similarity {
     * one embedding would otherwise put g rows in every one of its buckets
     * and square the candidate work. Record-level pairs re-expand
     * afterwards: within-group pairs carry cosine 1.0 exactly (the
-    * round-6dp of d/√d² is 1.0 to well past 6 dp), and only the top-k
-    * REPRESENTATIVE pairs expand (any expanded pair's cosine equals its
-    * representative pair's, so the global top-k cross-group pairs all
-    * descend from the top-k representative pairs). Output on a
-    * duplicate-free corpus is bit-identical to the uncollapsed plan. */
+    * round-6dp of d/√d² is 1.0 to well past 6 dp), and only REPRESENTATIVE
+    * pairs at-or-above the k-th rep cosine expand (any expanded pair's
+    * cosine equals its representative pair's, so every global top-k
+    * cross-group pair descends from that tie-inclusive rep set — a plain
+    * rep-level limit(k) could drop a boundary-TIED rep pair whose
+    * expansion outranks kept ones under the final (vec_a, vec_b)
+    * tie-break). Output on a duplicate-free corpus is bit-identical to
+    * the uncollapsed plan. */
   def cosineNearDups(spark: SparkSession, dir: String, k: Int = 20,
       nBits: Int = 0, nTables: Int = 4): DataFrame = {
     val base = normalized(spark, dir)
@@ -430,7 +433,7 @@ object Similarity {
     val reps = grp.select(col("rid").as("vec_id"), col("v"), col("norm"))
     val bits = if (nBits > 0) nBits else autoBits(reps.count())
     val e = lshBuckets(reps, bits, nTables).cache() // self-joined a/b
-    val repPairs = e.as("a").join(e.as("b"),
+    val scored = e.as("a").join(e.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"),
@@ -439,8 +442,17 @@ object Similarity {
       .dropDuplicates("ra", "rb")
       .select(col("ra"), col("rb"),
         round(cdot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
-      .orderBy(col("cosine").desc, col("ra"), col("rb"))
-      .limit(k)
+    // over-fetch at the representative level: a limit(k) here could drop a
+    // rep pair TIED with the k-th on the 6-dp cosine whose expansion ranks
+    // above kept ones under the record-level (vec_a, vec_b) tie-break —
+    // keep every rep pair at-or-above the k-th cosine (bounded: k plus
+    // boundary ties) and cut to k only after expansion. The threshold is a
+    // 1-row aggregate broadcast into the filter, not a driver collect.
+    val kth = graft.plans.TopKPerGroup(scored.withColumn("g", lit(1)),
+        Seq("g"), Seq(("cosine", true), ("ra", false), ("rb", false)), k, "r")
+      .agg(min("cosine").as("kth_cos"))
+    val repPairs = scored.join(broadcast(kth), col("cosine") >= col("kth_cos"))
+      .select("ra", "rb", "cosine")
     val mem = grp.select(col("rid"), col("members"))
     val cross = repPairs
       .join(mem.as("ma"), col("ra") === col("ma.rid"))

@@ -31,29 +31,26 @@ object CdcStream {
     changes.write.mode("append").parquet(stage)
 
     val schema = spark.read.parquet(stage).schema
-    val stream = spark.readStream.schema(schema).parquet(stage)
+    // state-store sizing scoped to this query via a child session
+    val ss = StreamSessions.withShuffle(spark, 8)
+    val stream = ss.readStream.schema(schema).parquet(stage)
     // complete-mode output is one row PER KEY — corpus-sized, so a memory
     // sink would be a driver collect (the q69 lesson). File sinks only do
     // append, so the standard complete-mode pattern applies: foreachBatch
     // overwrites a parquet snapshot per micro-batch — a DISTRIBUTED write;
     // the last snapshot is the drained state.
     val outDir = graft.sources.Staging.fresh("q9c-sink")
-    // state-store partition sizing: see EventStream.sessionizeFromFiles
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try stream
-        .select(col("doc_id"), col("pri"), col("lang"),
-          md5(col("text").cast("binary")).as("h"))
-        .groupBy("doc_id")
-        .agg(max(struct(col("pri"), col("lang"), col("h"))).as("w"))
-        .select(col("doc_id"), col("w.lang").as("lang"), col("w.h").as("h"))
-        .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("overwrite").parquet(outDir)
-        }
-        .outputMode("complete").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = stream
+      .select(col("doc_id"), col("pri"), col("lang"),
+        md5(col("text").cast("binary")).as("h"))
+      .groupBy("doc_id")
+      .agg(max(struct(col("pri"), col("lang"), col("h"))).as("w"))
+      .select(col("doc_id"), col("w.lang").as("lang"), col("w.h").as("h"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
 
     spark.read.parquet(outDir).orderBy("doc_id")

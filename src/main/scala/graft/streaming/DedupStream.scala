@@ -26,25 +26,23 @@ object DedupStream {
     java.nio.file.Files.copy(Paths.get(s"$dir/documents.parquet"),
       stage.resolve("documents.parquet"))
     val schema = spark.read.parquet(s"$dir/documents.parquet").schema
-    val stream = spark.readStream.schema(schema).parquet(stage.toString)
+    // state-store partition sizing: see EventStream.sessionizeFromFiles;
+    // the child session scopes it to this query (StreamSessions)
+    val ss = StreamSessions.withShuffle(spark, 8)
+    val stream = ss.readStream.schema(schema).parquet(stage.toString)
 
     // one row per DISTINCT CONTENT — corpus-sized in the worst case, so no
     // memory sink (driver collect); complete mode snapshots distributed
     // via foreachBatch overwrite (see CdcStream)
     val outDir = graft.sources.Staging.fresh("q58-sink")
-    // state-store partition sizing: see EventStream.sessionizeFromFiles
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try stream
-        .groupBy(md5(col("text").cast("binary")).as("content_hash"))
-        .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
-        .writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("overwrite").parquet(outDir)
-        }
-        .outputMode("complete").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = stream
+      .groupBy(md5(col("text").cast("binary")).as("content_hash"))
+      .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("overwrite").parquet(outDir)
+      }
+      .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
 
     spark.read.parquet(outDir).orderBy("keeper")
@@ -72,14 +70,18 @@ object DedupStream {
     val docs = graft.Tables(spark, dir, "documents")
     docs.where(col("doc_id") >= deltaFrom).write.mode("overwrite").parquet(stage)
     val schema = docs.schema
-    val stream = spark.readStream.schema(schema).parquet(stage)
+    // the whole stream pipeline (source, static index, join) builds on a
+    // child session so the state-store partition sizing never leaks into
+    // concurrently-planned queries on the caller's session (StreamSessions)
+    val ss = StreamSessions.withShuffle(spark, 8)
+    val stream = ss.readStream.schema(schema).parquet(stage)
 
     val streamBands = Dedup.withBands(stream)
     // static side: the full corpus index, cached for the drain — every
     // micro-batch probes it, and without the pin Spark re-derives the
     // whole signature pipeline per batch (measured 31 s at sf1); a
     // resident deployment maintains this as its materialized band index
-    val corpusBands = Dedup.withBands(docs).cache()
+    val corpusBands = Dedup.withBands(graft.Tables(ss, dir, "documents")).cache()
     val pairs = streamBands.as("x")
       .join(corpusBands.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
@@ -90,15 +92,11 @@ object DedupStream {
       .where(col("jaccard") >= minJaccard)
 
     val outDir = graft.sources.Staging.fresh("lshstream-sink")
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try pairs.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-          batch.write.mode("append").parquet(outDir)
-        }
-        .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = pairs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batch.write.mode("append").parquet(outDir)
+      }
+      .outputMode("append").start()
     try q.processAllAvailable() finally { q.stop(); corpusBands.unpersist() }
 
     spark.read.parquet(outDir).distinct()

@@ -110,8 +110,15 @@ object EventStream {
     val stage = Paths.get(graft.sources.Staging.fresh("q69-src"))
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$dir/events.parquet") // ts: raw layout
+    // interval-join state is keyed by (bin, side): a month of fixture time
+    // is ~720 hot keys, and each of the 4 store instances carries 4 state
+    // stores (two per join side) with per-batch commit overhead — fewer,
+    // fatter stores win until key cardinality demands otherwise. Sized on
+    // a child session so it never leaks into the caller's (StreamSessions).
+    val ss = StreamSessions.withShuffle(spark, 4)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def streamOf(tpe: String) = graft.Tables.normalizeEventsTs(
-        spark.readStream.schema(raw.schema).parquet(stage.toString))
+        ss.readStream.schema(raw.schema).parquet(stage.toString))
       .where(col("event_type") === tpe)
     // Spark refuses stream-stream joins without an equality predicate —
     // the batch range join's bin-bucketing (Events.rangeJoin) is exactly
@@ -141,17 +148,9 @@ object EventStream {
     // it back like any other relation.
     val sinkDir = graft.sources.Staging.fresh("q69-sink")
     val ckptDir = graft.sources.Staging.fresh("q69-ckpt")
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    // interval-join state is keyed by (bin, side): a month of fixture time
-    // is ~720 hot keys, and each of the 4 store instances carries 4 state
-    // stores (two per join side) with per-batch commit overhead — fewer,
-    // fatter stores win until key cardinality demands otherwise
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try joined.writeStream.format("parquet")
-        .option("path", sinkDir).option("checkpointLocation", ckptDir)
-        .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = joined.writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
     try {
       q.processAllAvailable()
       val sentinelDir = Paths.get(graft.sources.Staging.fresh("q69-sentinel"))
@@ -204,26 +203,24 @@ object EventStream {
     val stage = Paths.get(graft.sources.Staging.fresh("q65-src"))
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$dir/events.parquet") // ts: raw layout
+    // State-store partition count is baked into the query at start; each
+    // partition owns an HDFS-backed store instance with per-batch commit +
+    // maintenance overhead, so a harness run sizes it to the state (one
+    // Open per user), not to the session's shuffle width. A deployment
+    // picks this by active-user count. Child session scopes the sizing.
+    val ss = StreamSessions.withShuffle(spark, 8)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val stream = graft.Tables.normalizeEventsTs(
-        spark.readStream.schema(raw.schema).parquet(stage.toString))
+        ss.readStream.schema(raw.schema).parquet(stage.toString))
       .select(col("user_id"), col("ts"), col("value")).as[Ev]
 
     // sessions are one row per (user, session) — data-sized, so a FILE
     // sink, not memory (the q69 lesson: memory = driver collect)
     val sinkDir = graft.sources.Staging.fresh("q65-sink")
     val ckptDir = graft.sources.Staging.fresh("q65-ckpt")
-    // State-store partition count is baked into the query at start; each
-    // partition owns an HDFS-backed store instance with per-batch commit +
-    // maintenance overhead, so a harness run sizes it to the state (one
-    // Open per user), not to the session's shuffle width. A deployment
-    // picks this by active-user count.
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try sessionize(stream, gapSec).writeStream.format("parquet")
-        .option("path", sinkDir).option("checkpointLocation", ckptDir)
-        .outputMode("append").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = sessionize(stream, gapSec).writeStream.format("parquet")
+      .option("path", sinkDir).option("checkpointLocation", ckptDir)
+      .outputMode("append").start()
     try {
       q.processAllAvailable()
       // sentinel: same physical schema as the staged file, ts 30 days past
@@ -267,21 +264,21 @@ object EventStream {
     val stage = Paths.get(graft.sources.Staging.fresh("q9w-src"))
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$dir/events.parquet")
-    val stream = spark.readStream.schema(raw.schema).parquet(stage.toString)
+    // child session scopes the shuffle sizing to this query (StreamSessions)
+    val ss = StreamSessions.withShuffle(spark, 4)
+    ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val stream = ss.readStream.schema(raw.schema).parquet(stage.toString)
       .select(col("user_id"), col("value"))
-    val dim = broadcast(graft.Tables(spark, dir, "customer")
+    val dim = broadcast(graft.Tables(ss, dir, "customer")
       .select(col("c_custkey"), col("c_nationkey")))
     val agg = stream.join(dim, stream("user_id") === dim("c_custkey"))
       .groupBy("c_nationkey")
       .agg(count(lit(1)).as("n"), round(sum("value"), 6).as("sum_value"))
     val sink = "q9w_enrich_" + java.util.UUID.randomUUID().toString.replace("-", "")
-    val prevShuffle = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "4")
-    val q =
-      try agg.writeStream.format("memory").queryName(sink)
-        .outputMode("complete").start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    val q = agg.writeStream.format("memory").queryName(sink)
+      .outputMode("complete").start()
     try q.processAllAvailable() finally q.stop()
-    spark.table(sink).orderBy("c_nationkey")
+    // the memory sink registers its table in the stream's session
+    ss.table(sink).orderBy("c_nationkey")
   }
 }
