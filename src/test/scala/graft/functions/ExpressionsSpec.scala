@@ -78,4 +78,26 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
     val r = spark.sql("SELECT array_dot(array(1D, 2D), array(3D, 4D)) AS d").head
     assert(r.getDouble(0) == 11.0)
   }
+
+  test("minhash_sigs_portable matches the driver-side affine-map reference") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val golden = graft.functions.PortableMinHash.Golden
+    // unsigned min of h*(2i+1) + i*golden over the input, per permutation —
+    // the exact integer semantics the DuckDB q41 oracle replays in HUGEINT
+    def ref(hs: Seq[Long], n: Int): Seq[Long] =
+      (0 until n).map { i =>
+        hs.map(h => h * (2L * i + 1L) + i * golden)
+          .reduceOption((a, b) => if (java.lang.Long.compareUnsigned(a, b) < 0) a else b)
+          .getOrElse(-1L)
+      }
+    val rnd = new scala.util.Random(11)
+    val rows = Seq.fill(100)(Seq.fill(rnd.nextInt(30))(rnd.nextLong())) :+ Seq.empty[Long]
+    val got = rows.toDF("hs")
+      .select(call_function("minhash_sigs_portable", col("hs"), lit(16)).as("sig"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    rows.zip(got).foreach { case (hs, sig) =>
+      assert(sig == ref(hs, 16), s"portable minhash diverges for input $hs")
+    }
+  }
 }

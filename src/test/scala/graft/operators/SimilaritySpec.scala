@@ -25,12 +25,15 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
-  test("codegen'd sign_buckets equals the round-1 lambda formulation bit-for-bit") {
+  test("codegen'd sign_buckets equals an independent lambda formulation bit-for-bit") {
     import org.apache.spark.sql.functions._
     val nBits = 4; val nTables = 6
+    graft.functions.GraftFunctions.register(spark)
     val e = Tables(spark, sfDir, "embeddings")
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-    // the round-1 interpreted-lambda formulation, verbatim
+    // the round-1 interpreted-lambda formulation, re-deriving every plane
+    // entry per row from the portable hash key ("hp:t:b:i" — the same
+    // string Hyperplanes.signMatrix hashes driver-side)
     val legacy = e.withColumn("idx", sequence(lit(0), size(col("v")) - 1))
       .withColumn("tb", expr(
         s"""transform(sequence(0, ${nTables - 1}), t ->
@@ -38,7 +41,8 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
            |    aggregate(
            |      transform(sequence(0, ${nBits - 1}), b ->
            |        if(aggregate(zip_with(v, idx, (x, i) ->
-           |              x * (cast((xxhash64((t * 64 + b) * 1024 + i) & 1) * 2 - 1 AS double))),
+           |              x * (cast((md5_quad64(cast(concat('hp:', t, ':', b, ':', i)
+           |                    as binary)) & 1) * 2 - 1 AS double))),
            |            0D, (acc, x) -> acc + x) > 0,
            |          shiftleft(1L, b), 0L)),
            |      0L, (s, x) -> s | x)))""".stripMargin))
@@ -57,6 +61,27 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     }
   }
 
+  test("q48 near-dup top-20 equals the exact brute-force top-20 (bucket-recall pin)") {
+    // the validity condition of q48's exact-pair DuckDB oracle: at
+    // nTables = 16 every exact top-k pair must bucket-collide (measured
+    // margin: top-25 all collide by table 14 on the gate fixtures). If a
+    // fixture regen moves the top pairs into a recall hole, THIS fails
+    // loudly before the oracle gate does — the DedupSpec lossy-band
+    // discipline applied to the embedding family.
+    val vecs = Tables(spark, sfDir, "embeddings").collect()
+      .map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](r.fieldIndex("embedding")).map(_.toDouble).toArray))
+    val brute = (for {
+      (ia, va) <- vecs; (ib, vb) <- vecs if ia < ib
+    } yield (ia, ib, BigDecimal(cosine(va, vb))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20).toSeq
+    val engine = Similarity.cosineNearDups(spark, sfDir, nTables = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(engine == brute,
+      s"engine top-20 diverges from exact:\n engine=$engine\n brute=$brute")
+  }
+
   test("autoBits keeps expected bucket occupancy bounded as N scales") {
     assert(Similarity.autoBits(500, 64) == 3)
     assert(Similarity.autoBits(1000000L, 64) == 14)
@@ -71,10 +96,11 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     val recall = brute.intersect(lsh).size.toDouble / brute.size
     info(s"LSH recall: $recall")
-    // floor = stable measured recall (0.57 across rounds 5-7) minus 0.1:
-    // tight enough that a real recall regression fails, loose enough for
-    // fixture-regen jitter
-    assert(recall >= 0.47, s"LSH recall $recall below floor")
+    // floor = measured recall minus 0.1: tight enough that a real recall
+    // regression fails, loose enough for fixture-regen jitter. Measured
+    // 0.57 across rounds 5-7 on the xxhash64 planes; 0.784 since round 9's
+    // portable md5 planes (different random matrix, luckier draw)
+    assert(recall >= 0.68, s"LSH recall $recall below floor")
   }
 
   test("IVF top-5 recall vs brute force is usable and beats its probe ratio") {
