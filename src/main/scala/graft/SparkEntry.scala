@@ -99,6 +99,16 @@ object SparkEntry {
     // product quantization: ADC shortlist + exact re-rank (rows-only;
     // recall floor in SimilaritySpec)
     "q59_ann_pq" -> ((s, d) => Similarity.cosineTopKPq(s, d)),
+    // the q4a/q59 tiers with the quantizer PINNED to the deterministic
+    // stride-sample (kmeansIters/iters = 0): the Lloyd refinement is the
+    // only non-SQL step in those pipelines, so these twins run the exact
+    // same engine code path — cell assignment / PQ encode / ADC shortlist
+    // / exact re-rank, all the custom expressions included — with a
+    // candidate set DuckDB can replay, making the full result an equality
+    // oracle; the trained tiers stay spec-checked for the recall the
+    // refinement buys
+    "qbe_ann_ivf_rerank" -> ((s, d) => Similarity.cosineTopKIvf(s, d, kmeansIters = 0)),
+    "qbf_ann_pq_rerank" -> ((s, d) => Similarity.cosineTopKPq(s, d, iters = 0)),
     // --- text analysis ---
     "q50_text_stats" -> (TextOps.textStats _),
     "q51_token_topk" -> ((s, d) => TextOps.tokenTopK(s, d)),
@@ -490,6 +500,76 @@ object SparkEntry {
            |SELECT doc_a, doc_b, jaccard FROM e WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) +
       ("q4b_dedup_incremental" -> incrementalPairsOracle) +
+      // IVF with the PINNED stride-sample quantizer (qbe): centroids are
+      // the normalized vectors at vec_id % stride = 0 (first 16 by id),
+      // so DuckDB replays cell assignment (argmax cosine-to-centroid,
+      // ties to the lower cell), the nprobe=4 probe set, the cell-join
+      // candidates, and the exact re-rank — the whole tier hash-checked.
+      ("qbe_ann_ivf_rerank" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          |       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          |     FROM embeddings),
+          |n AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+          |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+          |            list_transform(v, x -> x / nrm) AS cv
+          |          FROM e, n WHERE vec_id % n.stride = 0 ORDER BY vec_id LIMIT 16),
+          |sim AS (SELECT e.vec_id, c.cell, list_inner_product(e.v, c.cv) / e.nrm AS csim
+          |        FROM e, cents c),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r FROM sim),
+          |asg AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+          |probes AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < 100 AND r <= 4),
+          |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+          |         FROM probes p JOIN asg a ON a.cell = p.cell
+          |         WHERE p.query_id <> a.vec_id),
+          |s AS (SELECT cand.query_id, cand.neighbor_id,
+          |        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+          |      FROM cand JOIN e a ON a.vec_id = cand.query_id
+          |                JOIN e b ON b.vec_id = cand.neighbor_id)
+          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) +
+      // PQ with PINNED codebooks (qbf): codebook (mm, c) = subspace slice
+      // of the c-th stride-sample vector, so DuckDB replays pq_encode
+      // (per-subspace argmin L2, ties to the lower codeword), the ADC
+      // scores, the 50-deep shortlist, and the exact re-rank.
+      ("qbf_ann_pq_rerank" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          |       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          |     FROM embeddings),
+          |n AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+          |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+          |           list_transform(v, x -> x / nrm) AS cv
+          |         FROM e, n WHERE vec_id % n.stride = 0 ORDER BY vec_id LIMIT 16),
+          |cw AS (SELECT c, mm.mm, cv[mm.mm * 8 + 1 : mm.mm * 8 + 8] AS sub
+          |       FROM init, range(8) mm(mm)),
+          |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e),
+          |usub AS (SELECT vec_id, mm.mm, vn[mm.mm * 8 + 1 : mm.mm * 8 + 8] AS vsub
+          |         FROM u, range(8) mm(mm)),
+          |dist AS (SELECT usub.vec_id, usub.mm, cw.c,
+          |           list_sum(list_transform(range(1, 9), i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) AS d
+          |         FROM usub JOIN cw ON cw.mm = usub.mm),
+          |codes AS (SELECT vec_id, mm, c FROM (
+          |            SELECT *, row_number() OVER (PARTITION BY vec_id, mm ORDER BY d, c) AS r FROM dist)
+          |          WHERE r = 1),
+          |adc AS (SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+          |          sum(list_inner_product(qs.vsub, cw.sub)) AS a
+          |        FROM usub qs
+          |        JOIN codes cs ON cs.mm = qs.mm
+          |        JOIN cw ON cw.mm = cs.mm AND cw.c = cs.c
+          |        WHERE qs.vec_id < 100 AND qs.vec_id <> cs.vec_id
+          |        GROUP BY qs.vec_id, cs.vec_id),
+          |short AS (SELECT query_id, neighbor_id FROM (
+          |            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY a DESC, neighbor_id) AS r FROM adc)
+          |          WHERE r <= 50),
+          |s AS (SELECT short.query_id, short.neighbor_id,
+          |        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+          |      FROM short JOIN e a ON a.vec_id = short.query_id
+          |                 JOIN e b ON b.vec_id = short.neighbor_id)
+          |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+          |  SELECT *, row_number() OVER (PARTITION BY query_id
+          |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+          |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) +
       // FULL sign-LSH replay (q47): since round 9 the ±1 hyperplane
       // entries derive from the portable md5 low-quadword of "hp:t:b:i"
       // (Hyperplanes.signMatrix), so DuckDB rebuilds the exact plane

@@ -206,18 +206,30 @@ object SonApp {
 object CommunityApp {
 
   def coRatingEdges(spark: SparkSession, ratingsCsv: String,
-      minShared: Int = 3): Array[(Long, Long)] = {
+      minShared: Int = 3, driverEdgeLimit: Long = 5000000L): Array[(Long, Long)] = {
     import spark.implicits._
     val ratings = DelimitedText.readHeaderCsv(spark, ratingsCsv)
       .select(col("userId").cast("long").as("u"),
         col("movieId").cast("long").as("m"))
       .distinct()
-    ratings.as("a")
+    val edges = ratings.as("a")
       .join(ratings.as("b"), col("a.m") === col("b.m") && col("a.u") < col("b.u"))
       .groupBy(col("a.u").as("u"), col("b.u").as("v"))
       .agg(count(lit(1)).as("shared"))
       .where(col("shared") >= minShared)
-      .select("u", "v").as[(Long, Long)].collect()
+      .select("u", "v").cache()
+    try {
+      // this is a public `main`'s edge materialization — the same
+      // driverEdgeLimit tier every library entry point (betweennessAuto,
+      // componentsAuto, ssspOf) applies guards it: the reference lifecycle
+      // it replicates is 671 users, but a user will aim it at bigger CSVs,
+      // and GN is driver-coordinated by reference semantics either way
+      require(edges.count() <= driverEdgeLimit,
+        s"the reference GN lifecycle is driver-coordinated; above " +
+          s"$driverEdgeLimit co-rating edges use GraphOps.communitiesLpa " +
+          s"(distributed LPA) instead")
+      edges.as[(Long, Long)].collect()
+    } finally { edges.unpersist(); () }
   }
 
   def run(spark: SparkSession, ratingsCsv: String, communitiesOut: String,

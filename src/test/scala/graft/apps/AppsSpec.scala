@@ -136,4 +136,11 @@ class AppsSpec extends AnyFunSuite with SparkSuite {
     assertGolden("communities.txt", Files.readString(commOut))
     assertGolden("betweenness.txt", Files.readString(btwOut))
   }
+
+  test("coRatingEdges refuses to collect past driverEdgeLimit and names the alternative") {
+    val e = intercept[IllegalArgumentException] {
+      CommunityApp.coRatingEdges(spark, s"$fx/ratings.csv", driverEdgeLimit = 1L)
+    }
+    assert(e.getMessage.contains("communitiesLpa"), e.getMessage)
+  }
 }
