@@ -135,6 +135,11 @@ object SparkEntry {
     // concat-and-cut packing manifest: global token offsets via the
     // two-phase prefix sum (no single-partition global window)
     "qbd_packing_manifest" -> ((s, d) => TextOps.packingManifest(s, d)),
+    // manifest-driven packed-corpus source (the 100 TB tiny-file answer:
+    // pack files + (path, offset, length) manifest, record-aligned byte
+    // slices planned distributed); shares q50's oracle like q84
+    "qbg_manifest_source" -> ((s, d) =>
+      graft.sources.ManifestDocs.textStatsFromManifest(s, d)),
     // --- event/window analytics ---
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
@@ -462,6 +467,7 @@ object SparkEntry {
       ("q7c_events_orc_source" -> m("q60_events_hourly")) +
       ("q7d_salted_join" -> m("q14_sql_api")) +
       ("q84_binaryfile_source" -> m("q50_text_stats")) +
+      ("qbg_manifest_source" -> m("q50_text_stats")) +
       ("q8f_dsv2_source" -> m("q09_distinct")) +
       ("q9c_cdc_stream" -> m("q72_upsert")) +
       ("qa2_ann_sql" -> m("q46_ann_brute")) +
