@@ -222,6 +222,11 @@ object SparkEntry {
     "q8g_unigram_logprob" -> (TextOps.unigramLogProb _),
     // spherical k-means corpus clustering profile (SemDeDup shape)
     "q8h_kmeans_profile" -> ((s, d) => Similarity.kmeansClusterProfile(s, d)),
+    // the profile with the quantizer PINNED to the stride sample (the
+    // qbe/qbf discipline): assignment + per-cluster profile become a full
+    // DuckDB equality oracle; the trained face keeps the recall spec
+    "qbh_kmeans_pinned" -> ((s, d) =>
+      Similarity.kmeansClusterProfile(s, d, iters = 0)),
     // content-defined chunking (codegen'd rolling boundary) + chunk dedup
     "q8i_cdc_chunks" -> ((s, d) => TextOps.cdcChunkStats(s, d)),
     // DataSourceV2 multi-char-delim reader (column pruning + filter
@@ -506,6 +511,29 @@ object SparkEntry {
            |SELECT doc_a, doc_b, jaccard FROM e WHERE jaccard >= 0.5
            |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin) +
       ("q4b_dedup_incremental" -> incrementalPairsOracle) +
+      // pinned k-means profile (qbh): stride-sample centroids → argmax
+      // assignment (ties to the lower cell) → per-cluster population /
+      // coherence / exemplar, all replayed; 4-dp rounding absorbs the
+      // cross-engine float-sum-order jitter in avg(csim)
+      ("qbh_kmeans_pinned" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          |       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          |     FROM embeddings),
+          |n AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+          |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+          |            list_transform(v, x -> x / nrm) AS cv
+          |          FROM e, n WHERE vec_id % n.stride = 0 ORDER BY vec_id LIMIT 16),
+          |sim AS (SELECT e.vec_id, c.cell, list_inner_product(e.v, c.cv) / e.nrm AS csim
+          |        FROM e, cents c),
+          |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r FROM sim),
+          |asg AS (SELECT vec_id, cell, csim FROM rk WHERE r = 1),
+          |ex AS (SELECT cell, vec_id AS exemplar FROM (
+          |         SELECT *, row_number() OVER (PARTITION BY cell ORDER BY csim DESC, vec_id) AS r FROM asg)
+          |       WHERE r = 1)
+          |SELECT a.cell, count(*) AS n_members, round(avg(a.csim), 4) AS avg_cos,
+          |       round(min(a.csim), 4) AS min_cos, any_value(ex.exemplar) AS exemplar
+          |FROM asg a JOIN ex ON ex.cell = a.cell
+          |GROUP BY a.cell ORDER BY a.cell""".stripMargin) +
       // IVF with the PINNED stride-sample quantizer (qbe): centroids are
       // the normalized vectors at vec_id % stride = 0 (first 16 by id),
       // so DuckDB replays cell assignment (argmax cosine-to-centroid,
