@@ -137,6 +137,12 @@ object GraftFunctions {
     (FunctionIdentifier("md5_quad64"),
       new ExpressionInfo(classOf[Md5Quad64].getName, "md5_quad64"),
       (es: Seq[Expression]) => Md5Quad64(es(0))),
+    (FunctionIdentifier("portable_gram_hashes"),
+      new ExpressionInfo(classOf[PortableGramHashes].getName, "portable_gram_hashes"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable, "portable_gram_hashes: k must be a literal")
+        PortableGramHashes(es(0), es(1).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("edit1_dist"),
       new ExpressionInfo(classOf[EditDistanceLe1].getName, "edit1_dist"),
       (es: Seq[Expression]) => EditDistanceLe1(es(0), es(1))),

@@ -490,6 +490,77 @@ object Md5Quad64 {
   }
 }
 
+/** `portable_gram_hashes(tokens, k)`: [[Md5Quad64]] of every word k-gram of
+  * a token array, in WINDOW-POSITION order with duplicates kept — the
+  * portable-hash twin of [[ShingleHashes]] for the faces whose DuckDB
+  * oracles recompute gram hashes from the raw text (q41 minhash matrix,
+  * q53 winnowing fingerprints). Replaces a `transform(sequence(...),
+  * i -> md5_quad64(concat_ws(" ", slice(tokens, i, k))))` tree that built
+  * each gram STRING through interpreted lambda dispatch (the dominant cost
+  * of the portable-oracle flip: q41 went 0.04 → 0.62 s when it adopted it).
+  * Gram text is byte-identical to `concat_ws(" ", slice(...))` — tokens
+  * joined by a single 0x20 — so the hash values are unchanged; only the
+  * construction is a single codegen'd pass reusing one byte buffer. Window
+  * rule matches the HOF form's clamps exactly: positions 0..max(n-k, 0),
+  * final windows truncated at the array end, and an EMPTY token array
+  * still yields the one hash of the empty string (DuckDB:
+  * `range(1, greatest(len(w)-k+2, 2))` over `array_to_string(w[i:i+k-1])`). */
+case class PortableGramHashes(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  require(k >= 1, s"portable_gram_hashes: k >= 1, got $k")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "portable_gram_hashes"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckSuccess
+      case _ => TypeCheckFailure("portable_gram_hashes(array<string>, k literal)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any =
+    PortableGramHashes.compute(a.asInstanceOf[ArrayData], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => s"""
+      |${ev.value} = graft.functions.PortableGramHashes.compute($a, $k);
+    """.stripMargin)
+
+  override protected def withNewChildInternal(newChild: Expression): PortableGramHashes =
+    copy(child = newChild)
+}
+
+object PortableGramHashes {
+  /** Static kernel shared by the interpreted and generated paths. */
+  def compute(tokens: ArrayData, k: Int): ArrayData = {
+    val n = tokens.numElements()
+    // materialize token bytes once (each token is reused by up to k windows)
+    val tb = new Array[Array[Byte]](n)
+    var i = 0
+    while (i < n) { tb(i) = tokens.getUTF8String(i).getBytes; i += 1 }
+    val nWin = math.max(n - k, 0) + 1
+    val out = new Array[Long](nWin)
+    val buf = new java.io.ByteArrayOutputStream(64)
+    i = 0
+    while (i < nWin) {
+      buf.reset()
+      val end = math.min(i + k, n)
+      var j = i
+      while (j < end) {
+        if (j > i) buf.write(' ')
+        buf.write(tb(j), 0, tb(j).length)
+        j += 1
+      }
+      out(i) = Md5Quad64.hash(buf.toByteArray)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+}
+
 case class SimHash64(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = LongType

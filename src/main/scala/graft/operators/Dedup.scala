@@ -180,9 +180,12 @@ object Dedup {
     graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), tokensCol(col("text")).as("tokens"))
-      .withColumn("gh", transform(
-        sequence(lit(0), greatest(size(col("tokens")) - 3, lit(0))),
-        i => portableHash64(concat_ws(" ", slice(col("tokens"), i + 1, lit(3))))))
+      // one codegen pass over the token array ([[graft.functions
+      // .PortableGramHashes]]) — same gram strings/clamps/hash values as
+      // the transform∘concat_ws∘slice HOF tree it replaces (bit-parity
+      // asserted in ExpressionsSpec), minus the per-gram interpreted
+      // lambda dispatch that made the portable flip 16× the xxhash64 path
+      .withColumn("gh", call_function("portable_gram_hashes", col("tokens"), lit(3)))
       .select(col("doc_id"),
         posexplode(call_function("minhash_sigs_portable", col("gh"), lit(numHashes))))
       .select(col("doc_id"), col("pos").cast("int").as("perm"),

@@ -442,6 +442,10 @@ object Similarity {
       .dropDuplicates("ra", "rb")
       .select(col("ra"), col("rb"),
         round(cdot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
+      // consumed TWICE (the kth-cosine aggregate and the threshold join) —
+      // uncached, the whole 16-table bucket self-join + exact cosine ran
+      // once per consumer (measured: the r9 tie-exact change doubled q48)
+      .cache()
     // over-fetch at the representative level: a limit(k) here could drop a
     // rep pair TIED with the k-th on the 6-dp cosine whose expansion ranks
     // above kept ones under the record-level (vec_a, vec_b) tie-break —

@@ -156,19 +156,21 @@ object TextOps {
     * only needs SOME uniform hash, and the portable one makes the whole
     * face a DuckDB EQUALITY oracle (`md5_number_lower` replays the grams,
     * window mins, and xor-fold bit-for-bit) instead of a rows-only check. */
-  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+  def fingerprint(spark: SparkSession, dir: String): DataFrame = {
+    graft.functions.GraftFunctions.register(spark)
     Tables(spark, dir, "documents")
       .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
-      .withColumn("grams", transform(
-        sequence(lit(0), greatest(size(col("tokens")) - 5, lit(0))),
-        i => Dedup.portableHash64(
-          concat_ws(" ", slice(col("tokens"), i + 1, lit(5))))))
+      // codegen'd gram pass (same strings/clamps/hashes as the HOF tree —
+      // see [[graft.functions.PortableGramHashes]])
+      .withColumn("grams",
+        call_function("portable_gram_hashes", col("tokens"), lit(5)))
       .withColumn("fps", expr(
         "array_distinct(transform(sequence(0, greatest(size(grams) - 4, 0)), i -> " +
           "array_min(slice(grams, i + 1, 4))))"))
       .select(col("doc_id"), size(col("fps")).as("n_fp"),
         expr("aggregate(fps, 0L, (a, x) -> a ^ x)").as("fp_xor"))
       .orderBy("doc_id")
+  }
 
   /** TF-IDF top-`k` terms per document: tf = in-doc count, df = number of
     * docs containing the term, score = tf · ln(N/df). Ranking ties are

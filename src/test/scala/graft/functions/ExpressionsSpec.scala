@@ -100,4 +100,28 @@ class ExpressionsSpec extends AnyFunSuite with SparkSuite {
       assert(sig == ref(hs, 16), s"portable minhash diverges for input $hs")
     }
   }
+
+  test("portable_gram_hashes is bit-parity with the HOF md5-per-gram tree") {
+    GraftFunctions.register(spark)
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    def word() = Seq.fill(1 + rnd.nextInt(8))(
+      ('a' + rnd.nextInt(26)).toChar).mkString
+    // lengths straddle every clamp branch: 0 (empty-string gram), 1, 2
+    // (truncated windows), k, and > k
+    val rows = Seq(Seq.empty[String], Seq(word()), Seq(word(), word())) ++
+      Seq.fill(50)(Seq.fill(rnd.nextInt(12))(word()))
+    for (k <- Seq(3, 5)) {
+      val got = rows.toDF("tokens").select(
+        call_function("portable_gram_hashes", col("tokens"), lit(k)).as("native"),
+        transform(sequence(lit(0), greatest(size(col("tokens")) - k, lit(0))),
+          i => call_function("md5_quad64",
+            concat_ws(" ", slice(col("tokens"), i + 1, lit(k))).cast("binary")))
+          .as("hof")).collect()
+      got.foreach { r =>
+        assert(r.getSeq[Long](0) == r.getSeq[Long](1),
+          s"portable_gram_hashes diverges from the HOF tree at k=$k")
+      }
+    }
+  }
 }
