@@ -227,6 +227,13 @@ object SparkEntry {
     // DuckDB equality oracle; the trained face keeps the recall spec
     "qbh_kmeans_pinned" -> ((s, d) =>
       Similarity.kmeansClusterProfile(s, d, iters = 0)),
+    // SemDeDup decision table (pinned quantizer, distinct-vector collapse,
+    // cell-bounded NN): one row per vector with its within-cell nearest
+    // neighbor and the keep-lowest-id dup verdict — full DuckDB replay
+    "qbj_semantic_dedup" -> ((s, d) => Similarity.semanticDedup(s, d)),
+    // cross-document boilerplate: top word-8-grams by distinct contents
+    // containing them (exact-dup collapse first; hash-free string oracle)
+    "qbi_boilerplate_grams" -> ((s, d) => TextOps.boilerplateGrams(s, d)),
     // content-defined chunking (codegen'd rolling boundary) + chunk dedup
     "q8i_cdc_chunks" -> ((s, d) => TextOps.cdcChunkStats(s, d)),
     // DataSourceV2 multi-char-delim reader (column pruning + filter
@@ -534,6 +541,61 @@ object SparkEntry {
           |       round(min(a.csim), 4) AS min_cos, any_value(ex.exemplar) AS exemplar
           |FROM asg a JOIN ex ON ex.cell = a.cell
           |GROUP BY a.cell ORDER BY a.cell""".stripMargin) +
+      // SemDeDup decision table (qbj): distinct-vector groups (exact
+      // copies resolve at cosine 1.0 against their own group — min pairs
+      // with second-lowest id, copies pair with the min), pinned-quantizer
+      // cell assignment, rep-level within-cell argmax NN (6-dp cosine,
+      // ties to the lower id), and the keep-lowest-id verdict — the whole
+      // pipeline replayed
+      ("qbj_semantic_dedup" ->
+        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+          |       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+          |     FROM embeddings),
+          |n AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+          |cents AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+          |            list_transform(v, x -> x / nrm) AS cv
+          |          FROM e, n WHERE vec_id % n.stride = 0 ORDER BY vec_id LIMIT 16),
+          |vg AS (SELECT v, min(vec_id) AS rep, count(*) AS n_copies FROM e GROUP BY v),
+          |sec AS (SELECT vg.rep, min(e.vec_id) AS second_id
+          |        FROM e JOIN vg ON e.v = vg.v AND e.vec_id > vg.rep GROUP BY vg.rep),
+          |er AS (SELECT vg.rep, vg.v, e.nrm FROM vg JOIN e ON e.vec_id = vg.rep),
+          |sim AS (SELECT er.rep, c.cell, list_inner_product(er.v, c.cv) / er.nrm AS csim
+          |        FROM er, cents c),
+          |asg AS (SELECT rep, cell FROM (SELECT *, row_number() OVER (PARTITION BY rep
+          |          ORDER BY csim DESC, cell) AS r FROM sim) WHERE r = 1),
+          |p AS (SELECT a.rep, b.rep AS nn_rep,
+          |        round(list_cosine_similarity(ea.v, eb.v), 6) AS nn_cos
+          |      FROM asg a JOIN asg b ON a.cell = b.cell AND a.rep <> b.rep
+          |      JOIN er ea ON ea.rep = a.rep JOIN er eb ON eb.rep = b.rep),
+          |nn AS (SELECT rep, nn_rep, nn_cos FROM (SELECT *, row_number() OVER (
+          |         PARTITION BY rep ORDER BY nn_cos DESC, nn_rep) AS r FROM p) WHERE r = 1),
+          |base AS (SELECT e.vec_id, vg.rep, vg.n_copies FROM e JOIN vg ON e.v = vg.v),
+          |o AS (SELECT b.vec_id, a.cell,
+          |    CASE WHEN b.n_copies >= 2 THEN
+          |        (CASE WHEN b.vec_id = b.rep THEN s.second_id ELSE b.rep END)
+          |      ELSE nn.nn_rep END AS nn_id,
+          |    CAST(CASE WHEN b.n_copies >= 2 THEN 1.0 ELSE nn.nn_cos END AS DOUBLE) AS nn_cos
+          |  FROM base b JOIN asg a ON a.rep = b.rep
+          |  LEFT JOIN sec s ON s.rep = b.rep
+          |  LEFT JOIN nn ON nn.rep = b.rep)
+          |SELECT vec_id, cell, nn_id, nn_cos,
+          |  coalesce(nn_cos >= 0.9 AND nn_id < vec_id, false) AS is_semdup
+          |FROM o ORDER BY vec_id""".stripMargin) +
+      // cross-document boilerplate (qbi): exact-dup collapse on md5 of the
+      // content, per-content DISTINCT 8-gram windows, corpus counts with
+      // the >= 2 distinct-contents floor, top-50 on the total string order
+      ("qbi_boilerplate_grams" ->
+        """WITH c AS (SELECT count(*) AS n_copies, min(text) AS txt
+          |           FROM documents GROUP BY md5(text)),
+          |t AS (SELECT n_copies, list_filter(string_split_regex(lower(txt), '\s+'),
+          |        x -> len(x) > 0) AS w FROM c),
+          |g AS (SELECT n_copies, unnest(list_distinct(list_transform(range(1, len(w) - 6),
+          |        i -> array_to_string(w[i:i+7], ' ')))) AS gram
+          |      FROM t WHERE len(w) >= 8)
+          |SELECT gram, CAST(sum(n_copies) AS BIGINT) AS n_docs,
+          |       count(*) AS n_contents
+          |FROM g GROUP BY 1 HAVING count(*) >= 2
+          |ORDER BY n_contents DESC, n_docs DESC, gram LIMIT 50""".stripMargin) +
       // IVF with the PINNED stride-sample quantizer (qbe): centroids are
       // the normalized vectors at vec_id % stride = 0 (first 16 by id),
       // so DuckDB replays cell assignment (argmax cosine-to-centroid,

@@ -432,14 +432,24 @@ object Similarity {
       .cache()
     val reps = grp.select(col("rid").as("vec_id"), col("v"), col("norm"))
     val bits = if (nBits > 0) nBits else autoBits(reps.count())
-    val e = lshBuckets(reps, bits, nTables).cache() // self-joined a/b
-    val scored = e.as("a").join(e.as("b"),
+    // the bucket self-join and the cross-table dedup move ONLY
+    // (vec_id, table, bucket) — 24-byte rows. The first formulation
+    // carried both 64-double vectors through the join output into
+    // dropDuplicates, which made the dedup shuffle ~1 KB/candidate
+    // (measured 3.4 s warm at sf0.1 with 16 tables); vectors re-attach
+    // AFTER the pair set is distinct, by two narrow rep-level joins
+    val e = lshBuckets(reps, bits, nTables)
+      .select("vec_id", "table", "bucket").cache()
+    val cand = e.as("a").join(e.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"),
-        col("a.v").as("va"), col("b.v").as("vb"),
-        col("a.norm").as("na"), col("b.norm").as("nb"))
+      .select(col("a.vec_id").as("ra"), col("b.vec_id").as("rb"))
       .dropDuplicates("ra", "rb")
+    val scored = cand
+      .join(reps.select(col("vec_id").as("ra"), col("v").as("va"),
+        col("norm").as("na")), Seq("ra"))
+      .join(reps.select(col("vec_id").as("rb"), col("v").as("vb"),
+        col("norm").as("nb")), Seq("rb"))
       .select(col("ra"), col("rb"),
         round(cdot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cosine"))
       // consumed TWICE (the kth-cosine aggregate and the threshold join) —
@@ -594,5 +604,90 @@ object Similarity {
         Seq(("cosine", true), ("neighbor_id", false)), 1, "rank")
       .select("query_id", "query_label", "neighbor_id", "neg_label", "cosine")
       .orderBy("query_id")
+  }
+
+  /** qbj: SemDeDup-style semantic dedup decision table (Abbas et al. 2023,
+    * arXiv:2303.09540 — cluster the embeddings, then look for duplicates
+    * only WITHIN a cluster, the approximation that makes embedding-level
+    * dedup tractable at corpus scale). One row per vector: its cell under
+    * the PINNED stride-sample quantizer (the qbe/qbf discipline — no Lloyd
+    * refinement, so the whole pipeline is DuckDB-replayable), its nearest
+    * within-cell neighbor with the 6-dp cosine, and the SemDeDup keep-
+    * lowest-id verdict `is_semdup = nn_cos >= tau AND nn_id < vec_id`.
+    * Downstream keeps `NOT is_semdup` rows; emitting the full decision
+    * table (not just the survivors) keeps the face non-empty — and the
+    * flag column exact-checkable — on corpora with no semantic duplicates
+    * at all.
+    *
+    * Scale shape: the nearest-neighbor search contracts to DISTINCT
+    * vectors first (the q48 collapse — exact-duplicate vectors are
+    * semantic duplicates at cosine exactly 1.0 by definition, so copies
+    * resolve against their own group: the group minimum pairs with the
+    * second-lowest id, every other copy with the minimum, no pairwise
+    * work spent). Rep-level search is all-pairs WITHIN a cell only —
+    * SemDeDup's own cost model: cells bound the quadratic term at
+    * (N/nCells)² per cell, and nCells grows with the corpus (the fixture
+    * pins 16; a 100 TB run sizes cells like [[autoBits]] sizes buckets).
+    * At cluster scale the cell is the partition key, so each cell's scan
+    * is partition-local. The vector-group shuffle keys on the raw
+    * double[64] array (512 B); a deployment would key on a content hash
+    * of the packed bytes — same discipline as q40's md5 — to move 8-byte
+    * keys instead. */
+  def semanticDedup(spark: SparkSession, dir: String, nCells: Int = 16,
+      tau: Double = 0.9): DataFrame = {
+    import spark.implicits._
+    val e = normalized(spark, dir).cache()
+    // distinct-vector collapse: one rep per vector value, copy counts, and
+    // the second-lowest id (the group-min's own nearest neighbor)
+    val vg = e.groupBy("v").agg(
+      min(col("vec_id")).as("rep"), count(lit(1)).as("n_copies"))
+    val second = e.select(col("vec_id"), col("v"))
+      .join(vg.select(col("v"), col("rep")), Seq("v"))
+      .where(col("vec_id") > col("rep"))
+      .groupBy("rep").agg(min(col("vec_id")).as("second_id"))
+    // pinned quantizer: iters = 0 degrades sphericalKMeans to the
+    // deterministic stride-sample — the step that keeps the oracle exact
+    val cents = sphericalKMeans(e, nCells, iters = 0)
+    val centroids = spark.createDataset(
+        cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
+      .toDF("cell", "cv") // unit length
+    val reps = vg.select(col("rep")).join(
+      e.withColumnRenamed("vec_id", "rep"), Seq("rep"))
+    val simToCell = reps.join(broadcast(centroids), lit(true))
+      .select(col("rep"), col("v"), col("norm"), col("cell"),
+        (cdot(col("v"), col("cv")) / col("norm")).as("csim"))
+    val assignW = Window.partitionBy("rep")
+      .orderBy(col("csim").desc, col("cell"))
+    val assigned = simToCell.withColumn("r", row_number().over(assignW))
+      .where(col("r") === 1).select("rep", "v", "norm", "cell").cache()
+    val lhs = assigned.select(col("rep"), col("v").as("av"),
+      col("norm").as("an"), col("cell"))
+    val rhs = assigned.select(col("rep").as("nn_rep"), col("v").as("bv"),
+      col("norm").as("bn"), col("cell"))
+    val pairs = lhs.join(rhs, Seq("cell")).where(col("rep") =!= col("nn_rep"))
+      .select(col("rep"), col("nn_rep"),
+        round(cdot(col("av"), col("bv")) / (col("an") * col("bn")), 6)
+          .as("nn_cos"))
+    val nn = graft.plans.TopKPerGroup(pairs, Seq("rep"),
+        Seq(("nn_cos", true), ("nn_rep", false)), 1, "r")
+      .select("rep", "nn_rep", "nn_cos")
+    val base = e.select(col("vec_id"), col("v"))
+      .join(vg.select(col("v"), col("rep"), col("n_copies")), Seq("v"))
+      .select(col("vec_id"), col("rep"), col("n_copies"))
+    base
+      .join(assigned.select(col("rep"), col("cell")), Seq("rep"))
+      .join(second, Seq("rep"), "left")
+      .join(nn, Seq("rep"), "left")
+      .select(col("vec_id"), col("cell"),
+        when(col("n_copies") >= 2,
+            when(col("vec_id") === col("rep"), col("second_id"))
+              .otherwise(col("rep")))
+          .otherwise(col("nn_rep")).as("nn_id"),
+        when(col("n_copies") >= 2, lit(1.0)).otherwise(col("nn_cos"))
+          .as("nn_cos"))
+      .withColumn("is_semdup",
+        coalesce(col("nn_cos") >= tau && col("nn_id") < col("vec_id"),
+          lit(false)))
+      .orderBy("vec_id")
   }
 }

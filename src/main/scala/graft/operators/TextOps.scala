@@ -767,4 +767,43 @@ object TextOps {
       .withColumn("n_seqs", col("seq_last") - col("seq_first") + 1L)
       .orderBy("doc_id")
   }
+
+  /** qbi: cross-document boilerplate detection — the word n-grams shared
+    * by the most DISTINCT document contents (headers, footers, license
+    * blocks, templated passages: the repeated-passage mass that inflates
+    * a training corpus without adding signal; [[repeatedNgrams]] is the
+    * WITHIN-document twin of this signal). Emits the top `k` grams by
+    * (distinct contents containing it, then total docs, then gram), with
+    * both counts: `n_contents` ignores exact copies, `n_docs` weights
+    * them back in — a gram carried only by exact duplicates of one
+    * content is q40's business, not boilerplate.
+    *
+    * Scale shape: the exact-dup collapse runs FIRST (groupBy md5 of the
+    * content — q40's hash), so gram explosion happens once per distinct
+    * content no matter how duplicate-heavy the corpus is; per-content
+    * grams are deduped BEFORE the corpus-wide shuffle (array_distinct on
+    * the window list, map-side); the gram aggregation is a partial-agged
+    * groupBy with a top-k cut (TakeOrderedAndProject — no global sort
+    * materializes). Grams travel as strings here so the oracle is
+    * hash-free; at 100 TB they'd travel as [[graft.functions
+    * .PortableGramHashes]] 8-byte keys with `min(gram)` carried for
+    * display — same plan, narrower shuffle. */
+  def boilerplateGrams(spark: SparkSession, dir: String, n: Int = 8,
+      minContents: Long = 2, k: Int = 50): DataFrame = {
+    val contents = Tables(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("ch"))
+      .agg(count(lit(1)).as("n_copies"), min("text").as("text"))
+    val grams = contents
+      .select(col("n_copies"), Dedup.tokensCol(col("text")).as("tokens"))
+      .where(size(col("tokens")) >= n)
+      .select(col("n_copies"), explode(array_distinct(transform(
+          sequence(lit(0), size(col("tokens")) - n),
+          i => concat_ws(" ", slice(col("tokens"), i + 1, lit(n))))))
+        .as("gram"))
+    grams.groupBy("gram")
+      .agg(sum("n_copies").as("n_docs"), count(lit(1)).as("n_contents"))
+      .where(col("n_contents") >= minContents)
+      .orderBy(col("n_contents").desc, col("n_docs").desc, col("gram"))
+      .limit(k)
+  }
 }

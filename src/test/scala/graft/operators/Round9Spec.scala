@@ -1,0 +1,97 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.SparkSuite
+
+/** Round-9 faces: cross-document boilerplate grams (qbi) and the
+  * SemDeDup-style semantic-dedup decision table (qbj). Both are full
+  * DuckDB-oracle faces; these specs pin the semantics the oracle can't
+  * see from the fixture alone — the brute-force recompute for qbi, and
+  * for qbj a staged two-pole corpus where the copy-group resolution,
+  * within-cell NN, and keep-lowest-id verdicts are all hand-checkable. */
+class Round9Spec extends AnyFunSuite with SparkSuite {
+
+  test("boilerplateGrams matches a driver-side brute-force recompute") {
+    val out = TextOps.boilerplateGrams(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("gram"), r.getAs[Long]("n_docs"),
+        r.getAs[Long]("n_contents"))).toSeq
+    assert(out.nonEmpty && out.forall(_._3 >= 2))
+    val texts = graft.Tables(spark, sfDir, "documents").collect()
+      .map(_.getAs[String]("text")).toSeq
+    val byContent = texts.groupBy(identity).map { case (t, c) => (t, c.size.toLong) }
+    def grams(t: String): Set[String] = t.toLowerCase.split("\\s+")
+      .filter(_.nonEmpty).sliding(8).filter(_.length == 8)
+      .map(_.mkString(" ")).toSet
+    val agg = scala.collection.mutable.Map.empty[String, (Long, Long)]
+    byContent.foreach { case (t, copies) =>
+      grams(t).foreach { g =>
+        val (nd, nc) = agg.getOrElse(g, (0L, 0L))
+        agg(g) = (nd + copies, nc + 1)
+      }
+    }
+    val expect = agg.toSeq.collect { case (g, (nd, nc)) if nc >= 2 => (g, nd, nc) }
+      .sortBy { case (g, nd, nc) => (-nc, -nd, g) }.take(50)
+    assert(out == expect)
+  }
+
+  test("semanticDedup on the fixture: total, no false dups, sane NNs") {
+    val n = graft.Tables(spark, sfDir, "embeddings").count()
+    val rows = Similarity.semanticDedup(spark, sfDir).collect()
+    assert(rows.length == n.toInt) // one decision row per vector
+    // the fixture's embeddings are near-orthogonal (max pairwise cosine
+    // ~0.48), so nothing may be flagged at tau = 0.9
+    assert(rows.forall(!_.getAs[Boolean]("is_semdup")))
+    rows.filter(!_.isNullAt(2)).foreach { r =>
+      assert(r.getAs[Long]("nn_id") != r.getAs[Long]("vec_id"))
+    }
+  }
+
+  /** Two poles A=(1,0,0,0), B=(0,1,0,0); rotations at known angles give
+    * hand-computable cosines. vecs 0,1,2 = A exactly (a copy group);
+    * 3 = A rotated 18deg (cos .951); 4 = 45deg (cos .707, and .891 to 3);
+    * 5 = B; 6 = B rotated 18deg; 7 = 45deg; 8 = 80deg; 9 = -10deg
+    * (cos .985 to 5). nCells=2 makes the stride-sample centroids exactly
+    * vec 0 (pole A) and vec 5 (pole B). */
+  private lazy val stagedDir: String = {
+    val dir = Files.createTempDirectory("semdedup").toString
+    def rotA(deg: Double) = { val r = math.toRadians(deg)
+      Array(math.cos(r).toFloat, 0f, math.sin(r).toFloat, 0f) }
+    def rotB(deg: Double) = { val r = math.toRadians(deg)
+      Array(0f, math.cos(r).toFloat, 0f, math.sin(r).toFloat) }
+    val vecs: Seq[(Long, Array[Float])] = Seq(
+      0L -> rotA(0), 1L -> rotA(0), 2L -> rotA(0), 3L -> rotA(18),
+      4L -> rotA(45), 5L -> rotB(0), 6L -> rotB(18), 7L -> rotB(45),
+      8L -> rotB(80), 9L -> rotB(-10))
+    import spark.implicits._
+    vecs.toDF("vec_id", "embedding").write.parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("semanticDedup staged poles: copy groups, NN, keep-lowest verdicts") {
+    val rows = Similarity.semanticDedup(spark, stagedDir, nCells = 2)
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        ((r.getAs[Long]("cell"), if (r.isNullAt(2)) -1L else r.getAs[Long]("nn_id"),
+          r.getAs[Double]("nn_cos"), r.getAs[Boolean]("is_semdup")))).toMap
+    assert(rows.size == 10)
+    // copy group {0,1,2}: min pairs with second-lowest at cosine 1.0 and
+    // survives; the copies pair with the min and are flagged
+    assert(rows(0L) == ((0L, 1L, 1.0, false)))
+    assert(rows(1L) == ((0L, 0L, 1.0, true)))
+    assert(rows(2L) == ((0L, 0L, 1.0, true)))
+    // 3 is a near-dup of the A group (cos 18deg = .951 >= .9, nn_id 0 < 3)
+    assert(rows(3L)._2 == 0L && rows(3L)._3 > 0.9 && rows(3L)._4)
+    // 4's best neighbor is 3 (cos 27deg = .891) - under the threshold
+    assert(rows(4L)._2 == 3L && rows(4L)._3 < 0.9 && !rows(4L)._4)
+    // 5 is pole B's keeper: its nn is 9 at cos 10deg = .985 but 9 > 5
+    assert(rows(5L)._2 == 9L && rows(5L)._3 > 0.9 && !rows(5L)._4)
+    assert(rows(6L)._2 == 5L && rows(6L)._3 > 0.9 && rows(6L)._4)
+    assert(rows(7L)._2 == 6L && rows(7L)._3 < 0.9 && !rows(7L)._4)
+    assert(!rows(8L)._4)
+    assert(rows(9L)._2 == 5L && rows(9L)._3 > 0.9 && rows(9L)._4)
+    // both cells materialized under the two-pole quantizer
+    assert(rows.values.map(_._1).toSet == Set(0L, 1L))
+    assert((0L to 4L).forall(rows(_)._1 == 0L) && (5L to 9L).forall(rows(_)._1 == 1L))
+  }
+}
