@@ -940,10 +940,15 @@ object SparkEntry {
   /** The q4b/qbb oracle: the exact J >= 0.5 pair set restricted to pairs
     * touching the delta (doc_id >= 400) — the batch-incremental face and
     * its streaming twin drain to the identical relation. */
+  // the delta cutoff replays the engine's scale-invariant default —
+  // the top fifth of the id space, integer-exact: (max+1)*4//5 = 400 on
+  // the 500-doc driver fixtures, and the same CORPUS FRACTION at any sf
+  // (Dedup.autoDeltaFrom)
   private def incrementalPairsOracle: String =
-    s"""WITH $exactJaccardPairsCte
-       |SELECT doc_a, doc_b, jaccard FROM e
-       |WHERE jaccard >= 0.5 AND (doc_a >= 400 OR doc_b >= 400)
+    s"""WITH $exactJaccardPairsCte,
+       |cut AS (SELECT (max(doc_id) + 1) * 4 // 5 AS c FROM documents)
+       |SELECT doc_a, doc_b, jaccard FROM e, cut
+       |WHERE jaccard >= 0.5 AND (doc_a >= cut.c OR doc_b >= cut.c)
        |ORDER BY jaccard DESC, doc_a, doc_b""".stripMargin
 
   /** Shared CTE: raw word-3-gram shingle sets + ALL exact-Jaccard pairs

@@ -85,6 +85,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val groupsCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
+  private val bandIndexCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Per-call `.cache()`s (content groups, OPH signatures, SimHash
     * fingerprints, band tables) are not keyed views — they exist so one
@@ -105,12 +107,14 @@ object Dedup {
   def clearCaches(): Unit = {
     (shingleCache.values.asScala ++
         contentCache.values.asScala ++ groupedDenseCache.values.asScala ++
-        groupsCache.values.asScala ++ transientCaches.asScala)
+        groupsCache.values.asScala ++ bandIndexCache.values.asScala ++
+        transientCaches.asScala)
       .foreach(df => scala.util.Try(df.unpersist()))
     shingleCache.clear()
     contentCache.clear()
     groupedDenseCache.clear()
     groupsCache.clear()
+    bandIndexCache.clear()
     transientCaches.clear()
   }
 
@@ -251,6 +255,30 @@ object Dedup {
     groupedDenseCache.computeIfAbsent((spark, dir), _ =>
       groupedSigs(spark, dir, minhashSigCol).cache())
 
+  /** The corpus's content-level LSH band index WITH the shingle sets —
+    * (cid, band, bh, sh) — as a (session, dir)-keyed materialized view:
+    * the "index side" a streaming ingest probes per micro-batch
+    * ([[graft.streaming.DedupStream.minhashPairsFromStream]]). Built over
+    * [[groupedDense]] (so the signature pipeline is shared with the batch
+    * family and runs at the parent session's shuffle width, ONCE), one
+    * band row per DISTINCT content — g exact copies of a text no longer
+    * multiply every bucket the stream probes. Cached relations live in
+    * the context's SharedState, so a child streaming session joining
+    * against this DataFrame reads the same in-memory blocks. */
+  private[graft] def corpusBandIndex(spark: SparkSession, dir: String): DataFrame =
+    bandIndexCache.computeIfAbsent((spark, dir), _ => {
+      val grp = groupedDense(spark, dir)
+      bandsOf(grp)
+        .join(grp.select(col("doc_id"), col("sh")), Seq("doc_id"))
+        .select(col("doc_id").as("cid"), col("band"), col("bh"), col("sh"))
+        .cache()
+    })
+
+  /** (cid, members) of the corpus content groups — the drain-side
+    * expansion relation paired with [[corpusBandIndex]]. */
+  private[graft] def contentMembers(spark: SparkSession, dir: String): DataFrame =
+    groupedDense(spark, dir).select(col("doc_id").as("cid"), col("members"))
+
   /** Record-level expansion of verified content-pair results: cross-group
     * pairs inherit the representatives' jaccard (identical sets ⇒ identical
     * similarity), within-group pairs are exactly 1.0 (set equality). Joins
@@ -331,7 +359,26 @@ object Dedup {
     * (spec-asserted); within-group pairs come only from delta-touching
     * groups, so expansion stays O(delta-output) too. */
   def minhashPairsIncremental(spark: SparkSession, dir: String,
-      deltaFrom: Long = 400, minJaccard: Double = 0.5): DataFrame = {
+      deltaFrom: Long = -1L, minJaccard: Double = 0.5): DataFrame = {
+    val cut = if (deltaFrom >= 0) deltaFrom else autoDeltaFrom(spark, dir)
+    minhashPairsIncrementalAt(spark, dir, cut, minJaccard)
+  }
+
+  /** Scale-invariant default delta cutoff: the top fifth of the id space,
+    * `(max(doc_id)+1) * 4 / 5` in integer arithmetic — the SAME number at
+    * every fixture scale RELATIVE to the corpus (a fixed absolute cutoff
+    * made the "delta" 99% of the corpus at sf1+, so the scale runs were
+    * benchmarking bulk re-ingest, not incremental probing). Integer-exact
+    * and DuckDB-replayable (`(max(doc_id)+1) * 4 // 5`); an empty corpus
+    * yields 0 (empty delta over an empty index — still empty output). */
+  private[graft] def autoDeltaFrom(spark: SparkSession, dir: String): Long = {
+    val row = Tables(spark, dir, "documents").agg(max("doc_id")).head()
+    val mx = if (row.isNullAt(0)) -1L else row.getLong(0)
+    ((mx + 1L) * 4L) / 5L
+  }
+
+  private def minhashPairsIncrementalAt(spark: SparkSession, dir: String,
+      deltaFrom: Long, minJaccard: Double): DataFrame = {
     val grp = groupedDense(spark, dir)
     val bands = tracked(bandsOf(grp).cache())
     val deltaGroups = grp.where(array_max(col("members")) >= deltaFrom)

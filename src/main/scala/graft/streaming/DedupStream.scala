@@ -64,42 +64,61 @@ object DedupStream {
     * payload — a `distinct` over the drained sink, not streaming state),
     * so the stream itself needs NO state store at all. */
   def minhashPairsFromStream(spark: SparkSession, dir: String,
-      deltaFrom: Long = 400, minJaccard: Double = 0.5): DataFrame = {
+      deltaFrom: Long = -1L, minJaccard: Double = 0.5): DataFrame = {
     import graft.operators.Dedup
+    val cut = if (deltaFrom >= 0) deltaFrom else Dedup.autoDeltaFrom(spark, dir)
     val stage = graft.sources.Staging.fresh("lshstream-src")
     val docs = graft.Tables(spark, dir, "documents")
-    docs.where(col("doc_id") >= deltaFrom).write.mode("overwrite").parquet(stage)
+    docs.where(col("doc_id") >= cut).write.mode("overwrite").parquet(stage)
     val schema = docs.schema
-    // the whole stream pipeline (source, static index, join) builds on a
-    // child session so the state-store partition sizing never leaks into
-    // concurrently-planned queries on the caller's session (StreamSessions)
+    // the whole stream pipeline (source + join) builds on a child session
+    // so the state-store partition sizing never leaks into concurrently-
+    // planned queries on the caller's session (StreamSessions)
     val ss = StreamSessions.withShuffle(spark, 8)
     val stream = ss.readStream.schema(schema).parquet(stage)
 
+    // stream side: per-RECORD signature pipeline — arrival data has no
+    // corpus-wide content groups, so each delta doc bands individually
     val streamBands = Dedup.withBands(stream)
-    // static side: the full corpus index, cached for the drain — every
-    // micro-batch probes it, and without the pin Spark re-derives the
-    // whole signature pipeline per batch (measured 31 s at sf1); a
-    // resident deployment maintains this as its materialized band index
-    val corpusBands = Dedup.withBands(graft.Tables(ss, dir, "documents")).cache()
-    val pairs = streamBands.as("x")
-      .join(corpusBands.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"),
+    // static side: the CONTENT-LEVEL corpus band index, the (session,
+    // dir)-keyed materialized view the batch family shares — built once
+    // at the parent session's shuffle width. Before round 9 this was an
+    // UNCOLLAPSED per-record index rebuilt per call on the child session:
+    // at sf1 that alone was ~30 s, and g exact copies of a text put g
+    // rows in every probed bucket (the duplicate-squaring the batch faces
+    // eliminated in round 8). One band row per distinct content keeps the
+    // per-batch probe at |delta| x content-bucket occupancy.
+    val corpusIndex = Dedup.corpusBandIndex(spark, dir)
+    // in-stream: candidate probe + exact-Jaccard verify at CONTENT level;
+    // the record-level expansion needs no stream state and happens once
+    // at drain, so the sink carries (delta doc, content, jaccard) rows —
+    // not the expanded pair stream
+    val verified = streamBands.as("x")
+      .join(corpusIndex.as("y"),
+        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+      .select(col("x.doc_id").as("sdoc"), col("y.cid").as("cid"),
         Dedup.jaccardOf(col("x.sh"), col("y.sh")).as("jaccard"))
       .where(col("jaccard") >= minJaccard)
 
     val outDir = graft.sources.Staging.fresh("lshstream-sink")
-    val q = pairs.writeStream
+    val q = verified.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
         batch.write.mode("append").parquet(outDir)
       }
       .outputMode("append").start()
-    try q.processAllAvailable() finally { q.stop(); corpusBands.unpersist() }
+    try q.processAllAvailable() finally q.stop()
 
+    // drain-side expansion (batch plan on the caller's session): contents
+    // re-expand to their member records, the probing doc excluded; a pair
+    // seen from both directions (both endpoints in the delta) and band
+    // re-collisions collapse in the same distinct the face always ran
     spark.read.parquet(outDir).distinct()
+      .join(Dedup.contentMembers(spark, dir), Seq("cid"))
+      .select(col("sdoc"), explode(col("members")).as("m"), col("jaccard"))
+      .where(col("sdoc") =!= col("m"))
+      .select(least(col("sdoc"), col("m")).as("doc_a"),
+        greatest(col("sdoc"), col("m")).as("doc_b"), col("jaccard"))
+      .distinct()
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
   }
 }

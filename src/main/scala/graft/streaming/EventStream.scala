@@ -111,11 +111,17 @@ object EventStream {
     Files.copy(Paths.get(s"$dir/events.parquet"), stage.resolve("events.parquet"))
     val raw = spark.read.parquet(s"$dir/events.parquet") // ts: raw layout
     // interval-join state is keyed by (bin, side): a month of fixture time
-    // is ~720 hot keys, and each of the 4 store instances carries 4 state
-    // stores (two per join side) with per-batch commit overhead — fewer,
-    // fatter stores win until key cardinality demands otherwise. Sized on
+    // is ~720 hot keys, and each store instance carries 4 state stores
+    // (two per join side) with per-batch commit overhead — fewer, fatter
+    // stores win until ROW volume demands otherwise: the join's per-batch
+    // work (state writes + range probes) parallelizes by store, so a
+    // fixed width of 4 capped the whole 10x run at 4 threads (measured
+    // 32 s at sf1, 9x the sf0.1 time). Width scales with the event count
+    // — 4 up to ~400k events, then one store per 100k, capped at the
+    // session's core budget; count() is a parquet metadata read. Sized on
     // a child session so it never leaks into the caller's (StreamSessions).
-    val ss = StreamSessions.withShuffle(spark, 4)
+    val stateParts = math.min(32L, math.max(4L, raw.count() / 100000L)).toInt
+    val ss = StreamSessions.withShuffle(spark, stateParts)
     ss.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     def streamOf(tpe: String) = graft.Tables.normalizeEventsTs(
         ss.readStream.schema(raw.schema).parquet(stage.toString))
