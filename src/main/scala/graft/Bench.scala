@@ -60,10 +60,13 @@ object Bench {
     }.toMap
     val cold = r1
     // The harness captures only the LAST 2000 chars of stdout and parses the
-    // JSON line out of that window; 81 full-name full-precision entries blew
-    // past it (rounds 1-2 went unparsed). Keep the stdout line compact —
-    // 3-char query ids ("q01_groupavg_brand_flag" -> "q01") and 3 decimals —
-    // and write the full-name detail to bench_detail.json alongside the repo.
+    // JSON line out of that window; 200+ entries overflow it even at 3-char
+    // ids and 3 decimals (BENCH_r08.json came back "parsed": null — only the
+    // line's tail survived). The stdout line therefore carries the total,
+    // the failure count, and a fixed HEADLINE subset (one face per engine
+    // family — the judge's per-family diagnostics), which fits the window
+    // with room to spare; the full 200+-query detail (cold / min-of-N warm
+    // samples) always lands in bench_detail.json next to the repo.
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
     // 3-char ids must stay unique or two queries would collapse into one
     // JSON key and silently drop a timing; any colliding name keeps its
@@ -71,13 +74,33 @@ object Bench {
     val prefixCount = results.keys.groupBy(_.take(3)).view.mapValues(_.size)
     def shortId(k: String): String =
       if (prefixCount(k.take(3)) == 1) k.take(3) else k
-    val qs = results.toSeq.sortBy(_._1)
+    // one representative per family: relational agg/join/window, SON,
+    // betweenness tiers, components, PageRank/HITS, dedup (exact, MinHash,
+    // SimHash, grouping, survivors, incremental), set-similarity, entities,
+    // ANN tiers, text/tokenize/decontaminate, sampling, packing, streaming,
+    // manifest source, semantic dedup
+    val headline = Seq(
+      "q01_groupavg_brand_flag", "q08_topk", "q17_window_running",
+      "q22_son", "q30_cograph_edges", "q32_conncomp",
+      "q33_betweenness", "q40_dedup_exact", "q42_minhash_pairs",
+      "q44_simhash_pairs", "q46_ann_brute", "q47_ann_lsh", "q4a_ann_ivf",
+      "q4b_dedup_incremental", "q48_cosine_neardup", "q50_text_stats",
+      "q55_bpe_tokens", "q56_dedup_groups", "q57_hash_split",
+      "q59_ann_pq", "q65_sessionize_stream", "q69_range_join_stream",
+      "q78_tfidf", "q80_decontaminate", "q84_binaryfile_source", "q88_pagerank",
+      "q8n_dedup_survivors", "q9n_hits", "q9q_entities", "qad_prefix_join",
+      "qbb_dedup_stream_lsh", "qbd_packing_manifest", "qbg_manifest_source",
+      "qbj_semantic_dedup")
+    val qs = results.toSeq.filter(kv => headline.contains(kv._1))
+      .sortBy(_._1)
       .map { case (k, v) => "\"" + shortId(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
-    // total = successful queries only; failures stay visible as -1 entries
+    // total = successful queries only; failures stay countable in the line
+    // (n_fail) and visible as -1 entries in bench_detail.json
     val total = results.values.filter(_ >= 0).sum
+    val nFail = results.values.count(_ < 0)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}"""
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
         "\"" + k + "\":{\"min\":" + fmt(v) +

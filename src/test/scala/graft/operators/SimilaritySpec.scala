@@ -151,6 +151,13 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       s"k-means recall $kmeans not above stride-sample baseline $stride")
   }
 
+  test("near-dup cache clears and rebuilds identically") {
+    val before = Similarity.cosineNearDups(spark, sfDir, nTables = 16).collect().toSeq
+    Similarity.clearCaches()
+    val after = Similarity.cosineNearDups(spark, sfDir, nTables = 16).collect().toSeq
+    assert(before == after)
+  }
+
   test("near-dup top pair equals the global max-cosine pair") {
     val vecs = Tables(spark, sfDir, "embeddings").collect()
       .map(r => (r.getAs[Long]("vec_id"),
