@@ -234,6 +234,11 @@ object SparkEntry {
     // cross-document boilerplate: top word-8-grams by distinct contents
     // containing them (exact-dup collapse first; hash-free string oracle)
     "qbi_boilerplate_grams" -> ((s, d) => TextOps.boilerplateGrams(s, d)),
+    // doc-level duplicated-span fraction (qbi's per-document twin):
+    // distinct-content collapse, portable gram hashes, integer permille
+    "qbk_dup_span_ratio" -> ((s, d) => TextOps.dupSpanRatio(s, d)),
+    // hashed-feature linear quality classifier, pinned integer weights
+    "qbl_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     // content-defined chunking (codegen'd rolling boundary) + chunk dedup
     "q8i_cdc_chunks" -> ((s, d) => TextOps.cdcChunkStats(s, d)),
     // DataSourceV2 multi-char-delim reader (column pruning + filter
@@ -596,6 +601,46 @@ object SparkEntry {
           |       count(*) AS n_contents
           |FROM g GROUP BY 1 HAVING count(*) >= 2
           |ORDER BY n_contents DESC, n_docs DESC, gram LIMIT 50""".stripMargin) +
+      // doc-level duplicated-span fraction (qbk): distinct-content
+      // collapse, per-content DISTINCT 8-gram hashes with the engine's
+      // short-doc clamp (< 8 tokens -> one truncated gram, '' for empty
+      // text), corpus share counts on the portable md5 gram key, integer
+      // permille (floor == trunc, all values nonnegative) re-expanded to
+      // every doc_id by the content-hash join
+      ("qbk_dup_span_ratio" ->
+        """WITH d AS (SELECT doc_id, md5(text) AS ch FROM documents),
+          |c AS (SELECT md5(text) AS ch, min(text) AS text
+          |      FROM documents GROUP BY 1),
+          |t AS (SELECT ch, list_filter(string_split_regex(lower(text), '\s+'),
+          |        x -> len(x) > 0) AS w FROM c),
+          |gr AS (SELECT ch, unnest(list_distinct(list_transform(
+          |        range(1, greatest(len(w) - 6, 2)),
+          |        i -> md5_number_lower(array_to_string(w[i:i+7], ' '))))) AS g
+          |       FROM t),
+          |cnt AS (SELECT g, count(*) AS nc FROM gr GROUP BY g),
+          |s AS (SELECT ch, count(*) AS n_grams,
+          |        sum(CASE WHEN nc >= 2 THEN 1 ELSE 0 END) AS n_shared
+          |      FROM gr JOIN cnt USING (g) GROUP BY ch)
+          |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+          |  CAST(n_shared AS BIGINT) AS n_shared,
+          |  CAST(n_shared * 1000 // n_grams AS BIGINT) AS dup_permille
+          |FROM d JOIN s USING (ch) ORDER BY doc_id""".stripMargin) +
+      // hashed-feature linear quality classifier (qbl): bucket =
+      // md5_number_lower(token) % 256 (== the engine's pmod of the signed
+      // md5_quad64 since 2^64 % 256 = 0), LCG weight in [-1000, 1000],
+      // frequency-weighted integer sum per doc — exact equality, no float
+      ("qbl_quality_score" ->
+        """WITH u AS (SELECT doc_id, unnest(list_filter(
+          |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+          |  FROM documents),
+          |w AS (SELECT doc_id,
+          |    CAST(((md5_number_lower(token) % 256) * 1103515245 + 12345) % 2001
+          |         AS BIGINT) - 1000 AS w
+          |  FROM u)
+          |SELECT doc_id, count(*) AS n_tokens,
+          |  CAST(sum(w) AS BIGINT) AS qscore,
+          |  CAST(sum(w) AS BIGINT) > 0 AS keep
+          |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
       // IVF with the PINNED stride-sample quantizer (qbe): centroids are
       // the normalized vectors at vec_id % stride = 0 (first 16 by id),
       // so DuckDB replays cell assignment (argmax cosine-to-centroid,

@@ -806,4 +806,79 @@ object TextOps {
       .orderBy(col("n_contents").desc, col("n_docs").desc, col("gram"))
       .limit(k)
   }
+
+  /** qbk: per-document duplicated-span fraction — for each doc, the share
+    * of its distinct word 8-grams that also occur in at least one OTHER
+    * distinct content (the doc-level twin of [[boilerplateGrams]]: qbi
+    * names the corpus's repeated passages, this scores each document by
+    * how much of it is repeated passage — the "fraction of duplicated
+    * spans" curation signal used to drop template-heavy pages that exact
+    * and near dedup both keep, since no single pair is similar enough).
+    *
+    * Scale shape: everything runs at the DISTINCT-CONTENT level (q40's
+    * md5 collapse first, re-expanded to docs by one hash join at the
+    * end), grams travel as portable 8-byte [[graft.functions
+    * .PortableGramHashes]] keys, per-content grams are deduped map-side
+    * BEFORE the corpus shuffle, and the share test is a count-join on
+    * the gram-hash key (co-partitioned with the counting groupBy, so AQE
+    * reuses the exchange). No all-pairs anywhere; linear in distinct
+    * content. The ratio is emitted as an integer permille (floor), so
+    * the DuckDB oracle is exact-equality, no float summation order.
+    *
+    * Reference anchor: the corpus-frequency discipline of
+    * `SON.scala:260-263` (count globally, then judge each member against
+    * the global count). */
+  def dupSpanRatio(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+    val contents = Tables(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("ch"))
+      .agg(min("text").as("text"))
+    // window clamp matches PortableGramHashes/the q53 oracle: a doc with
+    // < n tokens still contributes one truncated gram (empty text → the
+    // hash of ""), so every doc_id appears in the output
+    val grams = contents
+      .select(col("ch"), explode(array_distinct(call_function(
+          "portable_gram_hashes",
+          Dedup.tokensCol(col("text")), lit(n)))).as("g"))
+    val counts = grams.groupBy("g").agg(count(lit(1)).as("nc"))
+    val perContent = grams.join(counts, "g")
+      .groupBy("ch")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nc") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    docs.join(perContent, "ch")
+      .select(col("doc_id"), col("n_grams"), col("n_shared"),
+        floor(col("n_shared") * 1000L / col("n_grams")).as("dup_permille"))
+      .orderBy("doc_id")
+  }
+
+  /** qbl: model-based quality scoring — a linear text classifier over
+    * hashed token features with PINNED integer weights, the
+    * fasttext-style "quality model" gate of LLM data pipelines expressed
+    * as pure column arithmetic. Each token hashes ([[graft.functions
+    * .Md5Quad64]]) into one of 256 feature buckets; each bucket carries a
+    * deterministic weight in [-1000, 1000] (an LCG over the bucket id —
+    * standing in for trained coefficients, which would arrive as a
+    * 256-entry broadcast map with the identical plan); a document's score
+    * is the frequency-weighted integer sum, and `keep` is the
+    * positive-score gate. Integer end-to-end: no float summation order,
+    * so the DuckDB oracle is exact equality — and at 100 TB the same
+    * property makes the score reproducible across partitionings.
+    *
+    * Scale shape: one narrow projection, one codegen'd per-token pass,
+    * one partial-agged groupBy on doc_id (map-side combine does almost
+    * all the work since tokens of a doc are co-located by construction).
+    * No shuffle wider than (doc_id, two longs). */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(call_function("md5_quad64",
+      col("token").cast("binary")), lit(256L))
+    val weight = pmod(bucket * 1103515245L + 12345L, lit(2001L)) - 1000L
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(Dedup.tokensCol(col("text"))).as("token"))
+      .select(col("doc_id"), weight.as("w"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("w").as("qscore"))
+      .withColumn("keep", col("qscore") > 0L)
+      .orderBy("doc_id")
+  }
 }

@@ -94,4 +94,56 @@ class Round9Spec extends AnyFunSuite with SparkSuite {
     assert(rows.values.map(_._1).toSet == Set(0L, 1L))
     assert((0L to 4L).forall(rows(_)._1 == 0L) && (5L to 9L).forall(rows(_)._1 == 1L))
   }
+
+  /** Distinct 8-grams with the PortableGramHashes clamp: full windows for
+    * docs of >= 8 tokens, ONE truncated gram (possibly "") otherwise. */
+  private def gramSet(t: String): Set[String] = {
+    val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+    if (toks.length >= 8) toks.sliding(8).map(_.mkString(" ")).toSet
+    else Set(toks.mkString(" "))
+  }
+
+  test("dupSpanRatio matches a driver-side brute-force recompute") {
+    val docs = graft.Tables(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    val contentGrams = docs.map(_._2).distinct.map(t => t -> gramSet(t)).toMap
+    val share = contentGrams.values.flatten
+      .groupBy(identity).map { case (g, o) => g -> o.size }
+    val expect = docs.map { case (id, t) =>
+      val gs = contentGrams(t)
+      val shared = gs.count(share(_) >= 2).toLong
+      (id, gs.size.toLong, shared, shared * 1000 / gs.size)
+    }.sortBy(_._1)
+    val out = TextOps.dupSpanRatio(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_grams"),
+        r.getAs[Long]("n_shared"), r.getAs[Long]("dup_permille"))).toSeq
+    assert(out == expect)
+    // the fixture plants exact-duplicate contents, but shared SPANS across
+    // different contents must also exist for the face to mean anything
+    assert(out.exists(r => r._3 > 0 && r._3 < r._2))
+  }
+
+  test("qualityScore matches the pinned-weight brute force; gate is sane") {
+    val docs = graft.Tables(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    def weight(tok: String): Long = {
+      val h = graft.functions.Md5Quad64.hash(
+        tok.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val b = java.lang.Math.floorMod(h, 256L)
+      java.lang.Math.floorMod(b * 1103515245L + 12345L, 2001L) - 1000L
+    }
+    val expect = docs.flatMap { case (id, t) =>
+      val toks = t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+      if (toks.isEmpty) None
+      else Some((id, toks.length.toLong, toks.map(weight).sum))
+    }.map { case (id, n, s) => (id, n, s, s > 0L) }.sortBy(_._1)
+    val out = TextOps.qualityScore(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("qscore"), r.getAs[Boolean]("keep"))).toSeq
+    assert(out == expect)
+    // pinned pseudo-weights are sign-balanced: the gate must actually
+    // split the corpus, not rubber-stamp it
+    val kept = out.count(_._4)
+    assert(kept > 0 && kept < out.length)
+  }
 }

@@ -9,7 +9,18 @@ ratios: every document/name has N identical copies, so similarity PAIR sets
 grow ~C(N,2) by construction — output-bound queries inherit that curve from
 the method, not from the plan.
 
-Usage: python3 tools/synth_scale.py <N> <outDir>   # e.g. 100 /tmp/sf10
+Usage: python3 tools/synth_scale.py <N> <outDir> [perturb]
+  e.g. python3 tools/synth_scale.py 100 /tmp/sf10
+       python3 tools/synth_scale.py 100 /tmp/sf10p perturb
+
+`perturb` mode addresses the caveat above for the pair-similarity family:
+every token of every replicated document (and the customer/supplier name
+spaces) is salted with the replica index, so replicas of one doc are NOT
+near-dups of each other — each replica reproduces sf0.1's within-replica
+pair structure and nothing across replicas. Under perturb, pair outputs
+grow ~N (linear), matching real corpora where 100x more data is new data,
+not 100 identical copies; compute/shuffle scaling can then be read without
+the C(N,2) output-bound term.
 """
 import sys
 import duckdb
@@ -17,7 +28,7 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 
 
-def main(n, out):
+def main(n, out, perturb=False):
     con = duckdb.connect()
     con.execute("PRAGMA threads=32")
     import os
@@ -61,10 +72,30 @@ def main(n, out):
         "p_name, p_brand, p_type, p_size, p_retailprice")
     rep("supplier",
         f"s_suppkey + i * {sk} AS s_suppkey, s_name, s_nationkey, s_acctbal")
-    rep("documents",
-        f"doc_id + i * {dk} AS doc_id, text, lang, source, n_chars")
-    rep("embeddings",
-        f"vec_id + i * {vk} AS vec_id, embedding, label")
+    if perturb:
+        # Salt EVERY token with the replica index: all shingles/grams become
+        # replica-local, so cross-replica similarity is exactly zero and the
+        # pair family's output scales linearly in N. n_chars tracks the new
+        # text so length-derived stats stay self-consistent.
+        rep("documents",
+            f"doc_id + i * {dk} AS doc_id, "
+            "array_to_string(list_transform(string_split(text, ' '), "
+            "t -> t || 'r' || i), ' ') AS text, lang, source, "
+            "length(array_to_string(list_transform(string_split(text, ' '), "
+            "t -> t || 'r' || i), ' ')) AS n_chars")
+        # Orthogonal per-replica rotation analog: negate a replica-indexed
+        # dimension pattern so replicated vectors are no longer identical
+        # (cosine(v, v') < 1 across replicas) while norms are preserved.
+        rep("embeddings",
+            f"vec_id + i * {vk} AS vec_id, "
+            "list_transform(embedding, (x, j) -> "
+            "CASE WHEN (j - 1 + i) % 7 = 0 AND i > 0 THEN -x ELSE x END) "
+            "AS embedding, label")
+    else:
+        rep("documents",
+            f"doc_id + i * {dk} AS doc_id, text, lang, source, n_chars")
+        rep("embeddings",
+            f"vec_id + i * {vk} AS vec_id, embedding, label")
     rep("events",
         f"event_id + i * {ek} AS event_id, ts, "
         f"user_id + i * {uk} AS user_id, event_type, value, props")
@@ -75,4 +106,5 @@ def main(n, out):
 
 
 if __name__ == "__main__":
-    main(int(sys.argv[1]), sys.argv[2])
+    main(int(sys.argv[1]), sys.argv[2],
+         len(sys.argv) > 3 and sys.argv[3] == "perturb")
