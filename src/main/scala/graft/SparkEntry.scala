@@ -239,6 +239,8 @@ object SparkEntry {
     "qbk_dup_span_ratio" -> ((s, d) => TextOps.dupSpanRatio(s, d)),
     // hashed-feature linear quality classifier, pinned integer weights
     "qbl_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
+    // cross-document repeated-span scrub (qbk's transform counterpart)
+    "qbm_span_scrub" -> ((s, d) => TextOps.spanScrub(s, d)),
     // content-defined chunking (codegen'd rolling boundary) + chunk dedup
     "q8i_cdc_chunks" -> ((s, d) => TextOps.cdcChunkStats(s, d)),
     // DataSourceV2 multi-char-delim reader (column pruning + filter
@@ -641,6 +643,44 @@ object SparkEntry {
           |  CAST(sum(w) AS BIGINT) AS qscore,
           |  CAST(sum(w) AS BIGINT) > 0 AS keep
           |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin) +
+      // repeated-span scrub (qbm): positional 8-gram windows over distinct
+      // contents (short-doc clamp included), shared = >= 2 distinct
+      // contents, coverage = union of window spans truncated at the doc
+      // end, clean text = the uncovered tokens in position order over the
+      // NORMALIZED (lowercased) stream — string_agg(ORDER BY p) mirrors
+      // the engine's sorted-struct re-assembly exactly
+      ("qbm_span_scrub" ->
+        """WITH d AS (SELECT doc_id, md5(text) AS ch FROM documents),
+          |c AS (SELECT md5(text) AS ch, min(text) AS text
+          |      FROM documents GROUP BY 1),
+          |t AS (SELECT ch, list_filter(string_split_regex(lower(text), '\s+'),
+          |        x -> len(x) > 0) AS w FROM c),
+          |gr0 AS (SELECT ch, len(w) AS nw, unnest(list_transform(
+          |          range(1, greatest(len(w) - 6, 2)),
+          |          i -> {'i1': i, 'g': md5_number_lower(array_to_string(w[i:i+7], ' '))}))
+          |          AS s FROM t),
+          |gr AS (SELECT ch, nw, struct_extract(s, 'i1') AS i1,
+          |         struct_extract(s, 'g') AS g FROM gr0),
+          |sh AS (SELECT g FROM (SELECT g, count(DISTINCT ch) AS nc
+          |                      FROM gr GROUP BY g) WHERE nc >= 2),
+          |cov0 AS (SELECT gr.ch, unnest(range(gr.i1, least(gr.i1 + 8, gr.nw + 1))) AS p
+          |         FROM gr JOIN sh USING (g)),
+          |cov AS (SELECT DISTINCT ch, p FROM cov0),
+          |u0 AS (SELECT ch, unnest(list_transform(range(1, len(w) + 1),
+          |         p -> {'p': p, 'tok': w[p]})) AS s FROM t),
+          |u AS (SELECT ch, struct_extract(s, 'p') AS p,
+          |        struct_extract(s, 'tok') AS tok FROM u0),
+          |uc AS (SELECT u.ch, u.p, u.tok FROM u
+          |       LEFT JOIN cov ON cov.ch = u.ch AND cov.p = u.p
+          |       WHERE cov.ch IS NULL),
+          |cl AS (SELECT ch, count(*) AS n_kept,
+          |         string_agg(tok, ' ' ORDER BY p) AS clean_text
+          |       FROM uc GROUP BY ch)
+          |SELECT d.doc_id, CAST(len(t.w) AS BIGINT) AS n_tokens,
+          |  CAST(len(t.w) - coalesce(cl.n_kept, 0) AS BIGINT) AS n_removed,
+          |  coalesce(cl.clean_text, '') AS clean_text
+          |FROM d JOIN t USING (ch) LEFT JOIN cl ON cl.ch = t.ch
+          |ORDER BY doc_id""".stripMargin) +
       // IVF with the PINNED stride-sample quantizer (qbe): centroids are
       // the normalized vectors at vec_id % stride = 0 (first 16 by id),
       // so DuckDB replays cell assignment (argmax cosine-to-centroid,

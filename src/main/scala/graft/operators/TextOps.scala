@@ -852,6 +852,65 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** qbm: cross-document repeated-span SCRUB — rewrites each document with
+    * every token covered by a shared word 8-gram removed (a gram is shared
+    * when it occurs in ≥ 2 DISTINCT contents, [[dupSpanRatio]]'s
+    * definition). This is the transform counterpart of qbk's score: qbk
+    * decides which docs are template-heavy, this produces the cleaned
+    * token stream for the docs that stay — the "remove duplicated
+    * substrings" step of exact-substring dedup pipelines, over the
+    * normalized (lowercased, whitespace-split) token stream like every
+    * gram face.
+    *
+    * Scale shape: all heavy work at the DISTINCT-CONTENT level. Window
+    * enumeration is one codegen'd [[graft.functions.PortableGramHashes]]
+    * pass (positional, so coverage is reconstructible); the shared-gram
+    * test is the same count-join as qbk (8-byte keys, partial-agged); the
+    * coverage set and the token re-assembly are per-content group-bys
+    * whose group width is bounded by document length, never corpus size.
+    * Re-expansion to doc_ids is one content-hash join. Everything is
+    * linear in token count — the same budget as tokenization itself. */
+  def spanScrub(spark: SparkSession, dir: String, n: Int = 8): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("ch"))
+    val contents = Tables(spark, dir, "documents")
+      .groupBy(md5(col("text").cast("binary")).as("ch"))
+      .agg(min("text").as("text"))
+      .select(col("ch"), Dedup.tokensCol(col("text")).as("tokens"))
+      .select(col("ch"), col("tokens"), size(col("tokens")).as("n_tokens"))
+    // positional windows (0-based), duplicates kept — coverage needs the
+    // positions; the short-doc clamp emits one truncated window at pos 0
+    val wins = contents
+      .select(col("ch"), col("n_tokens"), posexplode(call_function(
+        "portable_gram_hashes", col("tokens"), lit(n))))
+      .toDF("ch", "n_tokens", "pos", "g")
+    val shared = wins.select("ch", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("nc"))
+      .where(col("nc") >= 2).select("g")
+    // covered token positions: i .. min(i+n-1, n_tokens-1); the greatest()
+    // clamp keeps sequence() ascending on empty-token docs (harmless
+    // phantom position 0 — no token row exists to match it)
+    val covered = wins.join(shared, "g")
+      .select(col("ch"), explode(sequence(col("pos"),
+        greatest(least(col("pos") + (n - 1), col("n_tokens") - 1),
+          col("pos")))).as("p"))
+      .distinct()
+    val toks = contents
+      .select(col("ch"), posexplode(col("tokens"))).toDF("ch", "p", "tok")
+    val kept = toks.join(covered, Seq("ch", "p"), "left_anti")
+      .groupBy("ch")
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(array_sort(collect_list(struct(col("p"),
+          col("tok")))), s => s.getField("tok")), " ").as("clean_text"))
+    docs.join(contents.select(col("ch"), col("n_tokens")), "ch")
+      .join(kept, Seq("ch"), "left")
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        (col("n_tokens").cast("long") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** qbl: model-based quality scoring — a linear text classifier over
     * hashed token features with PINNED integer weights, the
     * fasttext-style "quality model" gate of LLM data pipelines expressed

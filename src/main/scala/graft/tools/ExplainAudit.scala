@@ -60,7 +60,15 @@ object ExplainAudit {
       // round-8: name-level entity resolution (CC over distinct-name graph,
       // no record-pair materialization) and its capped twin (occupancy
       // aggregate → left_anti ahead of the variant self-join)
-      "q9q_entities", "qba_entities_capped")
+      "q9q_entities", "qba_entities_capped",
+      // round-9: the manifest packed-corpus DSv2 scan (slice planning is
+      // an aggregation, payload pruned on doc_id-only probes), the
+      // boilerplate/dup-span pair (distinct-content collapse, portable
+      // gram-hash shuffle keys, AQE exchange reuse between the gram count
+      // and the share join), and the hashed-feature classifier's single
+      // partial-agged pass
+      "qbg_manifest_source", "qbi_boilerplate_grams", "qbk_dup_span_ratio",
+      "qbl_quality_score")
       .foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

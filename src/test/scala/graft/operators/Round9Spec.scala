@@ -123,6 +123,35 @@ class Round9Spec extends AnyFunSuite with SparkSuite {
     assert(out.exists(r => r._3 > 0 && r._3 < r._2))
   }
 
+  test("spanScrub matches a driver-side brute-force recompute") {
+    val docs = graft.Tables(spark, sfDir, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq
+    // positional windows (duplicates kept) with the truncation clamp
+    def windows(toks: Seq[String]): Seq[(Int, String)] =
+      if (toks.length >= 8)
+        (0 to toks.length - 8).map(i => i -> toks.slice(i, i + 8).mkString(" "))
+      else Seq(0 -> toks.mkString(" "))
+    val contentToks = docs.map(_._2).distinct
+      .map(t => t -> t.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq).toMap
+    val shared = contentToks.values.toSeq
+      .flatMap(toks => windows(toks).map(_._2).distinct)
+      .groupBy(identity).collect { case (g, o) if o.size >= 2 => g }.toSet
+    val expect = docs.map { case (id, t) =>
+      val toks = contentToks(t)
+      val covered = windows(toks).filter(w => shared(w._2))
+        .flatMap { case (i, _) => i to math.min(i + 7, toks.length - 1) }.toSet
+      val kept = toks.zipWithIndex.collect { case (tok, p) if !covered(p) => tok }
+      (id, toks.length.toLong, (toks.length - kept.length).toLong, kept.mkString(" "))
+    }.sortBy(_._1)
+    val out = TextOps.spanScrub(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("n_removed"), r.getAs[String]("clean_text"))).toSeq
+    assert(out == expect)
+    // the fixture's planted near-dups must actually lose spans, and
+    // scrubbing must not be total
+    assert(out.exists(_._3 > 0) && out.exists(r => r._3 == 0 && r._2 > 0))
+  }
+
   test("qualityScore matches the pinned-weight brute force; gate is sane") {
     val docs = graft.Tables(spark, sfDir, "documents").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toSeq

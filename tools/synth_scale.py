@@ -21,6 +21,17 @@ pair structure and nothing across replicas. Under perturb, pair outputs
 grow ~N (linear), matching real corpora where 100x more data is new data,
 not 100 identical copies; compute/shuffle scaling can then be read without
 the C(N,2) output-bound term.
+
+perturb also TIME-EXTENDS events: replica i's timestamps shift by
+i * (fixture span + 1h), so N× events cover an N× longer history at the
+SAME per-hour density, instead of stacking N identical copies of one month
+into itself. The plain mode's same-window stacking makes every per-bin
+population N× denser, which drives time-windowed JOIN state probes and
+pair outputs quadratic BY FIXTURE CONSTRUCTION (the streaming interval
+join at plain sf10 probes 100×-dense bins for 10,000× the pairs — a
+shape no real 100 TB corpus has); the extended timeline is the realistic
+"more data = longer history" scale axis for sessionization, windowed aggs,
+and interval joins.
 """
 import sys
 import duckdb
@@ -96,9 +107,18 @@ def main(n, out, perturb=False):
             f"doc_id + i * {dk} AS doc_id, text, lang, source, n_chars")
         rep("embeddings",
             f"vec_id + i * {vk} AS vec_id, embedding, label")
-    rep("events",
-        f"event_id + i * {ek} AS event_id, ts, "
-        f"user_id + i * {uk} AS user_id, event_type, value, props")
+    if perturb:
+        span_us = con.execute(
+            f"SELECT epoch_us(max(ts)) - epoch_us(min(ts)) + 3600000000 "
+            f"FROM '{SRC}/events.parquet'").fetchone()[0]
+        rep("events",
+            f"event_id + i * {ek} AS event_id, "
+            f"ts + to_microseconds(CAST(i AS BIGINT) * {span_us}) AS ts, "
+            f"user_id + i * {uk} AS user_id, event_type, value, props")
+    else:
+        rep("events",
+            f"event_id + i * {ek} AS event_id, ts, "
+            f"user_id + i * {uk} AS user_id, event_type, value, props")
     for t in ("nation", "region"):
         con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
                     f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
