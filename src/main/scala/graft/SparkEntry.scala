@@ -241,6 +241,12 @@ object SparkEntry {
     "qbl_quality_score" -> ((s, d) => TextOps.qualityScore(s, d)),
     // cross-document repeated-span scrub (qbk's transform counterpart)
     "qbm_span_scrub" -> ((s, d) => TextOps.spanScrub(s, d)),
+    // pinned-hash CMS register table — the sketch construction in SQL
+    "qbn_cms_pinned" -> ((s, d) => TextOps.cmsPinned(s, d)),
+    // per-source quota cap through the TopKPerGroup physical operator
+    "qbp_source_quota" -> ((s, d) => Sampling.sourceQuota(s, d)),
+    // pinned-hash HLL register table (p=8), rank via portable bin()
+    "qbo_hll_registers" -> ((s, d) => TextOps.hllRegisters(s, d)),
     // content-defined chunking (codegen'd rolling boundary) + chunk dedup
     "q8i_cdc_chunks" -> ((s, d) => TextOps.cdcChunkStats(s, d)),
     // DataSourceV2 multi-char-delim reader (column pruning + filter
@@ -681,6 +687,52 @@ object SparkEntry {
           |  coalesce(cl.clean_text, '') AS clean_text
           |FROM d JOIN t USING (ch) LEFT JOIN cl ON cl.ch = t.ch
           |ORDER BY doc_id""".stripMargin) +
+      // pinned-hash CMS register table (qbn): bucket_i(token) =
+      // md5_number_lower(i ':' token) % 256 == the engine's pmod of the
+      // signed md5_quad64 (2^64 % 256 = 0) — the sketch construction
+      // itself as an exact-equality oracle (depth 4 x width 256)
+      ("qbn_cms_pinned" ->
+        """WITH u AS (SELECT unnest(list_filter(
+          |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+          |  FROM documents),
+          |r AS (SELECT t.row_i,
+          |        md5_number_lower(concat(t.row_i::VARCHAR, ':', token)) % 256
+          |          AS bucket
+          |      FROM u, range(4) t(row_i))
+          |SELECT CAST(row_i AS BIGINT) AS row_i, CAST(bucket AS BIGINT) AS bucket,
+          |  count(*) AS cnt
+          |FROM r GROUP BY 1, 2 ORDER BY row_i, bucket""".stripMargin) +
+      // pinned-hash HLL register table (qbo): register = top 8 bits of
+      // the unsigned md5 quadword, rank = first-1-bit position of the
+      // remaining 56 bits via length(bin(rem)) — bin() is minimal-length
+      // binary of a nonnegative integer in BOTH engines, so the rank is
+      // exact integer arithmetic (57 - length; all-zero remainder = 57)
+      ("qbo_hll_registers" ->
+        """WITH u AS (SELECT unnest(list_filter(
+          |    string_split_regex(lower(text), '\s+'), x -> len(x) > 0)) AS token
+          |  FROM documents),
+          |h AS (SELECT md5_number_lower(token) AS h FROM u),
+          |r AS (SELECT CAST(h // 72057594037927936 AS BIGINT) AS reg,
+          |        CAST(h % 72057594037927936 AS BIGINT) AS rem FROM h)
+          |SELECT reg,
+          |  CAST(max(CASE WHEN rem = 0 THEN 57 ELSE 57 - length(bin(rem)) END)
+          |       AS BIGINT) AS max_rank
+          |FROM r GROUP BY reg ORDER BY reg""".stripMargin) +
+      // per-source quota cap (qbp, k=20): k smallest md5-mod-2^32 doc hashes
+      // per source (signed pmod == unsigned modulo at powers of two),
+      // doc_id tie-break — the engine runs it through the TopKPerGroup
+      // physical operator, the oracle through a plain window; equality
+      // of the two formulations is the point
+      ("qbp_source_quota" ->
+        """WITH d AS (SELECT source, doc_id,
+          |    md5_number_lower(concat('quota:', doc_id::VARCHAR)) % 4294967296
+          |      AS qk
+          |  FROM documents),
+          |r AS (SELECT source, doc_id, CAST(row_number() OVER (
+          |        PARTITION BY source ORDER BY qk, doc_id) AS BIGINT) AS rn
+          |      FROM d)
+          |SELECT source, doc_id, rn FROM r WHERE rn <= 20
+          |ORDER BY source, rn""".stripMargin) +
       // IVF with the PINNED stride-sample quantizer (qbe): centroids are
       // the normalized vectors at vec_id % stride = 0 (first 16 by id),
       // so DuckDB replays cell assignment (argmax cosine-to-centroid,

@@ -248,4 +248,29 @@ object Sampling {
       .select("doc_id", "group_id", "split")
       .orderBy("doc_id")
   }
+
+  /** Per-source quota cap (domain balancing): keep at most `k` documents
+    * per source, chosen deterministically as the k smallest portable
+    * hashes of the doc id — a pure function of (source, doc_id), so
+    * reruns and incremental appends keep every surviving doc stable
+    * until its source's quota actually fills with smaller hashes. The
+    * sort key is the md5 quadword mod 2^32 (power of two, so the signed
+    * pmod equals DuckDB's unsigned modulo) with doc_id as tie-break.
+    *
+    * Runs through the custom [[graft.plans.TopKPerGroup]] physical
+    * operator, not a window: per-partition bounded heaps mean only
+    * `partitions × k` rows per source reach the exchange — at 100 TB a
+    * window formulation would shuffle and sort every row of the corpus,
+    * this shuffles ~k rows per (source, partition). */
+  def sourceQuota(spark: SparkSession, dir: String, k: Int = 20): DataFrame = {
+    val qk = pmod(call_function("md5_quad64",
+        concat(lit("quota:"), col("doc_id").cast("string")).cast("binary")),
+      lit(4294967296L))
+    val keyed = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), qk.as("qk"))
+    graft.plans.TopKPerGroup(keyed, Seq("source"),
+        Seq(("qk", false), ("doc_id", false)), k)
+      .select(col("source"), col("doc_id"), col("rn").cast("long").as("rn"))
+      .orderBy("source", "rn")
+  }
 }

@@ -940,4 +940,61 @@ object TextOps {
       .withColumn("keep", col("qscore") > 0L)
       .orderBy("doc_id")
   }
+
+  /** Pinned-hash Count-Min register table over the corpus token stream:
+    * `depth` independent rows, bucket_i(token) = md5_quad64(i ‖ ':' ‖
+    * token) mod `width`. This is the CMS *construction* made exactly
+    * SQL-replayable — width a power of two so the signed pmod equals
+    * DuckDB's unsigned `md5_number_lower % width` (2^64 ≡ 0), the same
+    * identity the q43/qbl portable-hash faces rest on. The production
+    * sketch tier (q19/q8b, Spark's mergeable CountMinSketchAgg) stays as
+    * is; this face shrinks the "sketches are non-SQL" exemption by
+    * proving the register arithmetic end-to-end against DuckDB.
+    *
+    * Scale shape: the depth-explode is map-local and the groupBy has at
+    * most depth×width (1024) cells, so partial aggregation collapses the
+    * whole token stream map-side — bytes crossing the exchange are
+    * O(partitions × cells), independent of corpus size. */
+  def cmsPinned(spark: SparkSession, dir: String,
+      depth: Int = 4, width: Long = 256L): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(Dedup.tokensCol(col("text"))).as("token"))
+      .select(explode(sequence(lit(0L), lit(depth - 1L))).as("row_i"),
+        col("token"))
+      .select(col("row_i"),
+        pmod(call_function("md5_quad64",
+          concat(col("row_i").cast("string"), lit(":"), col("token"))
+            .cast("binary")), lit(width)).as("bucket"))
+      .groupBy("row_i", "bucket")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("row_i", "bucket")
+
+  /** Pinned-hash HyperLogLog register table (p = 8, 256 registers) over
+    * the corpus token stream: register = top p bits of the unsigned
+    * md5_quad64, rank = position of the first 1-bit in the remaining
+    * 64−p bits (all-zero remainder ⇒ 64−p+1). The rank is computed by
+    * the same string route in both engines — `bin()` of the nonnegative
+    * remainder is minimal-length binary in Spark and DuckDB, so
+    * `(64−p+1) − length(bin(rem))` is exact integer arithmetic with no
+    * float log2 near-boundary risk. Like [[cmsPinned]], this proves the
+    * sketch construction in SQL while q19's approx_count_distinct
+    * remains the production estimator; the register table is what a
+    * 1000-executor merge actually exchanges (max per register is
+    * associative/commutative — partial agg collapses map-side to ≤ 256
+    * cells per partition). */
+  def hllRegisters(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
+    val h = call_function("md5_quad64", col("token").cast("binary"))
+    val remBits = 64 - p
+    Tables(spark, dir, "documents")
+      .select(explode(Dedup.tokensCol(col("text"))).as("token"))
+      .select(shiftrightunsigned(h, remBits).as("reg"),
+        h.bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      .select(col("reg"),
+        when(col("rem") === 0L, lit(remBits + 1L))
+          .otherwise(lit(remBits + 1L) - length(bin(col("rem"))))
+          .cast("long").as("rank"))
+      .groupBy("reg")
+      .agg(max("rank").as("max_rank"))
+      .orderBy("reg")
+  }
 }

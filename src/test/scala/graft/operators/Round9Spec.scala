@@ -175,4 +175,80 @@ class Round9Spec extends AnyFunSuite with SparkSuite {
     val kept = out.count(_._4)
     assert(kept > 0 && kept < out.length)
   }
+
+  private def corpusTokens: Seq[String] =
+    graft.Tables(spark, sfDir, "documents").collect()
+      .map(_.getAs[String]("text"))
+      .flatMap(_.toLowerCase.split("\\s+").filter(_.nonEmpty)).toSeq
+
+  private def md5(s: String): Long = graft.functions.Md5Quad64.hash(
+    s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  test("cmsPinned register table == brute force; estimates dominate counts") {
+    val toks = corpusTokens
+    val brute = toks.flatMap(t => (0L until 4L).map(i =>
+        (i, java.lang.Math.floorMod(md5(s"$i:$t"), 256L))))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSeq.sortBy(r => (r._1, r._2))
+    val out = TextOps.cmsPinned(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("row_i"), r.getAs[Long]("bucket"),
+        r.getAs[Long]("cnt"))).toSeq
+    assert(out == brute)
+    // the CMS contract: every key's min-over-rows register count is an
+    // over-estimate of its exact count
+    val reg = out.map(r => (r._1, r._2) -> r._3).toMap
+    val exact = toks.groupBy(identity).map { case (t, c) => t -> c.size.toLong }
+    exact.foreach { case (t, n) =>
+      val est = (0L until 4L)
+        .map(i => reg((i, java.lang.Math.floorMod(md5(s"$i:$t"), 256L)))).min
+      assert(est >= n, s"CMS under-estimated '$t': $est < $n")
+    }
+  }
+
+  test("hllRegisters == brute force; estimate tracks exact distinct count") {
+    val toks = corpusTokens
+    def rank(h: Long): Long = {
+      val rem = h & ((1L << 56) - 1)
+      if (rem == 0L) 57L else 57L - java.lang.Long.toBinaryString(rem).length
+    }
+    val brute = toks.map(md5).map(h => (h >>> 56, rank(h)))
+      .groupBy(_._1).map { case (r, v) => (r, v.map(_._2).max) }
+      .toSeq.sortBy(_._1)
+    val out = TextOps.hllRegisters(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("reg"), r.getAs[Long]("max_rank"))).toSeq
+    assert(out == brute)
+    assert(out.forall { case (r, k) => r >= 0 && r < 256 && k >= 1 && k <= 57 })
+    // the standard HLL estimator off the register table (linear counting
+    // in the small-range regime) should land near the exact distinct
+    // count — loose 25% tolerance; this is a sanity bound, the register
+    // equality above is the exact pin
+    val m = 256
+    val regs = out.toMap
+    val zeros = m - out.length
+    val exact = toks.distinct.length.toDouble
+    val raw = 0.7213 / (1 + 1.079 / m) * m * m /
+      (0 until m).map(r => math.pow(2.0, -regs.getOrElse(r.toLong, 0L).toDouble)).sum
+    val est = if (raw <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros) else raw
+    assert(math.abs(est - exact) / exact < 0.25, s"HLL estimate $est vs exact $exact")
+  }
+
+  test("sourceQuota == brute force at a binding cap; keeps the k smallest hashes") {
+    val docs = graft.Tables(spark, sfDir, "documents").collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"))).toSeq
+    val k = 3
+    val expect = docs
+      .map { case (s, id) =>
+        (s, id, java.lang.Math.floorMod(md5(s"quota:$id"), 4294967296L)) }
+      .groupBy(_._1).toSeq.flatMap { case (s, rows) =>
+        rows.sortBy(r => (r._3, r._2)).take(k).zipWithIndex
+          .map { case ((src, id, _), i) => (src, id, i + 1L) }
+      }.sortBy(r => (r._1, r._3))
+    val out = Sampling.sourceQuota(spark, sfDir, k).collect()
+      .map(r => (r.getAs[String]("source"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("rn"))).toSeq
+    assert(out == expect)
+    // the cap must actually bind on the fixture
+    assert(out.length < docs.length)
+    assert(out.groupBy(_._1).values.forall(_.length <= k))
+  }
 }
