@@ -1,9 +1,36 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Round-over-round attribution is ARTIFACT-NATIVE: the committed
+    // bench_detail.json from the previous round is read BEFORE this run
+    // overwrites it, and every shared face gets `prev`/`ratio`/`verdict`
+    // fields in the new detail — so "is 1.3× noise or regression?" is
+    // answerable from committed artifacts alone, not from prose. The
+    // verdict judges the ratio against the face's OWN intra-run sample
+    // envelope (its observed swing this run): a face whose three warm
+    // samples span 4.9–114 s on a shared host cannot flag a 2× ratio as
+    // regression, while a face with a tight envelope can flag 1.4×.
+    val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", "bench_detail.json")
+    val prevWarm: Map[String, Double] = try {
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(prevPath)))
+      JsonMethods.parse(txt) \ "queries" match {
+        case JObject(fields) => fields.collect {
+          case (name, q: JObject) => (q \ "warm") match {
+            case JDouble(v) => Some(name -> v)
+            case JInt(v) => Some(name -> v.toDouble)
+            case _ => None
+          }
+        }.flatten.toMap
+        case _ => Map.empty[String, Double]
+      }
+    } catch { case _: Throwable => Map.empty[String, Double] }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -59,6 +86,44 @@ object Bench {
       name -> (if (ws.exists(_ < 0)) -1.0 else ws.min)
     }.toMap
     val cold = r1
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Per-face round-over-round verdict. "noise" requires evidence: the
+    // ratio must sit inside the face's own observed swing this run
+    // (max-sample / min-sample across cold + warm passes), the only
+    // per-face noise measurement available without historical variance.
+    // Tight-envelope faces therefore CAN flag small regressions and
+    // jittery faces can't cry wolf. Bands: ≤0.77 improved, ≤1.05 ok
+    // (sub-5% drift is below timing resolution at these durations).
+    def verdictOf(name: String, warm: Double): (String, String) = {
+      val prev = prevWarm.get(name).filter(_ > 0)
+      if (warm < 0) return ("null", "\"fail\"")
+      prev match {
+        case None => ("null", "\"new\"")
+        case Some(p) =>
+          val ratio = warm / p
+          val samples = (cold.getOrElse(name, -1.0) +:
+            warms.map(_.getOrElse(name, -1.0))).filter(_ > 0)
+          val envelope =
+            if (samples.isEmpty || samples.min <= 0) 1.3
+            else math.max(1.3, samples.max / samples.min)
+          val v =
+            if (ratio <= 0.77) "improved"
+            else if (ratio <= 1.05) "ok"
+            else if (ratio <= envelope) "noise"
+            else "regression"
+          (f"$p%.3f", "\"" + v + "\"")
+      }
+    }
+    val ratios = results.toSeq.collect {
+      case (name, w) if w > 0 && prevWarm.get(name).exists(_ > 0) =>
+        w / prevWarm(name)
+    }.sorted
+    val medianRatio =
+      if (ratios.isEmpty) -1.0
+      else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    val nRegression = results.toSeq.count { case (name, w) =>
+      verdictOf(name, w)._2 == "\"regression\"" }
     // The harness captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window; 200+ entries overflow it even at 3-char
     // ids and 3 decimals (BENCH_r08.json came back "parsed": null — only the
@@ -66,8 +131,7 @@ object Bench {
     // the failure count, and a fixed HEADLINE subset (one face per engine
     // family — the judge's per-family diagnostics), which fits the window
     // with room to spare; the full 200+-query detail (cold / min-of-N warm
-    // samples) always lands in bench_detail.json next to the repo.
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // samples / prev-round ratios) always lands in bench_detail.json.
     // 3-char ids must stay unique or two queries would collapse into one
     // JSON key and silently drop a timing; any colliding name keeps its
     // full form (costs line width only when it actually happens)
@@ -100,20 +164,37 @@ object Bench {
     val total = results.values.filter(_ >= 0).sum
     val nFail = results.values.count(_ < 0)
     val line =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"median_vs_prev":${fmt(medianRatio)},"n_regression":$nRegression,"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}"""
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
+        val (prevS, verdictS) = verdictOf(k, v)
+        val ratioS = prevWarm.get(k).filter(_ > 0) match {
+          case Some(p) if v > 0 => f"${v / p}%.3f"
+          case _ => "null"
+        }
         "\"" + k + "\":{\"min\":" + fmt(v) +
           ",\"warm\":" + fmt(warmMin.getOrElse(k, -1.0)) +
           ",\"cold\":" + fmt(cold.getOrElse(k, -1.0)) +
           ",\"warm_samples\":" + warms.map(w =>
-            fmt(w.getOrElse(k, -1.0))).mkString("[", ",", "]") + "}" }
+            fmt(w.getOrElse(k, -1.0))).mkString("[", ",", "]") +
+          ",\"prev\":" + prevS + ",\"ratio\":" + ratioS +
+          ",\"verdict\":" + verdictS + "}" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$detail,"sf":"$sfDir"}""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","median_vs_prev":${fmt(medianRatio)},"n_regression":$nRegression,"prev_detail":"$prevPath","queries":$detail,"sf":"$sfDir"}""")
     catch { case _: Throwable => }
+    // The JSON line must be the LAST stdout the harness captures: stop all
+    // streaming queries and the session FIRST, because StateStore
+    // maintenance/shutdown chatter printed after the line pushed it out of
+    // the 2000-char capture window (BENCH_r09.json parsed: null). Only
+    // then print, as the process's final act.
+    try {
+      spark.streams.active.foreach(q => scala.util.Try(q.stop()))
+      spark.stop()
+    } catch { case _: Throwable => }
+    System.err.flush()
     println(line)
-    spark.stop()
+    System.out.flush()
   }
 }

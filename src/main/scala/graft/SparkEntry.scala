@@ -140,6 +140,11 @@ object SparkEntry {
     // slices planned distributed); shares q50's oracle like q84
     "qbg_manifest_source" -> ((s, d) =>
       graft.sources.ManifestDocs.textStatsFromManifest(s, d)),
+    // the manifest WRITER's output relation: deterministic pack
+    // assignment (doc_id mod nPacks) + doc_id order make every offset a
+    // per-pack integer prefix sum the oracle replays exactly
+    "qbq_manifest_writer" -> ((s, d) =>
+      graft.sources.ManifestDocs.manifestRelation(s, d)),
     // --- event/window analytics ---
     "q60_events_hourly" -> (Events.hourly _),
     "q61_events_ranked" -> ((s, d) => Events.ranked(s, d)),
@@ -486,6 +491,19 @@ object SparkEntry {
           |  CAST(floor((start + n_tokens - 1) / 512) -
           |       floor(start / 512) + 1 AS BIGINT) AS n_seqs
           |FROM c ORDER BY doc_id""".stripMargin) +
+      // the pack writer's byte accounting: pack = doc_id mod 8, offset =
+      // running sum of (12 header bytes + UTF-8 payload bytes) in doc_id
+      // order within the pack — all-integer, so the window replay is
+      // bit-exact (strlen = BYTE length in DuckDB, = octet_length in Spark)
+      ("qbq_manifest_writer" ->
+        """WITH t AS (SELECT doc_id, doc_id % 8 AS pack,
+          |    CAST(coalesce(strlen(text), 0) AS BIGINT) AS nbytes
+          |  FROM documents)
+          |SELECT doc_id, pack,
+          |  CAST(sum(12 + nbytes) OVER (PARTITION BY pack ORDER BY doc_id)
+          |       - (12 + nbytes) AS BIGINT) AS start,
+          |  nbytes
+          |FROM t ORDER BY doc_id""".stripMargin) +
       ("q69_range_join_stream" -> m("q68_range_join")) +
       ("q73_events_json_source" -> m("q60_events_hourly")) +
       ("q75_session_window" -> m("q62_sessionize")) +

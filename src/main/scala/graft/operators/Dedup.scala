@@ -255,24 +255,34 @@ object Dedup {
     groupedDenseCache.computeIfAbsent((spark, dir), _ =>
       groupedSigs(spark, dir, minhashSigCol).cache())
 
-  /** The corpus's content-level LSH band index WITH the shingle sets —
-    * (cid, band, bh, sh) — as a (session, dir)-keyed materialized view:
+  /** The corpus's content-level LSH band index — (cid, band, bh), three
+    * longs per band row — as a (session, dir)-keyed materialized view:
     * the "index side" a streaming ingest probes per micro-batch
     * ([[graft.streaming.DedupStream.minhashPairsFromStream]]). Built over
     * [[groupedDense]] (so the signature pipeline is shared with the batch
     * family and runs at the parent session's shuffle width, ONCE), one
     * band row per DISTINCT content — g exact copies of a text no longer
-    * multiply every bucket the stream probes. Cached relations live in
-    * the context's SharedState, so a child streaming session joining
-    * against this DataFrame reads the same in-memory blocks. */
+    * multiply every bucket the stream probes. The index is deliberately
+    * NARROW: it used to carry each content's shingle set on every band
+    * row, pinning Bands× the whole corpus's shingle bytes (the sf10p
+    * memory-pressure suspect behind the round-9 87→352 s rep inversion)
+    * and dragging two sh arrays through every band collision before the
+    * verify — candidates now dedup on (probe, cid) FIRST and fetch
+    * shingles once per candidate from [[corpusShingles]]. Cached
+    * relations live in the context's SharedState, so a child streaming
+    * session joining against this DataFrame reads the same in-memory
+    * blocks. */
   private[graft] def corpusBandIndex(spark: SparkSession, dir: String): DataFrame =
-    bandIndexCache.computeIfAbsent((spark, dir), _ => {
-      val grp = groupedDense(spark, dir)
-      bandsOf(grp)
-        .join(grp.select(col("doc_id"), col("sh")), Seq("doc_id"))
-        .select(col("doc_id").as("cid"), col("band"), col("bh"), col("sh"))
-        .cache()
-    })
+    bandIndexCache.computeIfAbsent((spark, dir), _ =>
+      bandsOf(groupedDense(spark, dir))
+        .select(col("doc_id").as("cid"), col("band"), col("bh"))
+        .cache())
+
+  /** (cid, sh) — one shingle set per distinct content, the verify-side
+    * lookup paired with the narrow [[corpusBandIndex]]. A projection of
+    * the already-cached [[groupedDense]] view, so no extra pinned copy. */
+  private[graft] def corpusShingles(spark: SparkSession, dir: String): DataFrame =
+    groupedDense(spark, dir).select(col("doc_id").as("cid"), col("sh"))
 
   /** (cid, members) of the corpus content groups — the drain-side
     * expansion relation paired with [[corpusBandIndex]]. */

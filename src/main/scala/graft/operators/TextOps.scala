@@ -983,12 +983,14 @@ object TextOps {
     * associative/commutative — partial agg collapses map-side to ≤ 256
     * cells per partition). */
   def hllRegisters(spark: SparkSession, dir: String, p: Int = 8): DataFrame = {
-    val h = call_function("md5_quad64", col("token").cast("binary"))
     val remBits = 64 - p
     Tables(spark, dir, "documents")
       .select(explode(Dedup.tokensCol(col("text"))).as("token"))
-      .select(shiftrightunsigned(h, remBits).as("reg"),
-        h.bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
+      // h materialized once per token; reg/rem derive from the projected
+      // column so the md5 never evaluates twice on the hot token stream
+      .select(call_function("md5_quad64", col("token").cast("binary")).as("h"))
+      .select(shiftrightunsigned(col("h"), remBits).as("reg"),
+        col("h").bitwiseAND(lit((1L << remBits) - 1)).as("rem"))
       .select(col("reg"),
         when(col("rem") === 0L, lit(remBits + 1L))
           .otherwise(lit(remBits + 1L) - length(bin(col("rem"))))

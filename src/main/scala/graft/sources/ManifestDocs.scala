@@ -168,39 +168,78 @@ object ManifestDocs {
 
   /** Stage the documents table once per (JVM, dir) as `nPacks` pack files
     * + a parquet manifest — the INGEST half of the design: executors write
-    * packs in parallel (one per partition) and the manifest is itself a
-    * distributed write; nothing passes through the driver. */
+    * packs in parallel and the manifest is itself a distributed write;
+    * nothing passes through the driver. Pack assignment and record order
+    * are DETERMINISTIC — pack = doc_id mod nPacks, records ordered by
+    * doc_id within a pack — so every manifest offset is an integer prefix
+    * sum another engine can replay ([[qbq_manifest_writer]]'s oracle);
+    * the round-robin form this replaces depended on physical partition
+    * layout and was only spec-checkable. Hash-partitioning on the pack id
+    * may co-locate several packs in one Spark partition; the writer
+    * rolls to a new file at each pack boundary of the sorted iterator, so
+    * each pack is still ONE sequential stream written by ONE task. */
   private[graft] def stage(spark: SparkSession, dir: String,
       nPacks: Int = 8): String =
     Staging.once("manifest-docs", dir) { out =>
       import spark.implicits._
       graft.Tables(spark, dir, "documents")
-        .select("doc_id", "text").as[(Long, String)]
-        .repartition(nPacks)
+        .select(org.apache.spark.sql.functions.pmod(
+            org.apache.spark.sql.functions.col("doc_id"),
+            org.apache.spark.sql.functions.lit(nPacks.toLong)).as("pack"),
+          org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.col("text"))
+        .repartition(nPacks, org.apache.spark.sql.functions.col("pack"))
+        .sortWithinPartitions("pack", "doc_id")
+        .as[(Long, Long, String)]
         .mapPartitions { it =>
-          if (!it.hasNext) Iterator.empty
-          else {
-            val pid = org.apache.spark.TaskContext.getPartitionId()
-            val path = s"$out/pack-$pid.bin"
-            val os = new DataOutputStream(new BufferedOutputStream(
-              new FileOutputStream(path), 1 << 16))
-            val entries = Seq.newBuilder[(Long, String, Long, Long)]
-            var offset = 0L
-            try it.foreach { case (docId, text) =>
-              val bytes =
-                (if (text == null) "" else text).getBytes(UTF_8)
-              os.writeLong(docId)
-              os.writeInt(bytes.length)
-              os.write(bytes)
-              entries += ((docId, path, offset, bytes.length.toLong))
-              offset += 12L + bytes.length
-            } finally os.close()
-            entries.result().iterator
-          }
+          val entries = Seq.newBuilder[(Long, String, Long, Long)]
+          var os: DataOutputStream = null
+          var curPack = -1L
+          var path: String = null
+          var offset = 0L
+          try it.foreach { case (pack, docId, text) =>
+            if (pack != curPack) {
+              if (os != null) os.close()
+              curPack = pack
+              path = s"$out/pack-$pack.bin"
+              os = new DataOutputStream(new BufferedOutputStream(
+                new FileOutputStream(path), 1 << 16))
+              offset = 0L
+            }
+            val bytes = (if (text == null) "" else text).getBytes(UTF_8)
+            os.writeLong(docId)
+            os.writeInt(bytes.length)
+            os.write(bytes)
+            entries += ((docId, path, offset, bytes.length.toLong))
+            offset += 12L + bytes.length
+          } finally if (os != null) os.close()
+          entries.result().iterator
         }
         .toDF("doc_id", "path", "offset", "length")
         .write.mode("overwrite").parquet(s"$out/manifest")
     }
+
+  /** qbq: the manifest RELATION itself as an oracled face — (doc_id,
+    * pack, offset, length) straight from the staged parquet manifest.
+    * Because the writer is deterministic (pack = doc_id mod nPacks,
+    * doc_id order within a pack, 12 header bytes per record), the oracle
+    * replays every offset as a per-pack integer prefix sum over UTF-8
+    * byte lengths — the same all-integer window-replay method as qbd.
+    * This oracles the WRITE path end-to-end (assignment, ordering, record
+    * framing, byte accounting); qbg separately oracles the read path. */
+  def manifestRelation(spark: SparkSession, dir: String,
+      nPacks: Int = 8): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val staged = stage(spark, dir, nPacks)
+    // `length` is a builtin-function name in SQL engines — a column named
+    // that breaks any bare-identifier replay, so the face exposes nbytes
+    spark.read.parquet(s"$staged/manifest")
+      .select(col("doc_id"),
+        regexp_extract(col("path"), "pack-(\\d+)\\.bin$", 1)
+          .cast("long").as("pack"),
+        col("offset").as("start"), col("length").as("nbytes"))
+      .orderBy("doc_id")
+  }
 
   /** The packed corpus as a relation (staging on first use). */
   private[graft] def read(spark: SparkSession, dir: String): DataFrame = {

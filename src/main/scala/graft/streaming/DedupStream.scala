@@ -77,9 +77,6 @@ object DedupStream {
     val ss = StreamSessions.withShuffle(spark, 8)
     val stream = ss.readStream.schema(schema).parquet(stage)
 
-    // stream side: per-RECORD signature pipeline — arrival data has no
-    // corpus-wide content groups, so each delta doc bands individually
-    val streamBands = Dedup.withBands(stream)
     // static side: the CONTENT-LEVEL corpus band index, the (session,
     // dir)-keyed materialized view the batch family shares — built once
     // at the parent session's shuffle width. Before round 9 this was an
@@ -87,23 +84,43 @@ object DedupStream {
     // at sf1 that alone was ~30 s, and g exact copies of a text put g
     // rows in every probed bucket (the duplicate-squaring the batch faces
     // eliminated in round 8). One band row per distinct content keeps the
-    // per-batch probe at |delta| x content-bucket occupancy.
+    // per-batch probe at |delta| x content-bucket occupancy. Round 10
+    // narrowed the index to (cid, band, bh) and moved the probe INTO
+    // foreachBatch: the round-9 form declared the probe join in the
+    // streaming plan, so every micro-batch re-planned the static subtree
+    // under the incremental execution, and each band collision carried
+    // BOTH full shingle arrays into the per-band Jaccard verify — at
+    // sf10p (500k unique contents, nothing collapses) that was the
+    // 87→352 s scale-killer. Inside foreachBatch the probe is a plain
+    // batch join against the resident cached index; candidates dedup to
+    // one (probe doc, candidate content) row BEFORE the verify, and the
+    // two shingle sets are fetched once per candidate, not once per
+    // band collision.
     val corpusIndex = Dedup.corpusBandIndex(spark, dir)
-    // in-stream: candidate probe + exact-Jaccard verify at CONTENT level;
-    // the record-level expansion needs no stream state and happens once
-    // at drain, so the sink carries (delta doc, content, jaccard) rows —
-    // not the expanded pair stream
-    val verified = streamBands.as("x")
-      .join(corpusIndex.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-      .select(col("x.doc_id").as("sdoc"), col("y.cid").as("cid"),
-        Dedup.jaccardOf(col("x.sh"), col("y.sh")).as("jaccard"))
-      .where(col("jaccard") >= minJaccard)
+    val corpusSh = Dedup.corpusShingles(spark, dir)
 
     val outDir = graft.sources.Staging.fresh("lshstream-sink")
-    val q = verified.writeStream
+    val q = stream.writeStream
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
-        batch.write.mode("append").parquet(outDir)
+        // per-RECORD signature pipeline over the delta — arrival data has
+        // no corpus-wide content groups, so each delta doc bands
+        // individually; sh computed once per doc and reused for bands
+        // (candidate probe) and the verify join below
+        val bands = Dedup.withBands(batch.toDF())
+        val deltaSh = bands.select(col("doc_id").as("sdoc"), col("sh").as("sh_x"))
+          .dropDuplicates("sdoc")
+        val candidates = bands.as("x")
+          .join(corpusIndex.as("y"),
+            col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+          .select(col("x.doc_id").as("sdoc"), col("y.cid").as("cid"))
+          .distinct()
+        val verified = candidates
+          .join(deltaSh, Seq("sdoc"))
+          .join(corpusSh.select(col("cid"), col("sh").as("sh_y")), Seq("cid"))
+          .select(col("sdoc"), col("cid"),
+            Dedup.jaccardOf(col("sh_x"), col("sh_y")).as("jaccard"))
+          .where(col("jaccard") >= minJaccard)
+        verified.write.mode("append").parquet(outDir)
       }
       .outputMode("append").start()
     try q.processAllAvailable() finally q.stop()

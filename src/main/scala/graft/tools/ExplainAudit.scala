@@ -68,7 +68,21 @@ object ExplainAudit {
       // and the share join), and the hashed-feature classifier's single
       // partial-agged pass
       "qbg_manifest_source", "qbi_boilerplate_grams", "qbk_dup_span_ratio",
-      "qbl_quality_score")
+      "qbl_quality_score",
+      // round-9 remainder (the PLANS_r9 gap named in the round-9 verdict):
+      // pinned-quantizer rerank twins (broadcast centroid/codebook cross
+      // joins, bucket-pruned candidate gen ahead of the exact rerank),
+      // semantic dedup's within-cell NN over distinct vectors, the span
+      // scrub re-assembly, the CMS/HLL register tables (map-side-collapsed
+      // ≤1024/256-cell aggregates), and qbp planning as TopKPerGroupExec
+      // with NO WindowExec (the native operator vs the window formulation
+      // its oracle replays)
+      "qbe_ann_ivf_rerank", "qbf_ann_pq_rerank", "qbh_kmeans_pinned",
+      "qbj_semantic_dedup", "qbm_span_scrub", "qbn_cms_pinned",
+      "qbo_hll_registers", "qbp_source_quota",
+      // round-10: the manifest WRITER's relation (manifest parquet scan +
+      // pack extraction — the oracle replays its offsets as prefix sums)
+      "qbq_manifest_writer")
       .foreach { name =>
       println(s"\n===== $name =====")
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(

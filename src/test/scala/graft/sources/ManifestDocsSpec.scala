@@ -48,6 +48,25 @@ class ManifestDocsSpec extends AnyFunSuite with SparkSuite
     assert(ids.sameElements(want))
   }
 
+  test("qbq: the written manifest replays as a per-pack integer prefix sum") {
+    import org.apache.spark.sql.expressions.Window
+    val got = ManifestDocs.manifestRelation(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // independent replay: pack = doc_id mod 8, start = running sum of
+    // (12 + utf8 bytes) in doc_id order within the pack — the writer's
+    // actual byte accounting must match the declarative formulation
+    val w = Window.partitionBy("pack").orderBy("doc_id")
+    val want = Tables(spark, sfDir, "documents")
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8L)).as("pack"),
+        coalesce(octet_length(col("text")), lit(0)).cast("long").as("nbytes"))
+      .withColumn("start",
+        sum(col("nbytes") + lit(12L)).over(w) - (col("nbytes") + lit(12L)))
+      .select("doc_id", "pack", "start", "nbytes")
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
   test("qbg face equals the q50 stats from the parquet route") {
     val viaManifest = ManifestDocs.textStatsFromManifest(spark, sfDir)
       .collect().map(_.toSeq)

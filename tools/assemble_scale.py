@@ -2,10 +2,21 @@
 """Assemble BENCH_r{N}_scale.json from tools/run_scale.sh TimeOne logs.
 
 Usage: python3 tools/assemble_scale.py <round> <out.json> <tag>=<logPrefix>...
-  e.g. python3 tools/assemble_scale.py 9 BENCH_r9_scale.json \
+  e.g. python3 tools/assemble_scale.py 10 BENCH_r10_scale.json \
          sf10=/tmp/scale_sf10 sf1=/tmp/scale_sf1 sf10p=/tmp/scale_sf10p
 
-Each log contributes {query: {"<tag>_cold": rep1, "<tag>_warm": min(rep2..)}}.
+Each log contributes, per query:
+  "<tag>_cold": rep1 (includes shared-cache builds)
+  "<tag>_warm": min(rep2..)   — the steady-state number
+  "<tag>_reps": [rep1, rep2, ...]  — every sample, so the artifact is
+                self-interpreting
+  "<tag>_inverted": true      — ONLY when min(rep2..) > rep1; then
+                "<tag>_warm" is overridden to min(ALL reps), making rep1
+                the representative number for faces whose later reps sit
+                under accumulated-cache/GC pressure in the shared family
+                JVM (the round-9 policy, now machine-applied in the JSON
+                instead of prose in SCALE.md). No warm>cold row can
+                appear unflagged.
 Queries that appear in no log are omitted; annotate the result by hand.
 """
 import json
@@ -26,16 +37,34 @@ def main(rnd, out, pairs):
                 name, rep, sec, rows = m.group(1), int(m.group(2)), \
                     float(m.group(3)), int(m.group(4))
                 q = queries.setdefault(name, {"family": fam})
+                reps = q.setdefault(f"{tag}_reps", [])
+                while len(reps) < rep:
+                    reps.append(None)
+                reps[rep - 1] = sec
                 if rep == 1:
-                    q[f"{tag}_cold"] = sec
                     q[f"{tag}_rows"] = rows
-                else:
-                    k = f"{tag}_warm"
-                    q[k] = min(q.get(k, sec), sec)
-    doc = {"round": int(rnd), "queries": queries}
+    for q in queries.values():
+        for tag in {k[:-5] for k in q if k.endswith("_reps")}:
+            reps = [r for r in q[f"{tag}_reps"] if r is not None]
+            if not reps:
+                continue
+            q[f"{tag}_cold"] = reps[0]
+            warm = min(reps[1:]) if len(reps) > 1 else reps[0]
+            if warm > reps[0]:
+                q[f"{tag}_inverted"] = True
+                warm = min(reps)
+            q[f"{tag}_warm"] = warm
+    doc = {"round": int(rnd),
+           "rep_policy": ("cold=rep1; warm=min(rep2..); if min(rep2..)>rep1 "
+                          "the face is flagged inverted and warm=min(all "
+                          "reps) — rep1 is representative under same-JVM "
+                          "cache/GC pressure"),
+           "queries": queries}
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
-    print(f"{out}: {len(queries)} queries")
+    n_inv = sum(1 for q in queries.values()
+                if any(k.endswith("_inverted") for k in q))
+    print(f"{out}: {len(queries)} queries, {n_inv} flagged inverted")
 
 
 if __name__ == "__main__":
