@@ -11,6 +11,17 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench harness parses the LAST raw stdout line as JSON. The default
+// LoggedOutput strategy prefixes every forked-run line with "[info] " and
+// sbt appends "[success] Total time: ..." after the run — both defeated
+// the parser (BENCH_r10.json "parsed": null). StdoutOutput passes the
+// forked process's stdout through verbatim; showSuccess drops the
+// trailing [success] line, so the app's final println IS the final line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
+// showSuccess is consumed by the command engine, not a task — exclude it
+// from the unused-key lint so every sbt invocation doesn't print a [warn]
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

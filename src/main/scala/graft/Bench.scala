@@ -15,22 +15,39 @@ object Bench {
     // samples span 4.9–114 s on a shared host cannot flag a 2× ratio as
     // regression, while a face with a tight envelope can flag 1.4×.
     val prevPath = sys.env.getOrElse("SPARK_GRAFT_PREV_DETAIL", "bench_detail.json")
-    val prevWarm: Map[String, Double] = try {
+    val (prevWarm, prevSwing): (Map[String, Double], Map[String, Double]) = try {
       import org.json4s._
       import org.json4s.jackson.JsonMethods
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(prevPath)))
       JsonMethods.parse(txt) \ "queries" match {
-        case JObject(fields) => fields.collect {
-          case (name, q: JObject) => (q \ "warm") match {
-            case JDouble(v) => Some(name -> v)
-            case JInt(v) => Some(name -> v.toDouble)
+        case JObject(fields) =>
+          def num(v: JValue): Option[Double] = v match {
+            case JDouble(d) => Some(d)
+            case JInt(i) => Some(i.toDouble)
             case _ => None
           }
-        }.flatten.toMap
-        case _ => Map.empty[String, Double]
+          val warms = fields.collect {
+            case (name, q: JObject) => num(q \ "warm").map(name -> _)
+          }.flatten.toMap
+          // the PREV round's own intra-run swing: a prev warm that was the
+          // lucky min of wildly swinging samples is biased low, and a
+          // ratio against it measures that luck, not the code — noise on
+          // EITHER side of the ratio must be inside the envelope
+          val swings = fields.collect {
+            case (name, q: JObject) => (q \ "warm_samples") match {
+              case JArray(vs) =>
+                val s = vs.flatMap(num).filter(_ > 0)
+                if (s.size >= 2 && s.min > 0) Some(name -> s.max / s.min)
+                else None
+              case _ => None
+            }
+          }.flatten.toMap
+          (warms, swings)
+        case _ => (Map.empty[String, Double], Map.empty[String, Double])
       }
-    } catch { case _: Throwable => Map.empty[String, Double] }
+    } catch { case _: Throwable =>
+      (Map.empty[String, Double], Map.empty[String, Double]) }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -87,13 +104,29 @@ object Bench {
     }.toMap
     val cold = r1
     def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
-    // Per-face round-over-round verdict. "noise" requires evidence: the
-    // ratio must sit inside the face's own observed swing this run
-    // (max-sample / min-sample across cold + warm passes), the only
-    // per-face noise measurement available without historical variance.
-    // Tight-envelope faces therefore CAN flag small regressions and
-    // jittery faces can't cry wolf. Bands: ≤0.77 improved, ≤1.05 ok
-    // (sub-5% drift is below timing resolution at these durations).
+    // Per-face round-over-round verdict, computed on the WARM-ONLY metric
+    // for BOTH sides: prev rounds store warm = min(warm passes), so the
+    // numerator must be warmMin too — using the cold-inclusive `results`
+    // min biased ratios optimistically whenever the cold pass happened to
+    // be fastest, and asymmetrically (next round's denominator never
+    // includes cold). "noise" requires evidence: the ratio must sit inside
+    // the face's own observed swing across the WARM passes this run (the
+    // cold sample is excluded — a face with an expensive first-pass shared
+    // cache build would otherwise carry envelope ≈ cold/warm ≫ 1.3 and
+    // could never flag a genuine warm-path regression). The envelope is
+    // TWO-SIDED: it also covers the PREV round's sample swing (from its
+    // committed warm_samples), because a prev warm that was the lucky min
+    // of jittery samples is biased LOW and a ratio against it measures
+    // that luck, not the code — a regression verdict requires the ratio
+    // to exceed what noise could produce on EITHER side. Tight-envelope
+    // faces therefore CAN flag small regressions and jittery faces can't
+    // cry wolf. Bands: ≤0.77 improved, ≤1.05 ok (sub-5% drift is below
+    // timing resolution at these durations). Below the host's timing
+    // resolution the envelope measures the machine, not the code: two
+    // identical-code runs flagged DISJOINT sub-second "regression" trios
+    // in round 10 — so a ratio whose ABSOLUTE delta is under
+    // max(0.25 s, 10% of prev) records `sub_resolution`, never
+    // `regression`.
     def verdictOf(name: String, warm: Double): (String, String) = {
       val prev = prevWarm.get(name).filter(_ > 0)
       if (warm < 0) return ("null", "\"fail\"")
@@ -101,20 +134,22 @@ object Bench {
         case None => ("null", "\"new\"")
         case Some(p) =>
           val ratio = warm / p
-          val samples = (cold.getOrElse(name, -1.0) +:
-            warms.map(_.getOrElse(name, -1.0))).filter(_ > 0)
+          val samples = warms.map(_.getOrElse(name, -1.0)).filter(_ > 0)
           val envelope =
             if (samples.isEmpty || samples.min <= 0) 1.3
-            else math.max(1.3, samples.max / samples.min)
+            else math.max(math.max(1.3, samples.max / samples.min),
+              prevSwing.getOrElse(name, 1.0))
           val v =
             if (ratio <= 0.77) "improved"
             else if (ratio <= 1.05) "ok"
             else if (ratio <= envelope) "noise"
+            else if (math.abs(warm - p) < math.max(0.25, 0.1 * p))
+              "sub_resolution"
             else "regression"
           (f"$p%.3f", "\"" + v + "\"")
       }
     }
-    val ratios = results.toSeq.collect {
+    val ratios = warmMin.toSeq.collect {
       case (name, w) if w > 0 && prevWarm.get(name).exists(_ > 0) =>
         w / prevWarm(name)
     }.sorted
@@ -122,7 +157,7 @@ object Bench {
       if (ratios.isEmpty) -1.0
       else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
-    val nRegression = results.toSeq.count { case (name, w) =>
+    val nRegression = warmMin.toSeq.count { case (name, w) =>
       verdictOf(name, w)._2 == "\"regression\"" }
     // The harness captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window; 200+ entries overflow it even at 3-char
@@ -167,13 +202,14 @@ object Bench {
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","n_queries":${results.size},"n_fail":$nFail,"median_vs_prev":${fmt(medianRatio)},"n_regression":$nRegression,"queries":$qs,"detail":"bench_detail.json","sf":"$sfDir"}"""
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
-        val (prevS, verdictS) = verdictOf(k, v)
+        val w = warmMin.getOrElse(k, -1.0)
+        val (prevS, verdictS) = verdictOf(k, w)
         val ratioS = prevWarm.get(k).filter(_ > 0) match {
-          case Some(p) if v > 0 => f"${v / p}%.3f"
+          case Some(p) if w > 0 => f"${w / p}%.3f"
           case _ => "null"
         }
         "\"" + k + "\":{\"min\":" + fmt(v) +
-          ",\"warm\":" + fmt(warmMin.getOrElse(k, -1.0)) +
+          ",\"warm\":" + fmt(w) +
           ",\"cold\":" + fmt(cold.getOrElse(k, -1.0)) +
           ",\"warm_samples\":" + warms.map(w =>
             fmt(w.getOrElse(k, -1.0))).mkString("[", ",", "]") +
@@ -184,11 +220,19 @@ object Bench {
       java.nio.file.Paths.get("bench_detail.json"),
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","median_vs_prev":${fmt(medianRatio)},"n_regression":$nRegression,"prev_detail":"$prevPath","queries":$detail,"sf":"$sfDir"}""")
     catch { case _: Throwable => }
+    // The stdout line is fragile under wrappers (sbt's LoggedOutput
+    // prefixed it with "[info] " and appended "[success] ..." — the
+    // BENCH_r10 parse failure), so the SAME line also lands in a fixed
+    // artifact file the harness can always read, stdout-independent.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_line.json"), line)
+    catch { case _: Throwable => }
     // The JSON line must be the LAST stdout the harness captures: stop all
     // streaming queries and the session FIRST, because StateStore
     // maintenance/shutdown chatter printed after the line pushed it out of
-    // the 2000-char capture window (BENCH_r09.json parsed: null). Only
-    // then print, as the process's final act.
+    // the 2000-char capture window (BENCH_r09.json parsed: null); sbt-side
+    // decoration is disabled in build.sbt (StdoutOutput + showSuccess).
+    // Only then print, as the process's final act.
     try {
       spark.streams.active.foreach(q => scala.util.Try(q.stop()))
       spark.stop()

@@ -2837,6 +2837,45 @@ object SparkEntry {
         |  round(avg(CASE WHEN nd > 1 THEN 1.0 ELSE 0.0 END), 6) AS repeated_frac
         |FROM d JOIN c USING (win)
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // full CDC replay: the boundary scan is a recursive CTE stepping one
+    // token per iteration (bounded by the longest document) carrying the
+    // run length — boundary when (len >= 4 AND md5_number_lower(tok) % 8
+    // = 0) OR len = 32, remainder closes at end-of-doc — and chunk
+    // identity is md5_number_lower of the chunk's own text, the same
+    // md5-quadword the engine computes (HUGEINT vs signed-long read-back
+    // is an injective relabeling, so grouping cardinalities match)
+    "q8i_cdc_chunks" ->
+      """WITH RECURSIVE
+        |t AS (SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\s+'), x -> len(x) > 0) AS w
+        |  FROM documents),
+        |d AS (SELECT doc_id, w, len(w) AS n FROM t WHERE len(w) > 0),
+        |h AS (SELECT doc_id, unnest(range(1, n + 1)) AS pos,
+        |    unnest(list_transform(w, x -> md5_number_lower(x) % 8 = 0)) AS mark
+        |  FROM d),
+        |scan AS (
+        |  SELECT doc_id, 0 AS pos, 0 AS len FROM d
+        |  UNION ALL
+        |  SELECT s.doc_id, s.pos + 1,
+        |    CASE WHEN (s.len + 1 >= 4 AND h.mark) OR s.len + 1 = 32
+        |         THEN 0 ELSE s.len + 1 END
+        |  FROM scan s JOIN h ON h.doc_id = s.doc_id AND h.pos = s.pos + 1),
+        |bnd AS (
+        |  SELECT doc_id, pos AS e FROM scan WHERE pos > 0 AND len = 0
+        |  UNION
+        |  SELECT s.doc_id, s.pos AS e FROM scan s JOIN d ON d.doc_id = s.doc_id
+        |  WHERE s.pos = d.n AND s.len > 0),
+        |b AS (SELECT doc_id, e,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0) AS sprev
+        |  FROM bnd),
+        |ck AS (SELECT DISTINCT b.doc_id,
+        |    md5_number_lower(array_to_string(d.w[b.sprev + 1 : b.e], ' ')) AS ch
+        |  FROM b JOIN d ON d.doc_id = b.doc_id),
+        |df AS (SELECT ch, count(*) AS nd FROM ck GROUP BY ch)
+        |SELECT ck.doc_id, count(*) AS n_chunks,
+        |  CAST(sum(CASE WHEN df.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared
+        |FROM ck JOIN df USING (ch)
+        |GROUP BY ck.doc_id ORDER BY doc_id""".stripMargin,
     "q8m_resample_gapfill" ->
       """WITH counts AS (
         |  SELECT CAST(floor(epoch(date_trunc('hour', ts)) ) AS BIGINT) AS hour_s,

@@ -153,6 +153,14 @@ object GraftFunctions {
           "cdc_chunks: mask, minLen, maxLen must be literals")
         CdcChunks(es(0), es(1).eval().asInstanceOf[Long],
           es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
+      }),
+    (FunctionIdentifier("cdc_boundaries"),
+      new ExpressionInfo(classOf[CdcBoundaries].getName, "cdc_boundaries"),
+      (es: Seq[Expression]) => {
+        require(es(1).foldable && es(2).foldable && es(3).foldable,
+          "cdc_boundaries: mask, minLen, maxLen must be literals")
+        CdcBoundaries(es(0), es(1).eval().asInstanceOf[Long],
+          es(2).eval().asInstanceOf[Int], es(3).eval().asInstanceOf[Int])
       }))
 
   def register(spark: SparkSession): Unit = all.foreach { case (id, info, builder) =>

@@ -1010,6 +1010,82 @@ case class CdcChunks(child: Expression, mask: Long, minLen: Int, maxLen: Int)
     copy(child = newChild)
 }
 
+/** `cdc_boundaries(tokenHashes, mask, minLen, maxLen)`: the SAME
+  * content-defined boundary scan as [[CdcChunks]], returning the 1-based
+  * END positions of every chunk (the final partial chunk's end included)
+  * instead of fold hashes. The position set is a pure function of the
+  * boundary rule — no xxhash64 chain — so when the token-hash stream is
+  * the portable [[Md5Quad64]], another engine can replay the scan exactly
+  * (DuckDB: a recursive CTE stepping one token per iteration carrying the
+  * run length) and reconstruct the identical chunks from the raw token
+  * text. This is what flips the q8i CDC face from spec-only to a full
+  * equality oracle: chunk identity becomes a hash OF THE CHUNK'S TEXT
+  * (replayable) keyed by boundaries both engines agree on, rather than an
+  * engine-private fold. Boundary semantics are bit-identical to
+  * [[CdcChunks]] (TextOpsSpec asserts the two scans agree on every
+  * boundary). */
+case class CdcBoundaries(child: Expression, mask: Long, minLen: Int, maxLen: Int)
+    extends UnaryExpression {
+
+  require(minLen >= 1 && maxLen >= minLen,
+    s"cdc_boundaries: need 1 <= minLen <= maxLen, got ($minLen, $maxLen)")
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "cdc_boundaries"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    child.dataType match {
+      case ArrayType(LongType, _) => TypeCheckSuccess
+      case _ => TypeCheckFailure("cdc_boundaries(array<bigint>, ...)")
+    }
+  }
+
+  override def nullSafeEval(a: Any): Any = {
+    val th = a.asInstanceOf[ArrayData]
+    val n = th.numElements()
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var len = 0
+    var k = 0
+    while (k < n) {
+      val h = th.getLong(k)
+      len += 1
+      if ((len >= minLen && (h & mask) == 0L) || len == maxLen) {
+        out += (k + 1); len = 0
+      }
+      k += 1
+    }
+    if (len > 0) out += n
+    new GenericArrayData(out.toArray)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val m = ctx.freshName("m"); val len = ctx.freshName("len")
+      val k = ctx.freshName("k"); val h = ctx.freshName("h")
+      s"""
+         |int $n = $a.numElements();
+         |int[] $out = new int[$n / $minLen + 1];
+         |int $m = 0;
+         |int $len = 0;
+         |for (int $k = 0; $k < $n; $k++) {
+         |  long $h = $a.getLong($k);
+         |  $len++;
+         |  if (($len >= $minLen && ($h & ${mask}L) == 0L) || $len == $maxLen) {
+         |    $out[$m++] = $k + 1; $len = 0;
+         |  }
+         |}
+         |if ($len > 0) $out[$m++] = $n;
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($out, $m));
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): CdcBoundaries =
+    copy(child = newChild)
+}
+
 /** `edit1_dist(a, b)`: Levenshtein distance CAPPED at 1 — returns 0, 1, or
   * -1 (meaning "> 1"), the exact contract of Spark's
   * `levenshtein(a, b, 1)`. The built-in runs a banded dynamic program with

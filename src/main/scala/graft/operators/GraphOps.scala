@@ -969,11 +969,7 @@ object GraphOps {
       .select(col("v"), lit(1.0 / n).as("r"))
       .localCheckpoint()
     for (i <- 1 to iters) {
-      val next = w.join(pr, w("src") === pr("v"))
-        .groupBy(col("dst").as("nv"))
-        .agg(sum(col("r") * col("w")).as("mass"))
-        .select(col("nv").as("v"),
-          (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("r"))
+      val next = pageRankStep(w, pr, n, damping)
       // checkpoint every SECOND superstep (and the last): plan depth stays
       // ≤ 2 supersteps — still O(1) analysis — while halving the number of
       // job barriers; each checkpoint job simply executes two supersteps
@@ -982,6 +978,18 @@ object GraphOps {
     w.unpersist() // pr is materialized past the last superstep; w is done
     pr.select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
   }
+
+  /** One PageRank superstep — the loop body of [[pageRank]], factored out
+    * so [[superstepPlans]] can expose the EXACT physical plan one
+    * iteration compiles to (the per-superstep audit surface; a copy would
+    * drift). */
+  private def pageRankStep(w: DataFrame, pr: DataFrame, n: Long,
+      damping: Double): DataFrame =
+    w.join(pr, w("src") === pr("v"))
+      .groupBy(col("dst").as("nv"))
+      .agg(sum(col("r") * col("w")).as("mass"))
+      .select(col("nv").as("v"),
+        (lit((1.0 - damping) / n) + lit(damping) * col("mass")).as("r"))
 
   /** qa7: personalized PageRank — [[pageRank]]'s restart mass
     * concentrated on ONE seed (the minimum vertex id — deterministic at
@@ -1008,15 +1016,22 @@ object GraphOps {
     val verts = w.select(col("src").as("v")).distinct().localCheckpoint()
     var pr = verts.select(col("v"), restart.as("r")).localCheckpoint()
     for (i <- 1 to iters) {
-      val mass = w.join(pr, w("src") === pr("v"))
-        .groupBy(col("dst").as("nv")).agg(sum(col("r") * col("w")).as("m"))
-      val next = verts.join(mass, verts("v") === mass("nv"), "left_outer")
-        .select(col("v"), (lit(1.0 - damping) * restart +
-          lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
+      val next = pprStep(w, pr, verts, restart, damping)
       pr = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     w.unpersist()
     pr.select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
+  }
+
+  /** One personalized-PageRank superstep — [[personalizedPageRank]]'s loop
+    * body, factored for [[superstepPlans]]. */
+  private def pprStep(w: DataFrame, pr: DataFrame, verts: DataFrame,
+      restart: Column, damping: Double): DataFrame = {
+    val mass = w.join(pr, w("src") === pr("v"))
+      .groupBy(col("dst").as("nv")).agg(sum(col("r") * col("w")).as("m"))
+    verts.join(mass, verts("v") === mass("nv"), "left_outer")
+      .select(col("v"), (lit(1.0 - damping) * restart +
+        lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
   }
 
   /** Community detection via synchronous label propagation (LPA) — the
@@ -1049,14 +1064,7 @@ object GraphOps {
       .withColumn("label", col("vertex"))
       .localCheckpoint()
     for (i <- 1 to iters) {
-      val next = nbrs.join(labels, nbrs("v") === labels("vertex"))
-        .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
-        // most-frequent neighbor label, ties to the smallest label:
-        // min over the (-cnt, label) ordering
-        .groupBy(col("u")).agg(
-          min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
-            .as("label"))
-        .select(col("u").as("vertex"), col("label"))
+      val next = lpaStep(nbrs, labels)
       // every-2nd-superstep checkpoint (see pageRank): half the job
       // barriers at plan depth ≤ 2
       labels = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
@@ -1065,6 +1073,18 @@ object GraphOps {
     labels.select(col("vertex"), col("label").as("community"))
       .orderBy("vertex")
   }
+
+  /** One synchronous-LPA superstep — [[communitiesLpaOf]]'s loop body,
+    * factored for [[superstepPlans]]. */
+  private def lpaStep(nbrs: DataFrame, labels: DataFrame): DataFrame =
+    nbrs.join(labels, nbrs("v") === labels("vertex"))
+      .groupBy(col("u"), col("label")).agg(count(lit(1)).as("cnt"))
+      // most-frequent neighbor label, ties to the smallest label:
+      // min over the (-cnt, label) ordering
+      .groupBy(col("u")).agg(
+        min_by(col("label"), struct((-col("cnt")).as("nc"), col("label")))
+          .as("label"))
+      .select(col("u").as("vertex"), col("label"))
 
   /** Per-vertex triangle counts via the "forward" (degree-ordered)
     * algorithm: edges are oriented from the lower-(degree, id) endpoint to
@@ -1234,12 +1254,7 @@ object GraphOps {
     var frontier = dist
     var iter = 0
     while (iter < maxIters && !frontier.isEmpty) {
-      frontier = frontier.join(nbrs, frontier("vertex") === nbrs("u"))
-        .select(col("v").as("vertex"), (col("dist") + 1).as("dist"))
-        .groupBy("vertex").agg(min("dist").as("dist"))
-        .join(dist.select(col("vertex").as("settled")),
-          col("vertex") === col("settled"), "left_anti")
-        .localCheckpoint()
+      frontier = ssspStep(nbrs, frontier, dist).localCheckpoint()
       if (!frontier.isEmpty)
         dist = dist.unionAll(frontier).localCheckpoint()
       iter += 1
@@ -1248,6 +1263,16 @@ object GraphOps {
     dist.select(col("vertex"), col("dist").cast("int").as("dist"))
       .orderBy("vertex")
   }
+
+  /** One frontier-expansion BFS superstep — [[ssspOf]]'s distributed-tier
+    * loop body, factored for [[superstepPlans]]. */
+  private def ssspStep(nbrs: DataFrame, frontier: DataFrame,
+      dist: DataFrame): DataFrame =
+    frontier.join(nbrs, frontier("vertex") === nbrs("u"))
+      .select(col("v").as("vertex"), (col("dist") + 1).as("dist"))
+      .groupBy("vertex").agg(min("dist").as("dist"))
+      .join(dist.select(col("vertex").as("settled")),
+        col("vertex") === col("settled"), "left_anti")
 
   /** Exact in-memory BFS from the minimum vertex id; hop distances of the
     * reachable component, capped at `maxIters` (mirrors the distributed
@@ -1398,12 +1423,12 @@ object GraphOps {
     // cadence: plan depth ≤ 2, half the job barriers).
     var auth: DataFrame = null
     for (i <- 1 to iters) {
-      val a0 = incC.join(hub, "c").groupBy("p").agg(sum("h").as("a"))
+      val a0 = hitsAuthStep(incC, hub)
       // auth stays lazy inside the hub job except on the last round,
       // where it is materialized for the output
       val authStep = if (i == iters) { auth = a0.localCheckpoint(); auth }
                      else a0
-      val next = incP.join(authStep, "p").groupBy("c").agg(sum("a").as("h"))
+      val next = hitsHubStep(incP, authStep)
       hub = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     incC.unpersist(); incP.unpersist() // results live in checkpoints
@@ -1416,6 +1441,57 @@ object GraphOps {
         .select(lit("authority").as("role"), col("p").as("id"),
           round(col("a") / col("nrm"), 8).as("score")))
       .orderBy("role", "id")
+  }
+
+  /** The two HITS half-steps — [[hits]]' loop body, factored for
+    * [[superstepPlans]]: authority = incidence-join + group-sum over p,
+    * hub = the transpose over c. */
+  private def hitsAuthStep(incC: DataFrame, hub: DataFrame): DataFrame =
+    incC.join(hub, "c").groupBy("p").agg(sum("h").as("a"))
+  private def hitsHubStep(incP: DataFrame, auth: DataFrame): DataFrame =
+    incP.join(auth, "p").groupBy("c").agg(sum("a").as("h"))
+
+  /** Superstep-1 relations of the ITERATIVE graph faces (q88 PageRank,
+    * qa7 PPR, q8j LPA, q8z SSSP's distributed tier, q9n HITS' two
+    * half-steps), built from the SAME step functions the loops run — the
+    * per-superstep plan-audit surface. The loop faces' own explained plans
+    * are useless for this: `localCheckpoint` truncates lineage (by
+    * design — O(1) analysis per round), so the face's final plan shows a
+    * checkpoint scan, not the superstep. Each entry here is ONE loop-body
+    * application over the real static relations and an un-checkpointed
+    * initial vector, so the dumped plan is exactly what every iteration
+    * compiles to (modulo the checkpoint scan replacing the previous
+    * round's subtree). */
+  private[graft] def superstepPlans(spark: SparkSession,
+      dir: String): Seq[(String, DataFrame)] = {
+    val e0 = coPurchaseEdges(spark, dir, 3).select("u", "v")
+    val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u").as("src"), col("v").as("dst"))
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    val w = e.join(deg, "src")
+      .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+    val verts = w.select(col("src").as("v")).distinct()
+    val pr0 = verts.select(col("v"), lit(1.0).as("r"))
+    val restart = when(col("v") === 0L, 1.0).otherwise(0.0)
+    val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u"), col("v"))
+    val labels0 = nbrs.select(col("u").as("vertex")).distinct()
+      .withColumn("label", col("vertex"))
+    val dist0 = spark.range(1)
+      .select(lit(0L).as("vertex"), lit(0).as("dist"))
+    val inc = incidence(spark, dir)
+    val incC = inc.repartition(col("c"))
+    val incP = inc.repartition(col("p"))
+    val hub0 = incC.select(col("c")).distinct().withColumn("h", lit(1.0))
+    Seq(
+      "q88_pagerank superstep" -> pageRankStep(w, pr0, 1000L, 0.85),
+      "qa7_ppr superstep" -> pprStep(w, pr0, verts, restart, 0.85),
+      "q8j_lpa superstep" -> lpaStep(nbrs, labels0),
+      "q8z_sssp superstep (distributed tier)" ->
+        ssspStep(nbrs, dist0, dist0.select(col("vertex"), col("dist"))),
+      "q9n_hits auth half-step" -> hitsAuthStep(incC, hub0),
+      "q9n_hits hub half-step" ->
+        hitsHubStep(incP, hitsAuthStep(incC, hub0)))
   }
 
   /** Modularity search trace: Q at each coarse removal step — exposes G5 as

@@ -546,23 +546,47 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Content-defined chunk dedup statistics: tokens → xxhash64 stream →
-    * [[graft.functions.CdcChunks]] boundaries (mask 7 ⇒ ~11-token expected
-    * chunks, clamped to [4, 32]) → per-document chunk count plus how many
-    * of its chunks also occur in ANOTHER document. The CDC twin of
-    * [[repeatedNgrams]]: variable-width spans that survive insertions
-    * (boundaries re-synchronize on content), against the same two-level
-    * hash-keyed aggregation shape. The chunker is a single-pass codegen'd
-    * expression; nothing wider than (doc_id, chunk_hash) ever shuffles. */
+  /** Content-defined chunk dedup statistics: tokens → PORTABLE md5-quadword
+    * hash stream → [[graft.functions.CdcBoundaries]] boundary positions
+    * (mask 7 ⇒ ~11-token expected chunks, clamped to [4, 32]) → chunk
+    * identity = md5 of the chunk's raw token text → per-document chunk
+    * count plus how many of its chunks also occur in ANOTHER document. The
+    * CDC twin of [[repeatedNgrams]]: variable-width spans that survive
+    * insertions (boundaries re-synchronize on content), against the same
+    * two-level hash-keyed aggregation shape.
+    *
+    * Everything here is cross-engine replayable — the boundary hash is
+    * md5_number_lower, the boundary scan is a recursive length-carrying
+    * walk, and the chunk key hashes the chunk's own text — so the face
+    * carries a FULL DuckDB equality oracle (the xxhash64-fold form it
+    * replaces could only be spec-checked: its chunk identity was an
+    * engine-private hash chain). The boundary scanner is a single-pass
+    * codegen'd expression sharing [[graft.functions.CdcChunks]]'s rule
+    * bit-for-bit (TextOpsSpec asserts the two scans agree); nothing wider
+    * than (doc_id, chunk_hash) ever shuffles. */
   def cdcChunkStats(spark: SparkSession, dir: String, mask: Long = 7L,
       minLen: Int = 4, maxLen: Int = 32): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    val chunks = Tables(spark, dir, "documents")
+    val bounded = Tables(spark, dir, "documents")
       .select(col("doc_id"), Dedup.tokensCol(col("text")).as("tokens"))
       .where(size(col("tokens")) > 0)
-      .select(col("doc_id"), explode(array_distinct(call_function("cdc_chunks",
-        transform(col("tokens"), t => xxhash64(t)),
-        lit(mask), lit(minLen), lit(maxLen)))).as("ch"))
+      .withColumn("ends", call_function("cdc_boundaries",
+        transform(col("tokens"),
+          t => call_function("md5_quad64", t.cast("binary"))),
+        lit(mask), lit(minLen), lit(maxLen)))
+    // chunk spans: starts = 0 ++ ends[:-1]; chunk c covers token positions
+    // (start, end] — the key hashes the SPAN TEXT, so equal spans match
+    // across documents regardless of which boundaries framed them
+    val chunks = bounded
+      .select(col("doc_id"), col("tokens"), explode(zip_with(
+        concat(array(lit(0)),
+          slice(col("ends"), lit(1), greatest(size(col("ends")) - 1, lit(0)))),
+        col("ends"),
+        (s, e) => struct(s.as("s"), e.as("e")))).as("c"))
+      .select(col("doc_id"), call_function("md5_quad64",
+        concat_ws(" ", slice(col("tokens"), col("c.s") + 1,
+          col("c.e") - col("c.s"))).cast("binary")).as("ch"))
+      .distinct()
     val df = chunks.groupBy("ch").agg(count(lit(1)).as("nd"))
     chunks.join(df, "ch")
       .groupBy("doc_id").agg(

@@ -73,4 +73,66 @@ object Staging {
     * JVM exit like everything else. */
   def fresh(tag: String): String =
     register(Files.createTempDirectory(s"graft-$tag")).toString
+
+  /** CROSS-JVM persistent staging for derived relations whose build is a
+    * one-time cost per FIXTURE, not per process — the qad/qb2 shape: the
+    * shared shingle/content relation over a 100×-unique corpus costs
+    * ~18 min to build and was re-paid by every fresh JVM, while the
+    * derivation is a pure function of the input files. The dir name
+    * carries a caller-supplied FINGERPRINT of the inputs (size + mtime),
+    * so a rewritten fixture at the same path gets a fresh build, never a
+    * stale read. Crash/concurrency-safe: builders write into a private
+    * temp dir and atomically move it into place, readers only trust a dir
+    * containing the _STAGED marker (a half-written dir from a killed
+    * builder is invisible), and a lost publish race defers to the winner.
+    * Deliberately NOT registered for shutdown deletion — surviving the
+    * JVM is the point; the fingerprint keying makes leftovers inert. */
+  def persistent(tag: String, key: String, fingerprint: String)
+      (write: String => Unit): String =
+    stagedOnce.computeIfAbsent((s"persist-$tag", s"$key@$fingerprint"), _ => {
+      val h = Integer.toHexString(
+        scala.util.hashing.MurmurHash3.stringHash(s"$key@$fingerprint"))
+      val safeKey = key.replaceAll("[^A-Za-z0-9._-]", "_").takeRight(80)
+      val dest = Paths.get(System.getProperty("java.io.tmpdir"),
+        s"graft-persist-$tag-$safeKey-$h")
+      val marker = dest.resolve("_STAGED")
+      if (!Files.exists(marker)) {
+        val tmp = Files.createTempDirectory(
+          dest.getParent, s"graft-persist-build-$jvmToken-")
+        write(tmp.toString)
+        Files.writeString(tmp.resolve("_STAGED"), fingerprint)
+        try {
+          Files.move(tmp, dest, java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException |
+               _: java.nio.file.FileSystemException =>
+            // another process published first (or a stale dir without a
+            // marker is in the way): defer to a marked winner, else
+            // replace the unmarked debris
+            if (Files.exists(marker)) deleteRecursively(tmp)
+            else {
+              deleteRecursively(dest)
+              Files.move(tmp, dest,
+                java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            }
+        }
+      }
+      dest.toString
+    })
+
+  /** Size+mtime fingerprint of a fixture file or directory tree — the
+    * staleness key for [[persistent]]. */
+  def fingerprintOf(path: String): String = {
+    val p = Paths.get(path)
+    if (!Files.exists(p)) return "absent"
+    if (Files.isRegularFile(p))
+      return s"${Files.size(p)}-${Files.getLastModifiedTime(p).toMillis}"
+    val s = Files.walk(p)
+    try {
+      val acc = s.filter(Files.isRegularFile(_)).toArray.map {
+        case f: Path => Files.size(f) + Files.getLastModifiedTime(f).toMillis
+      }
+      s"${acc.length}-${acc.sum}"
+    } finally s.close()
+  }
 }

@@ -106,16 +106,25 @@ object DedupStream {
         // no corpus-wide content groups, so each delta doc bands
         // individually; sh computed once per doc and reused for bands
         // (candidate probe) and the verify join below
+        // skey = hash of the shingle set itself, so the verify below is
+        // keyed to the EXACT shingle set whose bands produced the
+        // collision: a re-delivered doc_id carrying different text in the
+        // same micro-batch verifies each version against its own sh
+        // (dedup on bare sdoc picked an arbitrary one), while the
+        // candidate distinct still moves only three longs per row
         val bands = Dedup.withBands(batch.toDF())
-        val deltaSh = bands.select(col("doc_id").as("sdoc"), col("sh").as("sh_x"))
-          .dropDuplicates("sdoc")
+          .withColumn("skey", xxhash64(col("sh")))
+        val deltaSh = bands.select(col("doc_id").as("sdoc"), col("skey"),
+            col("sh").as("sh_x"))
+          .dropDuplicates("sdoc", "skey")
         val candidates = bands.as("x")
           .join(corpusIndex.as("y"),
             col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
-          .select(col("x.doc_id").as("sdoc"), col("y.cid").as("cid"))
+          .select(col("x.doc_id").as("sdoc"), col("x.skey").as("skey"),
+            col("y.cid").as("cid"))
           .distinct()
         val verified = candidates
-          .join(deltaSh, Seq("sdoc"))
+          .join(deltaSh, Seq("sdoc", "skey"))
           .join(corpusSh.select(col("cid"), col("sh").as("sh_y")), Seq("cid"))
           .select(col("sdoc"), col("cid"),
             Dedup.jaccardOf(col("sh_x"), col("sh_y")).as("jaccard"))

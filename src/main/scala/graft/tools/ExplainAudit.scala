@@ -88,6 +88,21 @@ object ExplainAudit {
       println(graft.SparkEntry.queries(name)(spark, dir).queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
     }
+    // round-11: the iterative graph family's PER-SUPERSTEP plans (the
+    // faces' own explained plans end at a localCheckpoint scan — lineage
+    // truncation is the point of the checkpoint cadence — so the loop
+    // bodies are exposed via the same step functions the loops execute).
+    // What to read in them: the static side (edge weights / neighbor /
+    // incidence relation) joins the rank vector with NO extra exchange on
+    // the static side, and each superstep's only exchanges are the
+    // aggregate's partial→final shuffle (PageRank/PPR/LPA/SSSP) or the
+    // two transposes (HITS groupBy p after a c-join and vice versa).
+    graft.operators.GraphOps.superstepPlans(spark, dir).foreach {
+      case (name, df) =>
+        println(s"\n===== $name =====")
+        println(df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode))
+    }
     // scale technique: bucketed co-located join plans without any shuffle
     println("\n===== bucketed_join (ScaleOps) =====")
     import org.apache.spark.sql.functions.col

@@ -48,6 +48,34 @@ class Round5Spec extends AnyFunSuite with SparkSuite {
     assert(sparkChunks(all, 0L, 1, 32).length == 10)
   }
 
+  test("cdc_boundaries agrees with cdc_chunks on every boundary") {
+    import spark.implicits._
+    def refBounds(th: Seq[Long], mask: Long, minLen: Int,
+        maxLen: Int): Seq[Int] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var len = 0
+      th.zipWithIndex.foreach { case (h, k) =>
+        len += 1
+        if ((len >= minLen && (h & mask) == 0L) || len == maxLen) {
+          out += (k + 1); len = 0
+        }
+      }
+      if (len > 0) out += th.length
+      out.toSeq
+    }
+    val rnd = new scala.util.Random(13)
+    (0 until 20).foreach { _ =>
+      val th = Seq.fill(rnd.nextInt(120))(rnd.nextLong())
+      val got = Seq(th).toDF("th")
+        .select(call_function("cdc_boundaries", col("th"),
+          lit(7L), lit(4), lit(32)).as("b"))
+        .head.getSeq[Int](0)
+      assert(got == refBounds(th, 7L, 4, 32))
+      // same rule as cdc_chunks: identical chunk COUNT on every stream
+      assert(got.length == refChunks(th, 7L, 4, 32).length)
+    }
+  }
+
   test("cdc boundaries re-synchronize after a prefix insertion") {
     val rnd = new scala.util.Random(11)
     val doc = Seq.fill(400)(rnd.nextLong())

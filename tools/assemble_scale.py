@@ -43,9 +43,18 @@ def main(rnd, out, pairs):
                 reps[rep - 1] = sec
                 if rep == 1:
                     q[f"{tag}_rows"] = rows
-    for q in queries.values():
+    for name, q in queries.items():
         for tag in {k[:-5] for k in q if k.endswith("_reps")}:
-            reps = [r for r in q[f"{tag}_reps"] if r is not None]
+            raw = q[f"{tag}_reps"]
+            # a garbled/missing rep-1 line must not silently promote rep 2
+            # to "cold" (it would also shift the inversion check and lose
+            # <tag>_rows) — flag and skip instead
+            if raw and raw[0] is None:
+                q[f"{tag}_missing_cold"] = True
+                print(f"WARNING: {name} {tag}: rep1 missing from log; "
+                      "cold/warm not derived", file=sys.stderr)
+                continue
+            reps = [r for r in raw if r is not None]
             if not reps:
                 continue
             q[f"{tag}_cold"] = reps[0]
@@ -54,17 +63,34 @@ def main(rnd, out, pairs):
                 q[f"{tag}_inverted"] = True
                 warm = min(reps)
             q[f"{tag}_warm"] = warm
+            # min-of-reps has a blind spot the inversion flag misses: a
+            # single fast warm rep among slow ones (qb2 sf10p published
+            # 16.2 s while 2 of 3 reps sat ~140-160 s). warm_spread =
+            # max(rep2..)/min(rep2..) makes the variance visible; above
+            # 3x the face is flagged for fresh-JVM re-measurement and the
+            # published warm is NOT steady-state-credible on its own.
+            if len(reps) > 2:
+                spread = max(reps[1:]) / min(reps[1:])
+                q[f"{tag}_warm_spread"] = round(spread, 3)
+                if spread > 3.0:
+                    q[f"{tag}_warm_unstable"] = True
     doc = {"round": int(rnd),
            "rep_policy": ("cold=rep1; warm=min(rep2..); if min(rep2..)>rep1 "
                           "the face is flagged inverted and warm=min(all "
                           "reps) — rep1 is representative under same-JVM "
-                          "cache/GC pressure"),
+                          "cache/GC pressure; warm_spread = "
+                          "max(rep2..)/min(rep2..), faces above 3x are "
+                          "flagged warm_unstable (published warm is a "
+                          "minority sample — re-measure in a fresh JVM)"),
            "queries": queries}
     with open(out, "w") as f:
         json.dump(doc, f, indent=1)
     n_inv = sum(1 for q in queries.values()
                 if any(k.endswith("_inverted") for k in q))
-    print(f"{out}: {len(queries)} queries, {n_inv} flagged inverted")
+    n_uns = sum(1 for q in queries.values()
+                if any(k.endswith("_warm_unstable") for k in q))
+    print(f"{out}: {len(queries)} queries, {n_inv} flagged inverted, "
+          f"{n_uns} warm-unstable")
 
 
 if __name__ == "__main__":

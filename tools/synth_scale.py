@@ -9,9 +9,13 @@ ratios: every document/name has N identical copies, so similarity PAIR sets
 grow ~C(N,2) by construction — output-bound queries inherit that curve from
 the method, not from the plan.
 
-Usage: python3 tools/synth_scale.py <N> <outDir> [perturb]
+Usage: python3 tools/synth_scale.py <N> <outDir> [perturb] [tables=a,b,...]
   e.g. python3 tools/synth_scale.py 100 /tmp/sf10
        python3 tools/synth_scale.py 100 /tmp/sf10p perturb
+       python3 tools/synth_scale.py 1000 /tmp/sf100p perturb tables=documents
+`tables=` restricts synthesis to the named tables (the sf100 probe only
+needs documents for the MinHash/manifest families — a full 1000x fixture
+would spend most of its disk on lineitem rows no probed face reads).
 
 `perturb` mode addresses the caveat above for the pair-similarity family:
 every token of every replicated document (and the customer/supplier name
@@ -39,11 +43,12 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 
 
-def main(n, out, perturb=False):
+def main(n, out, perturb=False, tables=None):
     con = duckdb.connect()
     con.execute("PRAGMA threads=32")
     import os
     os.makedirs(out, exist_ok=True)
+    wanted = set(tables.split(",")) if tables else None
 
     def stride(table, col):
         return con.execute(
@@ -59,6 +64,8 @@ def main(n, out, perturb=False):
     uk = stride("events", "user_id")
 
     def rep(table, select):
+        if wanted is not None and table not in wanted:
+            return
         con.execute(
             f"COPY (SELECT {select} FROM '{SRC}/{table}.parquet', "
             f"range({n}) r(i)) TO '{out}/{table}.parquet' (FORMAT PARQUET)")
@@ -120,11 +127,16 @@ def main(n, out, perturb=False):
             f"event_id + i * {ek} AS event_id, ts, "
             f"user_id + i * {uk} AS user_id, event_type, value, props")
     for t in ("nation", "region"):
+        if wanted is not None and t not in wanted:
+            continue
         con.execute(f"COPY (SELECT * FROM '{SRC}/{t}.parquet') "
                     f"TO '{out}/{t}.parquet' (FORMAT PARQUET)")
         print(t, "copied")
 
 
 if __name__ == "__main__":
+    args = sys.argv[3:]
     main(int(sys.argv[1]), sys.argv[2],
-         len(sys.argv) > 3 and sys.argv[3] == "perturb")
+         "perturb" in args,
+         next((a.split("=", 1)[1] for a in args if a.startswith("tables=")),
+              None))
