@@ -661,14 +661,19 @@ object Dedup {
       val gmax = Option(base.groupBy(xxhash64(col("sh")).as("h"))
           .agg(count(lit(1)).as("g")).agg(max("g")).head.get(0))
         .map(_.asInstanceOf[Long]).getOrElse(0L)
-      val grp =
-        if (gmax <= CollapseMaxGroup)
-          base.select(col("doc_id").as("cid"), col("sh"),
-            array(col("doc_id")).as("members"))
-        else
-          base.groupBy("sh")
-            .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members"))
-      grp.cache()
+      if (gmax <= CollapseMaxGroup)
+        // no-collapse branch: a pure PROJECTION of the already-cached
+        // shingle relation — caching it would pin every sh array a
+        // SECOND time for zero dedup benefit, and unique-heavy corpora
+        // (the perturbed scale fixtures, i.e. real 100 TB data) are
+        // exactly where the dedup family's memory pressure bites
+        // (sf10p: ~2-3 GB of sh arrays, doubled for nothing)
+        base.select(col("doc_id").as("cid"), col("sh"),
+          array(col("doc_id")).as("members"))
+      else
+        base.groupBy("sh")
+          .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members"))
+          .cache()
     })
 
   def containmentJoin(spark: SparkSession, dir: String,
