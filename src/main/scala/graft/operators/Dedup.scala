@@ -89,6 +89,8 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val groupedOphCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+  private val prefixOrderCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
   /** Per-call `.cache()`s (content groups, OPH signatures, SimHash
     * fingerprints, band tables) are not keyed views — they exist so one
@@ -110,7 +112,8 @@ object Dedup {
     (shingleCache.values.asScala ++
         contentCache.values.asScala ++ groupedDenseCache.values.asScala ++
         groupsCache.values.asScala ++ bandIndexCache.values.asScala ++
-        groupedOphCache.values.asScala ++ transientCaches.asScala)
+        groupedOphCache.values.asScala ++ prefixOrderCache.values.asScala ++
+        transientCaches.asScala)
       .foreach(df => scala.util.Try(df.unpersist()))
     shingleCache.clear()
     contentCache.clear()
@@ -118,6 +121,7 @@ object Dedup {
     groupsCache.clear()
     bandIndexCache.clear()
     groupedOphCache.clear()
+    prefixOrderCache.clear()
     transientCaches.clear()
   }
 
@@ -676,21 +680,53 @@ object Dedup {
           .cache()
     })
 
+  /** (cid, o) — per content, its shingle hashes as (df, h) structs sorted
+    * rarest-first: the shared base of BOTH set-similarity joins (qad's
+    * Jaccard prefix at t=0.5, qb2's containment prefix at t=0.8 — the
+    * thresholds only change how much of `o` each face SLICES). Keyed
+    * materialized view: the explode + document-frequency aggregate +
+    * per-content collect_list/sort over ~50 hashes × every content was
+    * re-run per face per invocation — the set-similarity family's
+    * dominant warm-path allocation, and at sf10p (500k unique contents,
+    * 25M exploded rows) the main GC-pressure source behind the
+    * warm_unstable flags. */
+  private def prefixOrder(spark: SparkSession, dir: String): DataFrame =
+    prefixOrderCache.computeIfAbsent((spark, dir), _ => {
+      val toks = contentGroups(spark, dir)
+        .select(col("cid"), explode(col("sh")).as("h"))
+      val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
+      toks.join(df, "h")
+        .groupBy("cid")
+        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
+        .cache()
+    })
+
+  /** The rarity-prefix relation at `threshold`: the first
+    * (len − ceil(len·t) + 1) rarest hashes per content, exploded —
+    * prefix-filter completeness holds for ANY fixed global token order,
+    * so the shared df-rarity order serves every threshold. */
+  private def prefixAt(spark: SparkSession, dir: String,
+      threshold: Double): DataFrame =
+    prefixOrder(spark, dir).select(col("cid"),
+      explode(slice(transform(col("o"), s => s.getField("h")), lit(1),
+        (size(col("o")) - ceil(size(col("o")) * lit(threshold)) + 1)
+          .cast("int"))).as("h"))
+
+  /** (cid, h) probe side of the candidate joins — a flat re-expansion of
+    * the cached [[prefixOrder]] (same values as exploding the shingle
+    * sets; reading the cached relation skips the df re-join). */
+  private def prefixToks(spark: SparkSession, dir: String): DataFrame =
+    prefixOrder(spark, dir).select(col("cid"),
+      explode(transform(col("o"), s => s.getField("h"))).as("h"))
+
   def containmentJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
     val grp = contentGroups(spark, dir) // session-cached keyed view
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
-    val toks = reps.select(col("cid"), explode(col("sh")).as("h"))
-    val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
-    val prefix = toks.join(df, "h")
-      .groupBy("cid")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
-      .select(col("cid"),
-        explode(slice(transform(col("o"), s => s.getField("h")), lit(1),
-          (size(col("o")) - ceil(size(col("o")) * lit(threshold)) + 1)
-            .cast("int"))).as("h"))
+    val toks = prefixToks(spark, dir)
+    val prefix = prefixAt(spark, dir, threshold)
     val cand = prefix.as("p").join(toks.as("i"),
         col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid"))
       .select(col("p.cid").as("ca"), col("i.cid").as("cb"))
@@ -723,19 +759,10 @@ object Dedup {
     val grp = contentGroups(spark, dir) // session-cached keyed view
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
-    val toks = reps.select(col("cid"), explode(col("sh")).as("h"))
-    val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
-    // per content: tokens sorted rarest-first; keep only the prefix.
-    // (Rarity is a pruning HEURISTIC — prefix-filter completeness holds
-    // for ANY fixed global token order, so content-level df is as correct
-    // as doc-level df; candidates are exact-verified either way.)
-    val prefix = toks.join(df, "h")
-      .groupBy("cid")
-      .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
-      .select(col("cid"),
-        explode(slice(transform(col("o"), s => s.getField("h")), lit(1),
-          (size(col("o")) - ceil(size(col("o")) * lit(threshold)) + 1)
-            .cast("int"))).as("h"))
+    val toks = prefixToks(spark, dir)
+    // per content: tokens sorted rarest-first; keep only the prefix
+    // (shared keyed view with the containment join — see prefixOrder)
+    val prefix = prefixAt(spark, dir, threshold)
     val cand = prefix.as("p").join(toks.as("i"),
         col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid"))
       .select(least(col("p.cid"), col("i.cid")).as("ca"),
