@@ -684,40 +684,62 @@ object Dedup {
     * rarest-first: the shared base of BOTH set-similarity joins (qad's
     * Jaccard prefix at t=0.5, qb2's containment prefix at t=0.8 — the
     * thresholds only change how much of `o` each face SLICES). Keyed
-    * materialized view: the explode + document-frequency aggregate +
-    * per-content collect_list/sort over ~50 hashes × every content was
-    * re-run per face per invocation — the set-similarity family's
-    * dominant warm-path allocation, and at sf10p (500k unique contents,
-    * 25M exploded rows) the main GC-pressure source behind the
-    * warm_unstable flags. */
+    * materialized view, STAGED to parquet per fixture (the shingle-cache
+    * discipline): the explode + document-frequency aggregate +
+    * per-content collect_list/sort is a pure derivation of
+    * documents.parquet, and when the candidate-join shuffle evicts the
+    * cached blocks mid-rep, an unstaged build re-runs the whole
+    * aggregation — the mechanism behind qb2's 61→272 s same-plan warm
+    * swings at sf10p. Staged, an evicted partition re-reads a columnar
+    * scan instead. */
   private def prefixOrder(spark: SparkSession, dir: String): DataFrame =
     prefixOrderCache.computeIfAbsent((spark, dir), _ => {
-      val toks = contentGroups(spark, dir)
-        .select(col("cid"), explode(col("sh")).as("h"))
-      val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
-      toks.join(df, "h")
-        .groupBy("cid")
-        .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
-        .cache()
+      val src = s"$dir/documents.parquet"
+      val staged = graft.sources.Staging.persistent(
+        "prefix-order", src, graft.sources.Staging.fingerprintOf(src)) { out =>
+        val toks = contentGroups(spark, dir)
+          .select(col("cid"), explode(col("sh")).as("h"))
+        val df = toks.groupBy("h").agg(count(lit(1)).as("df"))
+        toks.join(df, "h")
+          .groupBy("cid")
+          .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
+          .write.mode("overwrite").parquet(s"$out/prefix_order")
+      }
+      spark.read.parquet(s"$staged/prefix_order").cache()
     })
 
-  /** The rarity-prefix relation at `threshold`: the first
-    * (len − ceil(len·t) + 1) rarest hashes per content, exploded —
+  /** Filter-threshold slack: the verify rounds to 6 dp (oracle parity),
+    * so a pair with exact score t − 5e-7 still PASSES verification — every
+    * candidate-pruning bound must therefore be computed at a threshold
+    * lower by at least that rounding tolerance, or the filters could drop
+    * a pair the verify would keep. 1e-6 also absorbs double-rounding in
+    * the ceil/floor bound arithmetic. */
+  private val VerifyTol = 1e-6
+
+  /** The rarity-prefix relation at `threshold`, with the PPJoin pruning
+    * metadata: (cid, la = set size, pa = 0-based global rank of h, h) for
+    * the first (len − ceil(len·t) + 1) rarest hashes per content —
     * prefix-filter completeness holds for ANY fixed global token order,
     * so the shared df-rarity order serves every threshold. */
   private def prefixAt(spark: SparkSession, dir: String,
       threshold: Double): DataFrame =
-    prefixOrder(spark, dir).select(col("cid"),
-      explode(slice(transform(col("o"), s => s.getField("h")), lit(1),
-        (size(col("o")) - ceil(size(col("o")) * lit(threshold)) + 1)
-          .cast("int"))).as("h"))
+    prefixOrder(spark, dir).select(col("cid"), size(col("o")).as("la"),
+      posexplode(slice(transform(col("o"), s => s.getField("h")), lit(1),
+        (size(col("o")) - ceil(size(col("o")) * lit(threshold - VerifyTol))
+          + 1).cast("int"))))
+      .select(col("cid"), col("la"), col("pos").as("pa"), col("col").as("h"))
 
-  /** (cid, h) probe side of the candidate joins — a flat re-expansion of
-    * the cached [[prefixOrder]] (same values as exploding the shingle
-    * sets; reading the cached relation skips the df re-join). */
+  /** (cid, lb, pb, h) probe side of the DIRECTED candidate join — the full
+    * token list with sizes and global ranks (a flat re-expansion of the
+    * cached [[prefixOrder]]; reading the cached relation skips the df
+    * re-join). The containment join must probe FULL token lists: the
+    * containing side B has no overlap bound relative to |B|, so no prefix
+    * of B is safe to drop. (The symmetric Jaccard join probes prefixes on
+    * BOTH sides instead — see [[prefixJaccardJoin]].) */
   private def prefixToks(spark: SparkSession, dir: String): DataFrame =
-    prefixOrder(spark, dir).select(col("cid"),
-      explode(transform(col("o"), s => s.getField("h"))).as("h"))
+    prefixOrder(spark, dir).select(col("cid"), size(col("o")).as("lb"),
+      posexplode(transform(col("o"), s => s.getField("h"))))
+      .select(col("cid"), col("lb"), col("pos").as("pb"), col("col").as("h"))
 
   def containmentJoin(spark: SparkSession, dir: String,
       threshold: Double = 0.8): DataFrame = {
@@ -727,8 +749,22 @@ object Dedup {
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
     val toks = prefixToks(spark, dir)
     val prefix = prefixAt(spark, dir, threshold)
+    // PPJoin pruning, both provably complete for pairs the (6-dp-rounded)
+    // verify keeps — computed at threshold − VerifyTol:
+    //  - length: containment ≥ t needs |A∩B| ≥ ⌈t·|A|⌉ and |A∩B| ≤ |B|,
+    //    so any B with |B| < ⌈t·|A|⌉ can be dropped at the join;
+    //  - positional: both token lists share the global rarity order, so
+    //    for a match on A's rank-pa token and B's rank-pb token the
+    //    overlap from here on is ≤ 1 + min(|A|−pa−1, |B|−pb−1); the pair's
+    //    FIRST common token (which sits inside A's prefix whenever the
+    //    pair truly matches — otherwise fewer than ⌈t·|A|⌉ tokens remain)
+    //    sees the true overlap, so at least one generating row survives.
+    val minov = ceil(col("p.la") * lit(threshold - VerifyTol))
     val cand = prefix.as("p").join(toks.as("i"),
-        col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid"))
+        col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid") &&
+        col("i.lb") >= minov &&
+        (lit(1) + least(col("p.la") - col("p.pa") - lit(1),
+          col("i.lb") - col("i.pb") - lit(1))) >= minov)
       .select(col("p.cid").as("ca"), col("i.cid").as("cb"))
       .distinct()
     val inter = call_function("sorted_intersect_count",
@@ -759,12 +795,25 @@ object Dedup {
     val grp = contentGroups(spark, dir) // session-cached keyed view
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
-    val toks = prefixToks(spark, dir)
     // per content: tokens sorted rarest-first; keep only the prefix
-    // (shared keyed view with the containment join — see prefixOrder)
+    // (shared keyed view with the containment join — see prefixOrder).
+    // BOTH join sides are prefixes here: J ≥ t forces overlap ≥ t·|A∪B| ≥
+    // t·max(|A|,|B|), so the pair's first common token in the global order
+    // sits inside BOTH prefixes — probing full token lists (the directed
+    // containment join's requirement) would only re-derive the same pairs
+    // from more rows. Pruning as in [[containmentJoin]], plus the
+    // symmetric bounds: t·|A| ≤ |B| ≤ |A|/t and overlap ≥
+    // ⌈t/(1+t)·(|A|+|B|)⌉; each direction of a matching pair passes its
+    // own filters, so the least/greatest canonicalization keeps it.
+    val tf = threshold - VerifyTol
     val prefix = prefixAt(spark, dir, threshold)
-    val cand = prefix.as("p").join(toks.as("i"),
-        col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid"))
+    val minov = ceil((col("p.la") + col("i.la")) * lit(tf / (1 + tf)))
+    val cand = prefix.as("p").join(prefix.as("i"),
+        col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid") &&
+        col("i.la") >= ceil(col("p.la") * lit(tf)) &&
+        col("i.la").cast("double") <= col("p.la") / lit(tf) &&
+        (lit(1) + least(col("p.la") - col("p.pa") - lit(1),
+          col("i.la") - col("i.pa") - lit(1))) >= minov)
       .select(least(col("p.cid"), col("i.cid")).as("ca"),
         greatest(col("p.cid"), col("i.cid")).as("cb"))
       .distinct()
