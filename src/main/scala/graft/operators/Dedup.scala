@@ -656,7 +656,7 @@ object Dedup {
     * OUTPUT is provably unchanged — only the plan adapts). */
   private val CollapseMaxGroup = 4L
 
-  private def contentGroups(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def contentGroups(spark: SparkSession, dir: String): DataFrame =
     contentCache.computeIfAbsent((spark, dir), _ => {
       val base = shingled(spark, dir).where(size(col("sh")) > 0)
       // the max aggregate over an EMPTY corpus (or one where every text
@@ -721,12 +721,19 @@ object Dedup {
     * the first (len − ceil(len·t) + 1) rarest hashes per content —
     * prefix-filter completeness holds for ANY fixed global token order,
     * so the shared df-rarity order serves every threshold. */
-  private def prefixAt(spark: SparkSession, dir: String,
-      threshold: Double): DataFrame =
+  /** The rarity-window relation with an ℓ-extended prefix (AdaptJoin;
+    * ℓ = 1 is the classic prefix filter): the first
+    * (len − ⌈len·t⌉ + ℓ) rarest hashes. Pigeonhole: a partner meeting the
+    * overlap bound ⌈t·len⌉ misses at most len − ⌈t·len⌉ of A's tokens, so
+    * among any len − ⌈t·len⌉ + ℓ of them at least min(ℓ, ⌈t·len⌉) are
+    * shared — requiring ℓ matches inside the extended window prunes the
+    * 1-shared-token candidate bulk that a plain prefix filter admits. */
+  private[graft] def prefixAtExt(spark: SparkSession, dir: String,
+      threshold: Double, ext: Int): DataFrame =
     prefixOrder(spark, dir).select(col("cid"), size(col("o")).as("la"),
       posexplode(slice(transform(col("o"), s => s.getField("h")), lit(1),
         (size(col("o")) - ceil(size(col("o")) * lit(threshold - VerifyTol))
-          + 1).cast("int"))))
+          + ext).cast("int"))))
       .select(col("cid"), col("la"), col("pos").as("pa"), col("col").as("h"))
 
   /** (cid, lb, pb, h) probe side of the DIRECTED candidate join — the full
@@ -736,7 +743,7 @@ object Dedup {
     * containing side B has no overlap bound relative to |B|, so no prefix
     * of B is safe to drop. (The symmetric Jaccard join probes prefixes on
     * BOTH sides instead — see [[prefixJaccardJoin]].) */
-  private def prefixToks(spark: SparkSession, dir: String): DataFrame =
+  private[graft] def prefixToks(spark: SparkSession, dir: String): DataFrame =
     prefixOrder(spark, dir).select(col("cid"), size(col("o")).as("lb"),
       posexplode(transform(col("o"), s => s.getField("h"))))
       .select(col("cid"), col("lb"), col("pos").as("pb"), col("col").as("h"))
@@ -748,25 +755,32 @@ object Dedup {
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
     val toks = prefixToks(spark, dir)
-    val prefix = prefixAt(spark, dir, threshold)
-    // PPJoin pruning, both provably complete for pairs the (6-dp-rounded)
-    // verify keeps — computed at threshold − VerifyTol:
-    //  - length: containment ≥ t needs |A∩B| ≥ ⌈t·|A|⌉ and |A∩B| ≤ |B|,
-    //    so any B with |B| < ⌈t·|A|⌉ can be dropped at the join;
-    //  - positional: both token lists share the global rarity order, so
-    //    for a match on A's rank-pa token and B's rank-pb token the
-    //    overlap from here on is ≤ 1 + min(|A|−pa−1, |B|−pb−1); the pair's
-    //    FIRST common token (which sits inside A's prefix whenever the
-    //    pair truly matches — otherwise fewer than ⌈t·|A|⌉ tokens remain)
-    //    sees the true overlap, so at least one generating row survives.
-    val minov = ceil(col("p.la") * lit(threshold - VerifyTol))
-    val cand = prefix.as("p").join(toks.as("i"),
+    // AdaptJoin ℓ=2 candidate generation, provably complete for pairs the
+    // (6-dp-rounded) verify keeps — all bounds at threshold − VerifyTol:
+    //  - length: containment ≥ t needs |A∩B| ≥ m = ⌈t·|A|⌉ and
+    //    |A∩B| ≤ |B|, so any B with |B| < m drops at the join;
+    //  - window + count: A misses at most |A| − m of its own tokens, so
+    //    among A's first |A| − m + 2 (rarest) tokens at least min(2, m)
+    //    are in B; and the j-th common token (global rarity order, shared
+    //    by both lists) sits at B-position ≤ |B| − 1 − (m − j), so for
+    //    j ≤ 2 the row is inside pb ≤ |B| − m + 1. Requiring
+    //    cnt ≥ min(2, m) therefore keeps every true pair while killing
+    //    the 1-shared-token candidate bulk a plain prefix filter admits —
+    //    measured at sf10p: 17.38M distinct candidates → 313k, with the
+    //    count aggregate costing what the distinct did. The verify's
+    //    array-carrying shuffle (the face's unstable 6–47 s swing source)
+    //    shrinks to ~2% of its volume.
+    val m = ceil(col("p.la") * lit(threshold - VerifyTol))
+    val cand = prefixAtExt(spark, dir, threshold, 2).as("p")
+      .join(toks.as("i"),
         col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid") &&
-        col("i.lb") >= minov &&
-        (lit(1) + least(col("p.la") - col("p.pa") - lit(1),
-          col("i.lb") - col("i.pb") - lit(1))) >= minov)
-      .select(col("p.cid").as("ca"), col("i.cid").as("cb"))
-      .distinct()
+        col("i.lb") >= m &&
+        col("i.pb") <= col("i.lb") - m + lit(1))
+      .groupBy(col("p.cid").as("ca"), col("i.cid").as("cb"), col("p.la"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >=
+        least(lit(2), ceil(col("la") * lit(threshold - VerifyTol))))
+      .select("ca", "cb")
     val inter = call_function("sorted_intersect_count",
       col("x.sh"), col("y.sh"))
     val crossContent = cand.join(reps.as("x"), col("ca") === col("x.cid"))
@@ -795,28 +809,32 @@ object Dedup {
     val grp = contentGroups(spark, dir) // session-cached keyed view
     val reps = grp.select(col("cid"), col("sh"))
     val mem = grp.select(col("cid"), explode(col("members")).as("doc_id"))
-    // per content: tokens sorted rarest-first; keep only the prefix
-    // (shared keyed view with the containment join — see prefixOrder).
-    // BOTH join sides are prefixes here: J ≥ t forces overlap ≥ t·|A∪B| ≥
-    // t·max(|A|,|B|), so the pair's first common token in the global order
-    // sits inside BOTH prefixes — probing full token lists (the directed
-    // containment join's requirement) would only re-derive the same pairs
-    // from more rows. Pruning as in [[containmentJoin]], plus the
-    // symmetric bounds: t·|A| ≤ |B| ≤ |A|/t and overlap ≥
-    // ⌈t/(1+t)·(|A|+|B|)⌉; each direction of a matching pair passes its
-    // own filters, so the least/greatest canonicalization keeps it.
+    // per content: tokens sorted rarest-first; keep only the ℓ=2-extended
+    // window (shared keyed view with the containment join — see
+    // prefixOrder). BOTH join sides are windows here: J ≥ t forces
+    // overlap ≥ t·|A∪B| ≥ t·max(|A|,|B|), so side X misses at most
+    // |X| − ⌈t·|X|⌉ of its own tokens and the j-th common token (j ≤ 2,
+    // global rarity order, shared by both lists) sits inside X's first
+    // |X| − ⌈t·|X|⌉ + j positions — both generating rows for a true pair
+    // land in the window×window join, and cnt ≥ min(2, ⌈t·max⌉) keeps it
+    // (overlap ≥ ⌈t·max⌉, so 2 common tokens exist whenever the
+    // requirement says 2) while killing the 1-shared-token candidate bulk
+    // (the containmentJoin measurement: 17.38M → 313k at sf10p). The
+    // length bounds t·|A| ≤ |B| ≤ |A|/t and the count rule are symmetric
+    // as pair conditions, so p.cid < i.cid keeps exactly one generating
+    // direction: half the rows into the aggregate, same surviving pairs.
     val tf = threshold - VerifyTol
-    val prefix = prefixAt(spark, dir, threshold)
-    val minov = ceil((col("p.la") + col("i.la")) * lit(tf / (1 + tf)))
+    val prefix = prefixAtExt(spark, dir, threshold, 2)
     val cand = prefix.as("p").join(prefix.as("i"),
-        col("p.h") === col("i.h") && col("p.cid") =!= col("i.cid") &&
+        col("p.h") === col("i.h") && col("p.cid") < col("i.cid") &&
         col("i.la") >= ceil(col("p.la") * lit(tf)) &&
-        col("i.la").cast("double") <= col("p.la") / lit(tf) &&
-        (lit(1) + least(col("p.la") - col("p.pa") - lit(1),
-          col("i.la") - col("i.pa") - lit(1))) >= minov)
-      .select(least(col("p.cid"), col("i.cid")).as("ca"),
-        greatest(col("p.cid"), col("i.cid")).as("cb"))
-      .distinct()
+        col("i.la").cast("double") <= col("p.la") / lit(tf))
+      .groupBy(col("p.cid").as("ca"), col("i.cid").as("cb"),
+        col("p.la"), col("i.la").as("lb"))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") >=
+        least(lit(2), ceil(greatest(col("la"), col("lb")) * lit(tf))))
+      .select("ca", "cb")
     val inter = call_function("sorted_intersect_count", col("a.sh"), col("b.sh"))
     val crossContent = cand.join(reps.as("a"), col("ca") === col("a.cid"))
       .join(reps.as("b"), col("cb") === col("b.cid"))

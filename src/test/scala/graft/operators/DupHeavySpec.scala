@@ -122,6 +122,36 @@ class DupHeavySpec extends AnyFunSuite with SparkSuite {
     assert(brute.nonEmpty, "expected hamming-close pairs on this corpus")
   }
 
+  test("collapsed prefix-Jaccard join equals brute pairs (AdaptJoin window+count)") {
+    val got = Dedup.prefixJaccardJoin(spark, dupDir).collect()
+      .map(r => (r.getAs[Long]("u"), r.getAs[Long]("v")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(got.keySet == brutePairs.keySet,
+      s"missing ${(brutePairs.keySet -- got.keySet).take(5)}, " +
+        s"extra ${(got.keySet -- brutePairs.keySet).take(5)}")
+    got.foreach { case (k, j) =>
+      assert(math.abs(j - brutePairs(k)) < 1e-6, s"$k: $j vs ${brutePairs(k)}")
+    }
+  }
+
+  test("collapsed containment join equals brute directed pairs") {
+    val want = (for {
+      (a, ta) <- docTexts.toSeq; (b, tb) <- docTexts.toSeq if a != b
+      sa = shingles(ta); sb = shingles(tb)
+      c = sa.intersect(sb).size.toDouble / sa.size
+      cr = math.rint(c * 1e6) / 1e6 if cr >= 0.8
+    } yield (a, b) -> cr).toMap
+    val got = Dedup.containmentJoin(spark, dupDir).collect()
+      .map(r => (r.getAs[Long]("a"), r.getAs[Long]("b")) ->
+        r.getAs[Double]("containment")).toMap
+    assert(got.keySet == want.keySet,
+      s"missing ${(want.keySet -- got.keySet).take(5)}, " +
+        s"extra ${(got.keySet -- want.keySet).take(5)}")
+    want.foreach { case (k, c) =>
+      assert(math.abs(got(k) - c) < 1e-6, s"$k: ${got(k)} vs $c")
+    }
+  }
+
   test("duplicate-heavy caches clear and rebuild identically") {
     val before = Dedup.minhashPairs(spark, dupDir).collect().toSeq
     Dedup.clearCaches()
