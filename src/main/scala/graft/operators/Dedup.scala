@@ -87,8 +87,6 @@ object Dedup {
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, Double), DataFrame]()
   private val bandIndexCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-  private val groupedOphCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
   private val prefixOrderCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
@@ -112,7 +110,7 @@ object Dedup {
     (shingleCache.values.asScala ++
         contentCache.values.asScala ++ groupedDenseCache.values.asScala ++
         groupsCache.values.asScala ++ bandIndexCache.values.asScala ++
-        groupedOphCache.values.asScala ++ prefixOrderCache.values.asScala ++
+        prefixOrderCache.values.asScala ++
         transientCaches.asScala)
       .foreach(df => scala.util.Try(df.unpersist()))
     shingleCache.clear()
@@ -120,7 +118,6 @@ object Dedup {
     groupedDenseCache.clear()
     groupsCache.clear()
     bandIndexCache.clear()
-    groupedOphCache.clear()
     prefixOrderCache.clear()
     transientCaches.clear()
   }
@@ -363,15 +360,17 @@ object Dedup {
   def minhashPairsOph(spark: SparkSession, dir: String,
       minJaccard: Double = 0.5): DataFrame = {
     graft.functions.GraftFunctions.register(spark)
-    // keyed materialized view, not a per-call cache: the OPH signature
-    // relation is deterministic per (session, dir) exactly like the dense
-    // one, and the per-call `.cache()` this replaces was rebuilt on every
-    // invocation — each bench pass paid the full signature build again,
-    // so "warm" never was (the round-10 q4c 1.36× flag's substrate:
-    // sub-second absolutes measuring a rebuild + host noise).
-    val grp = groupedOphCache.computeIfAbsent((spark, dir), _ =>
-      groupedSigs(spark, dir,
-        sh => call_function("oph_sig", sh, lit(NumHashes))).cache())
+    // Projection of the SHARED dense view, not a second cached relation:
+    // the OPH face used to pin its own copy of (sh, members, sig) next to
+    // [[groupedDense]]'s — on unique-heavy corpora that doubles the pinned
+    // shingle bytes (the contentGroups double-pin pathology in its
+    // signature-level form; ~2 KB/doc × 5M docs at the sf100p fixture).
+    // oph_sig is ONE codegen pass over the already-cached sh array — that
+    // is the estimator's selling point — so recomputing it per invocation
+    // costs less than the eviction/GC pressure a duplicate 10 GB pin buys.
+    val grp = groupedDense(spark, dir)
+      .select(col("doc_id"), col("sh"), col("members"),
+        call_function("oph_sig", col("sh"), lit(NumHashes)).as("sig"))
     val repPairs = pairsFromBands(bandsOf(grp), grp, minJaccard)
     expandPairs(repPairs, grp, grp, minJaccard)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
