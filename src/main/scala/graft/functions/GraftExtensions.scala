@@ -113,6 +113,15 @@ object GraftFunctions {
         require(es(0).foldable, "cms_estimate: sketch must be a literal")
         CmsEstimate(es(1), es(0).eval().asInstanceOf[Array[Byte]])
       }),
+    (FunctionIdentifier("nearest_cells"),
+      new ExpressionInfo(classOf[NearestCells].getName, "nearest_cells"),
+      (es: Seq[Expression]) => {
+        require(es(2).foldable && es(3).foldable,
+          "nearest_cells: cents, nprobe must be literals")
+        val ct = es(2).eval()
+          .asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toDoubleArray()
+        NearestCells(es(0), es(1), ct, es(3).eval().asInstanceOf[Int])
+      }),
     (FunctionIdentifier("pq_adc"),
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       (es: Seq[Expression]) => {

@@ -725,6 +725,120 @@ case class OphSignature(child: Expression, k: Int) extends UnaryExpression {
     copy(child = newChild)
 }
 
+/** `nearest_cells(v, norm, cents, nprobe)`: the `nprobe` nearest coarse-
+  * quantizer cells of a vector, ordered by (cosine desc, cell asc) — the
+  * IVF assignment (`nprobe = 1`) and probe-list shapes as ONE codegen pass
+  * over the scan. `cents` is the flat driver-trained unit-centroid matrix
+  * (nCells × dim, cell c component i at `c·dim + i`). Replaces the
+  * explode-×-nCells + `row_number` window formulation, whose per-row cost
+  * was nCells WIDE rows (vector + norm duplicated per candidate cell)
+  * through a full window shuffle — this is nCells fused dot products and
+  * zero extra rows. Bit-parity with the window form (SimilaritySpec): the
+  * per-cell score is the same left-to-right `Σ v[i]·c[i]` as
+  * [[ArrayDotProduct]] divided by `norm` (centroids are unit length, and
+  * `norm * 1.0 == norm` exactly in IEEE), selection keeps strictly-greater
+  * scores ahead and earlier cells on ties, and NaN scores (zero-norm
+  * vectors) rank FIRST — Spark's descending NaN rule — so the oracled
+  * pinned-quantizer faces replay identically. */
+case class NearestCells(left: Expression, right: Expression,
+    cents: Array[Double], nprobe: Int) extends BinaryExpression {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "nearest_cells"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), DoubleType)
+        if nprobe >= 1 && cents.nonEmpty => TypeCheckSuccess
+      case _ => TypeCheckFailure(
+        "nearest_cells(array<double>, double, cents array<double> literal, nprobe literal >= 1)")
+    }
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val norm = b.asInstanceOf[Double]
+    val dim = v.numElements()
+    require(dim > 0 && cents.length % dim == 0,
+      s"nearest_cells: cents (${cents.length}) do not tile dim=$dim")
+    val nCells = cents.length / dim
+    val take = math.min(nprobe, nCells)
+    val bestS = new Array[Double](take)
+    val bestC = new Array[Long](take)
+    var filled = 0
+    var c = 0
+    while (c < nCells) {
+      var d = 0.0; var i = 0
+      val base = c * dim
+      while (i < dim) { d += v.getDouble(i) * cents(base + i); i += 1 }
+      val s = d / norm
+      // Spark's descending total order: NaN greatest, ties keep lower cell
+      var pos = filled
+      while (pos > 0 &&
+          ((java.lang.Double.isNaN(s) && !java.lang.Double.isNaN(bestS(pos - 1)))
+            || s > bestS(pos - 1))) pos -= 1
+      if (pos < take) {
+        var j = math.min(filled, take - 1)
+        while (j > pos) { bestS(j) = bestS(j - 1); bestC(j) = bestC(j - 1); j -= 1 }
+        bestS(pos) = s; bestC(pos) = c
+        if (filled < take) filled += 1
+      }
+      c += 1
+    }
+    new GenericArrayData(java.util.Arrays.copyOf(bestC, filled))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ctRef = ctx.addReferenceObj("cents", cents, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dim = ctx.freshName("dim"); val nCells = ctx.freshName("nCells")
+      val take = ctx.freshName("take"); val bestS = ctx.freshName("bestS")
+      val bestC = ctx.freshName("bestC"); val filled = ctx.freshName("filled")
+      val c = ctx.freshName("c"); val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val s = ctx.freshName("s")
+      val base = ctx.freshName("base"); val pos = ctx.freshName("pos")
+      val j = ctx.freshName("j")
+      s"""
+         |int $dim = $a.numElements();
+         |if ($dim == 0 || $ctRef.length % $dim != 0) {
+         |  throw new IllegalArgumentException("nearest_cells: cents do not tile");
+         |}
+         |int $nCells = $ctRef.length / $dim;
+         |int $take = java.lang.Math.min($nprobe, $nCells);
+         |double[] $bestS = new double[$take];
+         |long[] $bestC = new long[$take];
+         |int $filled = 0;
+         |for (int $c = 0; $c < $nCells; $c++) {
+         |  double $d = 0.0;
+         |  int $base = $c * $dim;
+         |  for (int $i = 0; $i < $dim; $i++) {
+         |    $d += $a.getDouble($i) * $ctRef[$base + $i];
+         |  }
+         |  double $s = $d / $b;
+         |  int $pos = $filled;
+         |  while ($pos > 0 &&
+         |      ((Double.isNaN($s) && !Double.isNaN($bestS[$pos - 1]))
+         |        || $s > $bestS[$pos - 1])) $pos--;
+         |  if ($pos < $take) {
+         |    for (int $j = java.lang.Math.min($filled, $take - 1); $j > $pos; $j--) {
+         |      $bestS[$j] = $bestS[$j - 1]; $bestC[$j] = $bestC[$j - 1];
+         |    }
+         |    $bestS[$pos] = $s; $bestC[$pos] = $c;
+         |    if ($filled < $take) $filled++;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  java.util.Arrays.copyOf($bestC, $filled));
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): NearestCells =
+    copy(left = newLeft, right = newRight)
+}
+
 /** `pq_encode(v, codebooks, m, k)`: product-quantization encoding — split
   * the dim-length vector into `m` contiguous subvectors and emit, per
   * subspace, the index (0..k-1) of the L2-nearest codeword. `codebooks` is

@@ -2,7 +2,6 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Similarity search over the `embeddings` table (64-dim float vectors) —
@@ -165,17 +164,33 @@ object Similarity {
     * bought back with tables, the OR-amplification axis). */
   def cosineTopKLsh(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Long = 100, nBits: Int = 0, nTables: Int = 6): DataFrame = {
-    val base = normalized(spark, dir)
+    val base = normalized(spark, dir).cache()
     val bits = if (nBits > 0) nBits else autoBits(base.count())
-    val e = lshBuckets(base, bits, nTables).cache()
-    val q = e.where(col("vec_id") < nQueries)
-      .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("table").as("qt"), col("bucket").as("qb"))
-    val sims = q.join(e, col("qt") === col("table") && col("qb") === col("bucket") &&
-        col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"),
-        col("v"), col("qn"), col("norm"))
+    // NARROW bucket relation — (vec_id, table, bucket), 24-byte rows — and
+    // vectors re-attach only AFTER the candidate set is distinct (the q48 /
+    // corpusBandIndex discipline): the first formulation cached the bucket
+    // table with v+norm on every (vector, table) row (nTables× the corpus
+    // vector bytes pinned) and dragged both 64-double vectors through the
+    // bucket join and the cross-table dropDuplicates (~1 KB/candidate
+    // through that shuffle; now 16 bytes).
+    val eb = lshBuckets(base, bits, nTables)
+      .select("vec_id", "table", "bucket").cache()
+    val qb = eb.where(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"), col("table").as("qt"),
+        col("bucket").as("qb"))
+    // query buckets are nQueries·nTables rows — broadcast keeps the corpus
+    // bucket scan partition-local
+    val cand = broadcast(qb).join(eb,
+        col("qt") === col("table") && col("qb") === col("bucket") &&
+          col("query_id") =!= col("vec_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"))
       .dropDuplicates("query_id", "neighbor_id") // collide in several tables — score once
+    val sims = cand
+      .join(base.select(col("vec_id").as("neighbor_id"), col("v"),
+        col("norm")), Seq("neighbor_id"))
+      .join(broadcast(base.where(col("vec_id") < nQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("norm").as("qn"))), Seq("query_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cdot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
     topKByCosine(sims, k)
@@ -273,34 +288,31 @@ object Similarity {
   def cosineTopKIvf(spark: SparkSession, dir: String, k: Int = 5,
       nQueries: Long = 100, nCells: Int = 16, nprobe: Int = 4,
       kmeansIters: Int = 5): DataFrame = {
-    import spark.implicits._
     val e = normalized(spark, dir).cache()
     val cents = sphericalKMeans(e, nCells, kmeansIters)
-    val centroids = spark.createDataset(
-        cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
-      .toDF("cell", "cv")
-      .select(col("cell"), col("cv"), lit(1.0).as("cn")) // unit length
-    // cell assignment: argmax cosine to centroid (rank-1 window)
-    val simToCell = e.join(broadcast(centroids), lit(true))
-      .select(col("vec_id"), col("v"), col("norm"), col("cell"),
-        (cdot(col("v"), col("cv")) / (col("norm") * col("cn"))).as("csim"))
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell"))
-    val assigned = simToCell.withColumn("r", row_number().over(assignW))
-      .where(col("r") === 1).select("vec_id", "v", "norm", "cell")
-      .cache()
-    // queries probe their nprobe closest cells
-    val probes = simToCell.where(col("vec_id") < nQueries)
-      .withColumn("r", row_number().over(assignW))
-      .where(col("r") <= nprobe)
+    val flat = cents.flatten
+    // cell assignment: one `nearest_cells` codegen pass over the scan —
+    // bit-identical to the explode-×-nCells + rank-1-window formulation it
+    // replaces (same dot order, same divide, ties to the lower cell), but
+    // zero extra rows and zero shuffle where the window moved nCells WIDE
+    // (vector-carrying) rows per vector through a full exchange.
+    val assigned = e.withColumn("cell",
+      element_at(call_function("nearest_cells",
+        col("v"), col("norm"), lit(flat), lit(1)), 1))
+    // queries probe their nprobe closest cells (same ordered list, exploded)
+    val probes = e.where(col("vec_id") < nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
-        col("norm").as("qn"), col("cell"))
-    val sims = probes.join(assigned, Seq("cell"))
+        col("norm").as("qn"),
+        explode(call_function("nearest_cells",
+          col("v"), col("norm"), lit(flat), lit(nprobe))).as("cell"))
+    // the probe side is nQueries·nprobe rows — broadcast it so the corpus
+    // scan stays partition-local (no shuffle keyed on ≤ nCells values,
+    // which would collapse the join to nCells tasks). No dedup needed:
+    // assignment is unique, cells are DISJOINT, so a (query, neighbor)
+    // pair can only arise in the one cell the neighbor lives in.
+    val sims = broadcast(probes).join(assigned, Seq("cell"))
       .where(col("query_id") =!= col("vec_id"))
-      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("qv"),
-        col("v"), col("qn"), col("norm"))
-      .dropDuplicates("query_id", "neighbor_id")
-      .select(col("query_id"), col("neighbor_id"),
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(cdot(col("qv"), col("v")) / (col("qn") * col("norm")), 6).as("cosine"))
     topKByCosine(sims, k)
   }
@@ -531,16 +543,22 @@ object Similarity {
     import spark.implicits._
     val e = normalized(spark, dir).cache()
     val cents = sphericalKMeans(e, nCells, iters)
+    val flat = cents.flatten
     val centroids = spark.createDataset(
         cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
       .toDF("cell", "cv")
-    val assignW = Window.partitionBy("vec_id")
-      .orderBy(col("csim").desc, col("cell"))
-    e.join(broadcast(centroids), lit(true))
+    // assignment via one `nearest_cells` codegen pass (bit-identical to the
+    // rank-1 window it replaces — same dot order, ties to the lower cell);
+    // the winning csim is recomputed by ONE broadcast-hash join against the
+    // nCells-row centroid relation — nCells+1 dots per row total, zero
+    // shuffle, where the window form moved nCells wide rows per vector
+    // through a full exchange.
+    e.withColumn("cell",
+        element_at(call_function("nearest_cells",
+          col("v"), col("norm"), lit(flat), lit(1)), 1))
+      .join(broadcast(centroids), Seq("cell"))
       .select(col("vec_id"), col("cell"),
         (cdot(col("v"), col("cv")) / col("norm")).as("csim")) // |cv| = 1
-      .withColumn("r", row_number().over(assignW))
-      .where(col("r") === 1)
       .groupBy("cell").agg(
         count(lit(1)).as("n_members"),
         round(avg(col("csim")), 4).as("avg_cos"),
@@ -675,18 +693,16 @@ object Similarity {
     // pinned quantizer: iters = 0 degrades sphericalKMeans to the
     // deterministic stride-sample — the step that keeps the oracle exact
     val cents = sphericalKMeans(e, nCells, iters = 0)
-    val centroids = spark.createDataset(
-        cents.toIndexedSeq.zipWithIndex.map { case (c, i) => (i.toLong, c) })
-      .toDF("cell", "cv") // unit length
+    val flat = cents.flatten
     val reps = vg.select(col("rep")).join(
       e.withColumnRenamed("vec_id", "rep"), Seq("rep"))
-    val simToCell = reps.join(broadcast(centroids), lit(true))
-      .select(col("rep"), col("v"), col("norm"), col("cell"),
-        (cdot(col("v"), col("cv")) / col("norm")).as("csim"))
-    val assignW = Window.partitionBy("rep")
-      .orderBy(col("csim").desc, col("cell"))
-    val assigned = simToCell.withColumn("r", row_number().over(assignW))
-      .where(col("r") === 1).select("rep", "v", "norm", "cell").cache()
+    // assignment via one `nearest_cells` codegen pass — bit-identical to
+    // the rank-1 window it replaces (same dot order, ties to the lower
+    // cell), no nCells-wide explode, no window shuffle
+    val assigned = reps.withColumn("cell",
+        element_at(call_function("nearest_cells",
+          col("v"), col("norm"), lit(flat), lit(1)), 1))
+      .select("rep", "v", "norm", "cell").cache()
     val lhs = assigned.select(col("rep"), col("v").as("av"),
       col("norm").as("an"), col("cell"))
     val rhs = assigned.select(col("rep").as("nn_rep"), col("v").as("bv"),

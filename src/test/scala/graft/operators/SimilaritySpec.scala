@@ -151,6 +151,59 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
       s"k-means recall $kmeans not above stride-sample baseline $stride")
   }
 
+  test("nearest_cells equals the explode + rank window formulation bit-for-bit") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    graft.functions.GraftFunctions.register(spark)
+    val e = Tables(spark, sfDir, "embeddings")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .withColumn("norm",
+        sqrt(call_function("array_dot", col("v"), col("v"))))
+    val corpus = e
+    val cents = (0 until 4).map { c =>
+      val r = e.where(col("vec_id") === c * 7).head()
+      val nrm = r.getDouble(2)
+      r.getSeq[Double](1).map(_ / nrm).toArray
+    }.toArray
+    val centroids = spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        cents.toIndexedSeq.zipWithIndex.map { case (cv, i) =>
+          org.apache.spark.sql.Row(i.toLong, cv.toSeq) }),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("cell",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("cv",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.DoubleType)))))
+    val nprobe = 3
+    val w = Window.partitionBy("vec_id").orderBy(col("csim").desc, col("cell"))
+    val legacy = corpus.join(broadcast(centroids), lit(true))
+      .select(col("vec_id"), col("cell"),
+        (call_function("array_dot", col("v"), col("cv")) / col("norm"))
+          .as("csim"))
+      .withColumn("r", row_number().over(w))
+      .where(col("r") <= nprobe)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getLong(1)).toMap
+    val native = corpus
+      .select(col("vec_id"), posexplode(call_function("nearest_cells",
+        col("v"), col("norm"), lit(cents.flatten), lit(nprobe))))
+      .collect().map(r => (r.getLong(0), r.getInt(1) + 1) -> r.getLong(2)).toMap
+    assert(native.size == legacy.size && native.nonEmpty)
+    legacy.foreach { case (k, cell) =>
+      assert(native(k) == cell, s"(vec, rank)=$k: native=${native(k)} legacy=$cell")
+    }
+    // the expression's own NaN rule (a zero-norm vector scores NaN in every
+    // cell): NaN ranks first with ties to the LOWER cell — Spark's
+    // descending total order. The SQL window form can't witness this under
+    // ANSI (0/0 raises DIVIDE_BY_ZERO before ordering), so it is pinned at
+    // the expression level: cells come back as 0..nprobe-1 in order.
+    val nanCells = spark.range(1)
+      .select(call_function("nearest_cells",
+        array_repeat(lit(0.0), 64), lit(0.0), lit(cents.flatten), lit(nprobe)))
+      .head().getSeq[Long](0)
+    assert(nanCells == (0 until nprobe).map(_.toLong))
+  }
+
   test("near-dup cache clears and rebuilds identically") {
     val before = Similarity.cosineNearDups(spark, sfDir, nTables = 16).collect().toSeq
     Similarity.clearCaches()
