@@ -77,6 +77,10 @@ object ExplainAudit {
       // ≤1024/256-cell aggregates), and qbp planning as TopKPerGroupExec
       // with NO WindowExec (the native operator vs the window formulation
       // its oracle replays)
+      // round-11 continuation: the fused nearest_cells assignment — the
+      // IVF faces and k-means profiles now assign cells in one codegen
+      // pass over the scan (no nCells-wide explode, no WindowExec)
+      "q4a_ann_ivf", "q8h_kmeans_profile",
       "qbe_ann_ivf_rerank", "qbf_ann_pq_rerank", "qbh_kmeans_pinned",
       "qbj_semantic_dedup", "qbm_span_scrub", "qbn_cms_pinned",
       "qbo_hll_registers", "qbp_source_quota",
