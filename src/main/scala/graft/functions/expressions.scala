@@ -799,6 +799,12 @@ case class NearestCells(left: Expression, right: Expression,
       val d = ctx.freshName("d"); val s = ctx.freshName("s")
       val base = ctx.freshName("base"); val pos = ctx.freshName("pos")
       val j = ctx.freshName("j")
+      // the insertion-rank comparison is a flat if-chain: janino mis-parses
+      // the natural `while (p > 0 && ((isNaN(s) && !isNaN(prev)) || s > prev))`
+      // header as a cast ("Expression ... is not a type"), which silently
+      // dropped EVERY nearest_cells call-site out of whole-stage codegen
+      // (one failed compile + interpreted fallback per task)
+      val prev = ctx.freshName("prev"); val beats = ctx.freshName("beats")
       s"""
          |int $dim = $a.numElements();
          |if ($dim == 0 || $ctRef.length % $dim != 0) {
@@ -817,9 +823,14 @@ case class NearestCells(left: Expression, right: Expression,
          |  }
          |  double $s = $d / $b;
          |  int $pos = $filled;
-         |  while ($pos > 0 &&
-         |      ((Double.isNaN($s) && !Double.isNaN($bestS[$pos - 1]))
-         |        || $s > $bestS[$pos - 1])) $pos--;
+         |  while ($pos > 0) {
+         |    double $prev = $bestS[$pos - 1];
+         |    boolean $beats = $s > $prev;
+         |    if (!$beats && java.lang.Double.isNaN($s)
+         |        && !java.lang.Double.isNaN($prev)) $beats = true;
+         |    if (!$beats) break;
+         |    $pos--;
+         |  }
          |  if ($pos < $take) {
          |    for (int $j = java.lang.Math.min($filled, $take - 1); $j > $pos; $j--) {
          |      $bestS[$j] = $bestS[$j - 1]; $bestC[$j] = $bestC[$j - 1];

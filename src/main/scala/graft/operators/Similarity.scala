@@ -208,7 +208,6 @@ object Similarity {
     * previous centroid. Returns unit-length centroids. */
   private[operators] def sphericalKMeans(e: DataFrame, nCells: Int,
       iters: Int): Array[Array[Double]] = {
-    val spark = e.sparkSession
     val n = e.count()
     val stride = math.max(1, n / nCells)
     var centroids: Array[Array[Double]] =
@@ -223,46 +222,42 @@ object Similarity {
     // Train the quantizer on a deterministic subsample (vec_id stride), the
     // standard IVF shape: centroid quality needs a representative sample,
     // not the corpus — Lloyd over 100 TB would be iters full scans for no
-    // recall gain. Coalesced small so each iteration is a handful of tasks,
-    // not defaultParallelism × treeAggregate-depth scheduling overhead.
+    // recall gain. The sample is BOUNDED by construction (~sampleTarget
+    // rows, ≈1 MB at 64 dims), so the refinement runs on the DRIVER over a
+    // vec_id-sorted array: one fixed summation order, bit-stable across
+    // reruns. The previous formulation treeAggregate'd the same sample and
+    // summed partition partials in task-arrival order — FP non-associativity
+    // flipped borderline cell assignments between identical runs at the
+    // 20M-vector fixture (a cluster profile face returned 15 vs 16 nonempty
+    // cells on back-to-back calls). The collect is bounded the same way the
+    // centroid collects above/below are: k·dim + sample, never the corpus.
     val sampleTarget = math.max(1000L, 100L * nCells)
     val rate = math.max(1L, n / sampleTarget)
-    val unit = e.where(pmod(col("vec_id"), lit(rate)) === 0)
-      .select(col("v"), col("norm")).rdd
-      .map { r =>
-        val norm = r.getDouble(1)
-        r.getSeq[Double](0).map(_ / norm).toArray
-      }.coalesce(4).cache()
+    val unit: Array[Array[Double]] =
+      e.where(pmod(col("vec_id"), lit(rate)) === 0)
+        .orderBy("vec_id").select(col("v"), col("norm")).collect()
+        .map { r =>
+          val norm = r.getDouble(1)
+          r.getSeq[Double](0).map(_ / norm).toArray
+        }
     val k = centroids.length
     val dim = centroids(0).length
     (1 to iters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(centroids)
-      val (sums, counts) = unit.treeAggregate(
-          (Array.ofDim[Double](k, dim), new Array[Long](k)))(
-        { case ((s, c), v) =>
-          val cs = bc.value
-          var best = 0; var bestDot = Double.NegativeInfinity
-          var j = 0
-          while (j < k) {
-            var d = 0.0; var i = 0
-            while (i < dim) { d += v(i) * cs(j)(i); i += 1 }
-            if (d > bestDot) { bestDot = d; best = j }
-            j += 1
-          }
-          var i = 0
-          while (i < dim) { s(best)(i) += v(i); i += 1 }
-          c(best) += 1
-          (s, c)
-        },
-        { case ((s1, c1), (s2, c2)) =>
-          var j = 0
-          while (j < k) {
-            var i = 0
-            while (i < dim) { s1(j)(i) += s2(j)(i); i += 1 }
-            c1(j) += c2(j); j += 1
-          }
-          (s1, c1)
-        })
+      val sums = Array.ofDim[Double](k, dim)
+      val counts = new Array[Long](k)
+      unit.foreach { v =>
+        var best = 0; var bestDot = Double.NegativeInfinity
+        var j = 0
+        while (j < k) {
+          var d = 0.0; var i = 0
+          while (i < dim) { d += v(i) * centroids(j)(i); i += 1 }
+          if (d > bestDot) { bestDot = d; best = j }
+          j += 1
+        }
+        var i = 0
+        while (i < dim) { sums(best)(i) += v(i); i += 1 }
+        counts(best) += 1
+      }
       centroids = centroids.indices.map { j =>
         if (counts(j) == 0) centroids(j)
         else {
@@ -271,9 +266,7 @@ object Similarity {
           if (norm == 0) centroids(j) else m.map(_ / norm)
         }
       }.toArray
-      bc.destroy()
     }
-    unit.unpersist()
     centroids
   }
 
@@ -506,7 +499,21 @@ object Similarity {
       .agg(min("cosine").as("kth_cos"))
     val repPairs = scored.join(broadcast(kth), col("cosine") >= col("kth_cos"))
       .select("ra", "rb", "cosine")
-    val mem = grp.select(col("rid"), col("members"))
+    // k-aware member cap: expansion below must stay OUTPUT-bound, not
+    // group-size-bound. All pairs expanded from one rep pair (and all
+    // within-group pairs) share one cosine, so among them the final
+    // (cosine desc, vec_a, vec_b) order reduces to (vec_a, vec_b) asc —
+    // and any pair using a member beyond a group's k+1 smallest ids is
+    // preceded by k+1 pairs that substitute a smaller id from the same
+    // group (min(a',b) ≤ min(a,b) and on equality max strictly shrinks),
+    // so it can never reach the global top k. Slicing `members` (sorted
+    // asc at build) to k+1 is therefore lossless for limit(k) and bounds
+    // the expansion at (k+1)² per rep pair / C(k+1,2) per group. Without
+    // it, g duplicate copies per vector emit O(g²) rows per group — the
+    // 20M-vector fixture (g≈1250) generated ~12.5B within-pairs for a
+    // 20-row answer (measured 570 s warm; 1.6 s with the cap).
+    val capped = slice(col("members"), 1, k + 1)
+    val mem = grp.select(col("rid"), capped.as("members"))
     val cross = repPairs
       .join(mem.as("ma"), col("ra") === col("ma.rid"))
       .join(mem.as("mb"), col("rb") === col("mb.rid"))
@@ -516,8 +523,8 @@ object Similarity {
         greatest(col("ia"), col("ib")).as("vec_b"), col("cosine"))
     // identical vectors: every unordered within-group pair at cosine 1.0
     val within = grp.where(size(col("members")) > 1)
-      .select(explode(col("members")).as("ia"), col("members"))
-      .select(col("ia"), explode(col("members")).as("ib"))
+      .select(explode(capped).as("ia"), capped.as("m2"))
+      .select(col("ia"), explode(col("m2")).as("ib"))
       .where(col("ia") < col("ib"))
       .select(col("ia").as("vec_a"), col("ib").as("vec_b"),
         lit(1.0).as("cosine"))
