@@ -211,6 +211,51 @@ class SimilaritySpec extends AnyFunSuite with SparkSuite {
     assert(before == after)
   }
 
+  test("near-dup capped expansion is exact on a duplicate-heavy corpus") {
+    // The shipped fixtures are duplicate-light, so group sizes never exceed
+    // k+1 and the member cap in cosineNearDups' expansion (slice(members,
+    // 1, k+1) — the fix for the O(g²) within-pair explosion measured at
+    // 20M vectors) is a no-op under the oracle. This corpus makes BOTH cap
+    // branches truncate and still demands the exact brute-force answer:
+    // two 30-copy groups (> k+1 = 21 members each) of two DISTINCT float
+    // vectors whose cosine rounds to 1.0 at 6 dp (one component perturbed
+    // by 1e-6), with ids INTERLEAVED (A = even, B = odd) so the global
+    // top-20 mixes cross-group and within-group pairs — any lost pair in
+    // either capped expansion would surface as a mismatch.
+    val dim = 64
+    var seed = 77L
+    def next(): Long = { seed = seed * 6364136223846793005L + 1442695040888963407L; seed >>> 33 }
+    def randVec(): Seq[Float] =
+      (0 until dim).map(_ => ((next() % 1000).toFloat / 1000f) - 0.5f)
+    val vA = randVec()
+    val vB = vA.updated(0, vA(0) * (1f + 2e-6f))
+    val rows =
+      (0 until 30).map(c => (c.toLong * 2, vA, 0)) ++      // A: even ids
+      (0 until 30).map(c => (c.toLong * 2 + 1, vB, 0)) ++  // B: odd ids
+      (0 until 23).flatMap { t =>
+        val v = randVec()
+        Seq((60L + t * 2, v, 1), (61L + t * 2, v, 1))
+      }
+    val dir = java.nio.file.Files.createTempDirectory("q48dup").toString
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+      .write.parquet(s"$dir/embeddings.parquet")
+    val byId = rows.map { case (id, v, _) => id -> v.map(_.toDouble).toArray }.toMap
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val brute = (for {
+      (a, va) <- byId.toSeq; (b, vb) <- byId.toSeq if a < b
+    } yield (a, b, r6(cosine(va, vb))))
+      .sortBy { case (a, b, c) => (-c, a, b) }.take(20)
+    val engine = Similarity.cosineNearDups(spark, dir, nTables = 16).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(engine == brute,
+      s"capped expansion diverges from brute force:\n engine=$engine\n brute=$brute")
+    assert(brute.exists { case (a, b, _) => (a + b) % 2 == 1 },
+      "fixture no longer exercises the cross-group cap (no mixed-parity pair in top-20)")
+    Similarity.clearCaches()
+  }
+
   test("near-dup top pair equals the global max-cosine pair") {
     val vecs = Tables(spark, sfDir, "embeddings").collect()
       .map(r => (r.getAs[Long]("vec_id"),
