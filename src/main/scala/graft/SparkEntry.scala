@@ -96,17 +96,17 @@ object SparkEntry {
     "q48_cosine_neardup" -> ((s, d) => Similarity.cosineNearDups(s, d, nTables = 16)),
     "q49_ann_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
     "q4a_ann_ivf" -> ((s, d) => Similarity.cosineTopKIvf(s, d)),
-    // product quantization: ADC shortlist + exact re-rank (rows-only;
-    // recall floor in SimilaritySpec)
+    // product quantization: ADC shortlist + exact re-rank. Since round 12
+    // a FULL equality oracle (like q4a/q8h): the driver-side fixed-order
+    // Lloyd trainers are bit-stable, so DuckDB replays the whole training
+    // loop with ordered aggregates (lloydCentsChain / pqCodebookChain)
     "q59_ann_pq" -> ((s, d) => Similarity.cosineTopKPq(s, d)),
     // the q4a/q59 tiers with the quantizer PINNED to the deterministic
-    // stride-sample (kmeansIters/iters = 0): the Lloyd refinement is the
-    // only non-SQL step in those pipelines, so these twins run the exact
-    // same engine code path — cell assignment / PQ encode / ADC shortlist
-    // / exact re-rank, all the custom expressions included — with a
-    // candidate set DuckDB can replay, making the full result an equality
-    // oracle; the trained tiers stay spec-checked for the recall the
-    // refinement buys
+    // stride-sample (kmeansIters/iters = 0). Historically these were the
+    // only oracle-able tiers (the treeAggregate-era Lloyd refinement was
+    // run-nondeterministic); they stay as the simpler, iteration-free
+    // oracle anchor and the warm-path twins the streaming/batch faces
+    // share — the REFINED tiers now carry their own unrolled-Lloyd oracle
     "qbe_ann_ivf_rerank" -> ((s, d) => Similarity.cosineTopKIvf(s, d, kmeansIters = 0)),
     "qbf_ann_pq_rerank" -> ((s, d) => Similarity.cosineTopKPq(s, d, iters = 0)),
     // --- text analysis ---
@@ -225,11 +225,12 @@ object SparkEntry {
     "q8e_repeated_ngrams" -> ((s, d) => TextOps.repeatedNgrams(s, d)),
     // corpus-unigram LM scoring (cheap quality / outlier signal)
     "q8g_unigram_logprob" -> (TextOps.unigramLogProb _),
-    // spherical k-means corpus clustering profile (SemDeDup shape)
+    // spherical k-means corpus clustering profile (SemDeDup shape); full
+    // equality oracle since round 12 — the bit-stable driver-side trainer
+    // is replayed in DuckDB by lloydCentsChain's unrolled ordered-sum Lloyd
     "q8h_kmeans_profile" -> ((s, d) => Similarity.kmeansClusterProfile(s, d)),
     // the profile with the quantizer PINNED to the stride sample (the
-    // qbe/qbf discipline): assignment + per-cluster profile become a full
-    // DuckDB equality oracle; the trained face keeps the recall spec
+    // qbe/qbf discipline): the iteration-free oracle anchor
     "qbh_kmeans_pinned" -> ((s, d) =>
       Similarity.kmeansClusterProfile(s, d, iters = 0)),
     // SemDeDup decision table (pinned quantizer, distinct-vector collapse,
@@ -821,6 +822,73 @@ object SparkEntry {
           |  SELECT *, row_number() OVER (PARTITION BY query_id
           |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) +
+      // The Lloyd-REFINED tiers, previously no_oracle ("FP-argmax
+      // nondeterminism"): that rationale died when the trainers went
+      // driver-side with one fixed summation order (bit-stable reruns),
+      // because DuckDB's ordered aggregates replay the exact same sums —
+      // see lloydCentsChain / pqCodebookChain. q8h = the qbh profile over
+      // the REFINED quantizer; q4a = the qbe IVF tier over it; q59 = the
+      // qbf PQ tier over Lloyd-refined codebooks.
+      ("q8h_kmeans_profile" ->
+        s"""WITH ${lloydCentsChain(16, 5, 64)},
+           |sim AS (SELECT e.vec_id, c.cell, list_inner_product(e.v, c.cv) / e.nrm AS csim
+           |        FROM e, cents c),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r FROM sim),
+           |fasg AS (SELECT vec_id, cell, csim FROM rk WHERE r = 1),
+           |ex AS (SELECT cell, vec_id AS exemplar FROM (
+           |         SELECT *, row_number() OVER (PARTITION BY cell ORDER BY csim DESC, vec_id) AS r FROM fasg)
+           |       WHERE r = 1)
+           |SELECT a.cell, count(*) AS n_members, round(avg(a.csim), 4) AS avg_cos,
+           |       round(min(a.csim), 4) AS min_cos, any_value(ex.exemplar) AS exemplar
+           |FROM fasg a JOIN ex ON ex.cell = a.cell
+           |GROUP BY a.cell ORDER BY a.cell""".stripMargin) +
+      ("q4a_ann_ivf" ->
+        s"""WITH ${lloydCentsChain(16, 5, 64)},
+           |sim AS (SELECT e.vec_id, c.cell, list_inner_product(e.v, c.cv) / e.nrm AS csim
+           |        FROM e, cents c),
+           |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r FROM sim),
+           |fasg AS (SELECT vec_id, cell FROM rk WHERE r = 1),
+           |probes AS (SELECT vec_id AS query_id, cell FROM rk WHERE vec_id < 100 AND r <= 4),
+           |cand AS (SELECT DISTINCT p.query_id, a.vec_id AS neighbor_id
+           |         FROM probes p JOIN fasg a ON a.cell = p.cell
+           |         WHERE p.query_id <> a.vec_id),
+           |s AS (SELECT cand.query_id, cand.neighbor_id,
+           |        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+           |      FROM cand JOIN e a ON a.vec_id = cand.query_id
+           |                JOIN e b ON b.vec_id = cand.neighbor_id)
+           |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) +
+      ("q59_ann_pq" ->
+        s"""WITH ${pqCodebookChain(8, 16, 5, 64)},
+           |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e),
+           |usub AS (SELECT vec_id, mm.mm, vn[mm.mm * 8 + 1 : mm.mm * 8 + 8] AS vsub
+           |         FROM u, range(8) mm(mm)),
+           |dist AS (SELECT usub.vec_id, usub.mm, cw.c,
+           |           list_sum(list_transform(range(1, 9), i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) AS d
+           |         FROM usub JOIN cw ON cw.mm = usub.mm),
+           |codes AS (SELECT vec_id, mm, c FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY vec_id, mm ORDER BY d, c) AS r FROM dist)
+           |          WHERE r = 1),
+           |adc AS (SELECT qs.vec_id AS query_id, cs.vec_id AS neighbor_id,
+           |          sum(list_inner_product(qs.vsub, cw.sub) ORDER BY qs.mm) AS a
+           |        FROM usub qs
+           |        JOIN codes cs ON cs.mm = qs.mm
+           |        JOIN cw ON cw.mm = cs.mm AND cw.c = cs.c
+           |        WHERE qs.vec_id < 100 AND qs.vec_id <> cs.vec_id
+           |        GROUP BY qs.vec_id, cs.vec_id),
+           |short AS (SELECT query_id, neighbor_id FROM (
+           |            SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY a DESC, neighbor_id) AS r FROM adc)
+           |          WHERE r <= 50),
+           |s AS (SELECT short.query_id, short.neighbor_id,
+           |        round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+           |      FROM short JOIN e a ON a.vec_id = short.query_id
+           |                 JOIN e b ON b.vec_id = short.neighbor_id)
+           |SELECT query_id, CAST(rank AS INT) AS rank, neighbor_id, cosine FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY query_id
+           |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
+           |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) +
       // FULL sign-LSH replay (q47): since round 9 the ±1 hyperplane
       // entries derive from the portable md5 low-quadword of "hp:t:b:i"
       // (Hyperplanes.signMatrix), so DuckDB rebuilds the exact plane
@@ -1150,6 +1218,95 @@ object SparkEntry {
       |      THEN coalesce(fpraw.fpsum, 0) - 18446744073709551616
       |      ELSE coalesce(fpraw.fpsum, 0) END AS BIGINT) AS fp
       |  FROM t LEFT JOIN fpraw USING (doc_id))""".stripMargin
+
+  /** Unrolled DuckDB replay of [[graft.operators.Similarity.sphericalKMeans]]
+    * — the move that flips the Lloyd-REFINED tiers (q8h/q4a) from
+    * `no_oracle` to full hash equality. It became possible when the
+    * trainer went driver-side with ONE fixed (vec_id-order) summation:
+    * DuckDB's ordered aggregates (`sum(x ORDER BY vec_id)`) feed values
+    * sequentially in the same order, so every Lloyd sum is the engine's
+    * sum bit-for-bit. Emits CTEs `e` (raw vectors), `samp` (the bounded
+    * stride sample, unit-normalized), `cents0..cents$iters` (one argmax
+    * assignment + recenter per iteration, ties to the lower cell, empty /
+    * zero-norm cells carrying the previous centroid — the engine's exact
+    * rule), ending in `cents` = the refined quantizer. Residual float
+    * exposure is the same class the PINNED twins (qbh/qbe) already
+    * accept: an argmax could flip only on an exact dot-product tie at
+    * ulp scale. */
+  private def lloydCentsChain(nCells: Int, iters: Int, dim: Int): String = {
+    val sampleTarget = math.max(1000L, 100L * nCells)
+    val head =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |     FROM embeddings),
+         |n AS (SELECT greatest(1, count(*) // $nCells) AS stride,
+         |             greatest(1, count(*) // $sampleTarget) AS rate FROM e),
+         |cents0 AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS cell,
+         |            list_transform(v, x -> x / nrm) AS cv
+         |          FROM e, n WHERE vec_id % n.stride = 0 ORDER BY vec_id LIMIT $nCells),
+         |samp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |         FROM e, n WHERE vec_id % n.rate = 0 ORDER BY vec_id LIMIT ${2 * sampleTarget})""".stripMargin
+    val steps = (1 to iters).map { j =>
+      s"""asg$j AS (SELECT vec_id, uv, cell FROM (
+         |    SELECT s.vec_id, s.uv, c.cell, row_number() OVER (PARTITION BY s.vec_id
+         |      ORDER BY list_inner_product(s.uv, c.cv) DESC, c.cell) AS r
+         |    FROM samp s, cents${j - 1} c) WHERE r = 1),
+         |comp$j AS (SELECT cell, i.i AS i, sum(uv[i.i] ORDER BY vec_id) AS sv
+         |          FROM asg$j, range(1, ${dim + 1}) i(i) GROUP BY cell, i.i),
+         |mv$j AS (SELECT cell, list(sv ORDER BY i) AS m FROM comp$j GROUP BY cell),
+         |cents$j AS (SELECT p.cell,
+         |    CASE WHEN v.m IS NULL
+         |           OR sqrt(list_sum(list_transform(v.m, x -> x * x))) = 0 THEN p.cv
+         |         ELSE list_transform(v.m,
+         |           x -> x / sqrt(list_sum(list_transform(v.m, y -> y * y)))) END AS cv
+         |  FROM cents${j - 1} p LEFT JOIN mv$j v ON v.cell = p.cell)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s",\ncents AS (SELECT cell, cv FROM cents$iters)"
+  }
+
+  /** Unrolled DuckDB replay of [[graft.operators.Similarity.pqCodebooks]]
+    * (per-subspace L2 Lloyd), the q59 analog of [[lloydCentsChain]] —
+    * same fixed-order-summation argument, argmin ties to the lower
+    * codeword, empty codewords carrying over, codewords = plain means
+    * (NOT renormalized). Emits `e`, `samp`, `ssub` (per-subspace sample
+    * slices) and `cw0..cw$iters`, ending in `cw` = (mm, c, sub). */
+  private def pqCodebookChain(m: Int, k: Int, iters: Int, dim: Int): String = {
+    val subdim = dim / m
+    val sampleTarget = math.max(1000L, 100L * k)
+    val head =
+      s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+         |       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+         |     FROM embeddings),
+         |n AS (SELECT greatest(1, count(*) // $k) AS stride,
+         |             greatest(1, count(*) // $sampleTarget) AS rate FROM e),
+         |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
+         |           list_transform(v, x -> x / nrm) AS cv
+         |         FROM e, n WHERE vec_id % n.stride = 0 ORDER BY vec_id LIMIT $k),
+         |cw0 AS (SELECT c, mm.mm, cv[mm.mm * $subdim + 1 : mm.mm * $subdim + $subdim] AS sub
+         |       FROM init, range($m) mm(mm)),
+         |samp AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS uv
+         |         FROM e, n WHERE vec_id % n.rate = 0 ORDER BY vec_id LIMIT ${2 * sampleTarget}),
+         |ssub AS (SELECT vec_id, mm.mm, uv[mm.mm * $subdim + 1 : mm.mm * $subdim + $subdim] AS vsub
+         |         FROM samp, range($m) mm(mm))""".stripMargin
+    val steps = (1 to iters).map { j =>
+      s"""pd$j AS (SELECT u.vec_id, u.mm, c.c, u.vsub,
+         |    list_sum(list_transform(range(1, ${subdim + 1}),
+         |      i -> (u.vsub[i] - c.sub[i]) * (u.vsub[i] - c.sub[i]))) AS d
+         |  FROM ssub u JOIN cw${j - 1} c ON c.mm = u.mm),
+         |pasg$j AS (SELECT vec_id, mm, c, vsub FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY vec_id, mm ORDER BY d, c) AS r
+         |    FROM pd$j) WHERE r = 1),
+         |pcomp$j AS (SELECT mm, c, i.i AS i,
+         |      sum(vsub[i.i] ORDER BY vec_id) AS sv, count(*) AS cnt
+         |    FROM pasg$j, range(1, ${subdim + 1}) i(i) GROUP BY mm, c, i.i),
+         |pm$j AS (SELECT mm, c, list(sv / cnt ORDER BY i) AS sub FROM pcomp$j GROUP BY mm, c),
+         |cw$j AS (SELECT p.mm, p.c, coalesce(v.sub, p.sub) AS sub
+         |        FROM cw${j - 1} p LEFT JOIN pm$j v ON v.mm = p.mm AND v.c = p.c)""".stripMargin
+    }
+    (head +: steps).mkString(",\n") +
+      s",\ncw AS (SELECT mm, c, sub FROM cw$iters)"
+  }
 
   private def baseOracleSql: Map[String, String] = Map(
     "q01_groupavg_brand_flag" ->

@@ -197,15 +197,17 @@ object Similarity {
   }
 
   /** Deterministic spherical k-means for the IVF coarse quantizer.
-    * Init = the stride-sample (unit-normalized); each Lloyd iteration
-    * assigns every vector to its max-cosine centroid and recenters each
-    * cell on the normalized mean. The per-iteration pass is a
-    * `treeAggregate` with dense per-partition (sum, count) accumulators —
-    * map-side combined, nothing but k·dim doubles crosses the wire, the
-    * MLlib shape that holds at any corpus size (k·dim stays driver-tiny).
+    * Init = the stride-sample (unit-normalized); Lloyd then refines
+    * DRIVER-SIDE over a bounded, vec_id-sorted subsample (see the inline
+    * note below): each iteration assigns every sampled vector to its
+    * max-cosine centroid and recenters each cell on the normalized mean,
+    * in ONE fixed summation order — which is what makes reruns bit-stable
+    * (a distributed treeAggregate summed partials in task-arrival order
+    * and FP non-associativity flipped borderline cells at 20M vectors).
     * No randomness anywhere: stride init, lowest-index tie-breaks, fixed
-    * iteration count — reruns are bit-stable. Empty cells keep their
-    * previous centroid. Returns unit-length centroids. */
+    * iteration count. Empty cells keep their previous centroid. Returns
+    * unit-length centroids; only k·dim + the bounded sample ever reach
+    * the driver. */
   private[operators] def sphericalKMeans(e: DataFrame, nCells: Int,
       iters: Int): Array[Array[Double]] = {
     val n = e.count()
@@ -223,7 +225,11 @@ object Similarity {
     // standard IVF shape: centroid quality needs a representative sample,
     // not the corpus — Lloyd over 100 TB would be iters full scans for no
     // recall gain. The sample is BOUNDED by construction (~sampleTarget
-    // rows, ≈1 MB at 64 dims), so the refinement runs on the DRIVER over a
+    // rows, ≈1 MB at 64 dims — and the limit() below makes the bound HARD
+    // for any vec_id distribution: the pmod stride alone only yields
+    // ~sampleTarget rows when ids are dense and uniform, not when they are
+    // sparse or clustered on multiples of the rate; deterministic because
+    // the sort precedes it), so the refinement runs on the DRIVER over a
     // vec_id-sorted array: one fixed summation order, bit-stable across
     // reruns. The previous formulation treeAggregate'd the same sample and
     // summed partition partials in task-arrival order — FP non-associativity
@@ -235,7 +241,8 @@ object Similarity {
     val rate = math.max(1L, n / sampleTarget)
     val unit: Array[Array[Double]] =
       e.where(pmod(col("vec_id"), lit(rate)) === 0)
-        .orderBy("vec_id").select(col("v"), col("norm")).collect()
+        .orderBy("vec_id").limit((sampleTarget * 2).toInt)
+        .select(col("v"), col("norm")).collect()
         .map { r =>
           val norm = r.getDouble(1)
           r.getSeq[Double](0).map(_ / norm).toArray
@@ -312,14 +319,18 @@ object Similarity {
 
   /** Deterministic per-subspace L2 Lloyd for the PQ codebooks: the vector
     * space is split into `m` contiguous subspaces and each gets its own
-    * k-codeword codebook, trained on the same deterministic stride sample
-    * (and with the same treeAggregate dense-accumulator shape) as
-    * [[sphericalKMeans]] — only m·k·subdim = k·dim doubles ever reach the
-    * driver. Returns the flat layout [[graft.functions.PqEncode]] expects:
-    * codeword (mm, c) component i at ((mm·k + c)·subdim) + i. */
+    * k-codeword codebook, trained on the same bounded, vec_id-sorted
+    * stride sample as [[sphericalKMeans]] and refined DRIVER-SIDE in one
+    * fixed summation order — bit-stable across reruns (the treeAggregate
+    * form summed partition partials in task-arrival order, the exact FP
+    * non-associativity that flipped spherical cells at 20M vectors), and
+    * bit-stability is what lets the q59 oracle replay this training loop
+    * in DuckDB. Only m·k·subdim = k·dim doubles plus the bounded sample
+    * ever reach the driver. Returns the flat layout
+    * [[graft.functions.PqEncode]] expects: codeword (mm, c) component i
+    * at ((mm·k + c)·subdim) + i. */
   private[operators] def pqCodebooks(e: DataFrame, m: Int, k: Int,
       iters: Int): Array[Double] = {
-    val spark = e.sparkSession
     val n = e.count()
     val init = e.where(pmod(col("vec_id"), lit(math.max(1L, n / k))) === 0)
       .orderBy("vec_id").limit(k)
@@ -332,57 +343,45 @@ object Similarity {
     var cb: Array[Array[Array[Double]]] = Array.tabulate(m, k) { (mm, c) =>
       init(c).slice(mm * subdim, (mm + 1) * subdim)
     }
-    val rate = math.max(1L, n / math.max(1000L, 100L * k))
-    val sample = e.where(pmod(col("vec_id"), lit(rate)) === 0)
-      .select(col("v"), col("norm")).rdd
-      .map { r => val nm = r.getDouble(1); r.getSeq[Double](0).map(_ / nm).toArray }
-      .coalesce(4).cache()
+    // bounded, vec_id-sorted refinement sample — the sphericalKMeans
+    // discipline: pmod stride to ~sampleTarget rows, a hard limit() so the
+    // driver bound holds for ANY vec_id distribution, and one fixed
+    // (vec_id-order) summation so reruns are bit-stable.
+    val sampleTarget = math.max(1000L, 100L * k)
+    val rate = math.max(1L, n / sampleTarget)
+    val sample: Array[Array[Double]] =
+      e.where(pmod(col("vec_id"), lit(rate)) === 0)
+        .orderBy("vec_id").limit((sampleTarget * 2).toInt)
+        .select(col("v"), col("norm")).collect()
+        .map { r => val nm = r.getDouble(1); r.getSeq[Double](0).map(_ / nm).toArray }
     (1 to iters).foreach { _ =>
-      val bc = spark.sparkContext.broadcast(cb)
-      val (sums, counts) = sample.treeAggregate(
-          (Array.ofDim[Double](m, k, subdim), Array.ofDim[Long](m, k)))(
-        { case ((s, c), v) =>
-          val cbs = bc.value
-          var mm = 0
-          while (mm < m) {
-            var best = 0; var bestD = Double.MaxValue
-            var cc = 0
-            while (cc < k) {
-              var d = 0.0; var i = 0
-              while (i < subdim) {
-                val diff = v(mm * subdim + i) - cbs(mm)(cc)(i)
-                d += diff * diff; i += 1
-              }
-              if (d < bestD) { bestD = d; best = cc }
-              cc += 1
+      val sums = Array.ofDim[Double](m, k, subdim)
+      val counts = Array.ofDim[Long](m, k)
+      sample.foreach { v =>
+        var mm = 0
+        while (mm < m) {
+          var best = 0; var bestD = Double.MaxValue
+          var cc = 0
+          while (cc < k) {
+            var d = 0.0; var i = 0
+            while (i < subdim) {
+              val diff = v(mm * subdim + i) - cb(mm)(cc)(i)
+              d += diff * diff; i += 1
             }
-            var i = 0
-            while (i < subdim) { s(mm)(best)(i) += v(mm * subdim + i); i += 1 }
-            c(mm)(best) += 1
-            mm += 1
+            if (d < bestD) { bestD = d; best = cc }
+            cc += 1
           }
-          (s, c)
-        },
-        { case ((s1, c1), (s2, c2)) =>
-          var mm = 0
-          while (mm < m) {
-            var cc = 0
-            while (cc < k) {
-              var i = 0
-              while (i < subdim) { s1(mm)(cc)(i) += s2(mm)(cc)(i); i += 1 }
-              c1(mm)(cc) += c2(mm)(cc); cc += 1
-            }
-            mm += 1
-          }
-          (s1, c1)
-        })
+          var i = 0
+          while (i < subdim) { sums(mm)(best)(i) += v(mm * subdim + i); i += 1 }
+          counts(mm)(best) += 1
+          mm += 1
+        }
+      }
       cb = Array.tabulate(m, k) { (mm, cc) =>
         if (counts(mm)(cc) == 0) cb(mm)(cc)
         else sums(mm)(cc).map(_ / counts(mm)(cc))
       }
-      bc.destroy()
     }
-    sample.unpersist()
     val flat = new Array[Double](k * dim)
     for (mm <- 0 until m; cc <- 0 until k; i <- 0 until subdim)
       flat((mm * k + cc) * subdim + i) = cb(mm)(cc)(i)
