@@ -294,6 +294,18 @@ object Dedup {
     bandIndexCache.computeIfAbsent((spark, dir), _ =>
       bandsOf(groupedDense(spark, dir))
         .select(col("doc_id").as("cid"), col("band"), col("bh"))
+        // partitioned + sorted on the probe keys BEFORE caching: every
+        // (band, bh) equi-probe (q4b's delta batch, qbb's micro-batches)
+        // then reuses the cached partitioning AND ordering, so the index
+        // side of the join is scan-only — only the O(delta) probe side
+        // ever shuffles. The unpartitioned form shuffled the full index
+        // per probe (24 B × Bands × |contents| = 38 GB at the 50M-doc
+        // fixture), which is what actually filled the disk in the q4b
+        // sf1000p ENOSPC: a "probe the static index" face was paying a
+        // bulk re-index per run. One extra exchange at build time, paid
+        // once per fixture.
+        .repartition(col("band"), col("bh"))
+        .sortWithinPartitions("band", "bh")
         .cache())
 
   /** (cid, sh) — one shingle set per distinct content, the verify-side
@@ -424,18 +436,30 @@ object Dedup {
     // invocation (each bench pass paid the build again — the round-10
     // q4b 1.46× flag's substrate) and means batch-incremental and
     // streaming ingest share ONE resident index, the deployment shape.
-    val bands = corpusBandIndex(spark, dir)
-      .select(col("cid").as("doc_id"), col("band"), col("bh"))
+    val index = corpusBandIndex(spark, dir)
     val deltaGroups = grp.where(array_max(col("members")) >= deltaFrom)
-    val deltaCids = deltaGroups.select(col("doc_id").as("dcid"))
-    val cand = bands.join(deltaCids, col("doc_id") === col("dcid")).as("x")
-      .join(bands.as("y"),
+    // Band the DELTA side directly off the cached group view (O(delta)
+    // generate over already-cached sigs — the old form RECOVERED delta
+    // bands by joining the full Bands×|contents| index against the delta
+    // cid list, a second full-index shuffle before the probe even ran).
+    // The probe join's index side then reuses corpusBandIndex's cached
+    // (band, bh) partitioning/ordering: per probe, only delta bands move.
+    val deltaBands = bandsOf(deltaGroups)
+    val cand = deltaBands.as("x")
+      .join(index.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") =!= col("y.doc_id"))
-      .select(least(col("x.doc_id"), col("y.doc_id")).as("doc_a"),
-        greatest(col("x.doc_id"), col("y.doc_id")).as("doc_b"))
+          col("x.doc_id") =!= col("y.cid"))
+      .select(least(col("x.doc_id"), col("y.cid")).as("doc_a"),
+        greatest(col("x.doc_id"), col("y.cid")).as("doc_b"))
       .distinct()
-    val repPairs = verifyPairs(cand, grp, minJaccard)
+    // the verify only ever needs candidate-TOUCHING shingle sets: semi-
+    // filter the (2 KB/row) shingle relation down to O(candidates) rows
+    // before the array-carrying joins, instead of letting the verify
+    // shuffle the whole corpus's arrays for a delta-bounded pair set
+    val touched = cand.select(col("doc_a").as("doc_id"))
+      .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    val repPairs = verifyPairs(cand,
+      grp.join(touched, Seq("doc_id"), "left_semi"), minJaccard)
     expandPairs(repPairs, grp, deltaGroups, minJaccard)
       .where(col("doc_a") >= deltaFrom || col("doc_b") >= deltaFrom)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
