@@ -157,8 +157,51 @@ object Bench {
       if (ratios.isEmpty) -1.0
       else if (ratios.size % 2 == 1) ratios(ratios.size / 2)
       else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2
+    // Solo re-measure before publishing a `regression`: a single-run flag
+    // inside the 200-face sweep measures that face's SLOT (whatever the
+    // host was doing in those 0.5 s) as much as the face. Round 11's one
+    // flag (q31_degrees, 2.05× in untouched code, clearing the absolute
+    // floor by 4 ms) is the type specimen — it would have self-attributed
+    // if the bench had simply re-run it alone, the way the scale sweeps
+    // already re-run their flagged faces. So: every face whose sweep
+    // verdict is `regression` gets SPARK_GRAFT_SOLO_REPS (default 5)
+    // back-to-back solo reps at the end of the run; the flag is published
+    // as `regression` only if the solo minimum ALSO clears the same
+    // two-sided envelope + absolute floor, and is downgraded to
+    // `solo_cleared` otherwise. Flagged faces carry `solo_warm` /
+    // `solo_samples` either way, so the verdict is auditable from the
+    // artifact alone.
+    val soloReps = sys.env.getOrElse("SPARK_GRAFT_SOLO_REPS", "5").toInt.max(2)
+    val sweepFlagged = warmMin.toSeq.collect {
+      case (name, w) if verdictOf(name, w)._2 == "\"regression\"" => name
+    }.sorted
+    val soloSamples: Map[String, Seq[Double]] = sweepFlagged.map { name =>
+      val fn = SparkEntry.queries(name)
+      name -> (1 to soloReps).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
+      }
+    }.toMap
+    val soloWarm: Map[String, Double] = soloSamples.collect {
+      case (name, ss) if ss.forall(_ >= 0) => name -> ss.min
+    }
+    // final verdict: sweep verdict, with `regression` downgraded to
+    // `solo_cleared` when the solo minimum does not reproduce the flag
+    def finalVerdict(name: String, w: Double): (String, String) = {
+      val (prevS, v) = verdictOf(name, w)
+      if (v != "\"regression\"") (prevS, v)
+      else {
+        val p = prevWarm(name)
+        val solo = soloWarm.getOrElse(name, -1.0)
+        val env = math.max(1.3, prevSwing.getOrElse(name, 1.0))
+        val reproduces = solo > 0 && solo / p > env &&
+          math.abs(solo - p) >= math.max(0.25, 0.1 * p)
+        (prevS, if (reproduces) "\"regression\"" else "\"solo_cleared\"")
+      }
+    }
     val nRegression = warmMin.toSeq.count { case (name, w) =>
-      verdictOf(name, w)._2 == "\"regression\"" }
+      finalVerdict(name, w)._2 == "\"regression\"" }
     // The harness captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window; 200+ entries overflow it even at 3-char
     // ids and 3 decimals (BENCH_r08.json came back "parsed": null — only the
@@ -203,18 +246,23 @@ object Bench {
     val detail = results.toSeq.sortBy(_._1)
       .map { case (k, v) =>
         val w = warmMin.getOrElse(k, -1.0)
-        val (prevS, verdictS) = verdictOf(k, w)
+        val (prevS, verdictS) = finalVerdict(k, w)
         val ratioS = prevWarm.get(k).filter(_ > 0) match {
           case Some(p) if w > 0 => f"${w / p}%.3f"
           case _ => "null"
         }
+        val soloS =
+          if (!soloSamples.contains(k)) ""
+          else ",\"solo_warm\":" + fmt(soloWarm.getOrElse(k, -1.0)) +
+            ",\"solo_samples\":" +
+            soloSamples(k).map(fmt).mkString("[", ",", "]")
         "\"" + k + "\":{\"min\":" + fmt(v) +
           ",\"warm\":" + fmt(w) +
           ",\"cold\":" + fmt(cold.getOrElse(k, -1.0)) +
           ",\"warm_samples\":" + warms.map(w =>
             fmt(w.getOrElse(k, -1.0))).mkString("[", ",", "]") +
           ",\"prev\":" + prevS + ",\"ratio\":" + ratioS +
-          ",\"verdict\":" + verdictS + "}" }
+          ",\"verdict\":" + verdictS + soloS + "}" }
       .mkString("{", ",", "}")
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_detail.json"),
