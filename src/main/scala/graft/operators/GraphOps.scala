@@ -954,8 +954,17 @@ object GraphOps {
     * the same 10 iterations unrolled as DuckDB CTEs — a full cross-engine
     * hash match of an iterative algorithm, not a spot check. */
   def pageRank(spark: SparkSession, dir: String, iters: Int = 10,
-      damping: Double = 0.85, minShared: Int = 3): DataFrame = {
-    val e0 = coPurchaseEdges(spark, dir, minShared).select("u", "v")
+      damping: Double = 0.85, minShared: Int = 3): DataFrame =
+    pageRankOf(coPurchaseEdges(spark, dir, minShared).select("u", "v"),
+      iters, damping)
+
+  /** [[pageRank]] over an explicit undirected (u, v) edge list — the
+    * kernel surface ([[communitiesLpaOf]]/[[ssspOf]] discipline): any
+    * edge relation, not just the co-purchase graph, and the probe surface
+    * the scale axis measures (edge COUNT is the iterative family's cost
+    * driver, not base-table rows). */
+  private[graft] def pageRankOf(e0: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
     val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -1003,8 +1012,14 @@ object GraphOps {
     * the oracle unrolls the same left-join shape round for round. Same
     * every-2nd-superstep checkpoint cadence as q88. */
   def personalizedPageRank(spark: SparkSession, dir: String, iters: Int = 10,
-      damping: Double = 0.85, minShared: Int = 3): DataFrame = {
-    val e0 = coPurchaseEdges(spark, dir, minShared).select("u", "v")
+      damping: Double = 0.85, minShared: Int = 3): DataFrame =
+    pprOf(coPurchaseEdges(spark, dir, minShared).select("u", "v"),
+      iters, damping)
+
+  /** [[personalizedPageRank]] over an explicit undirected (u, v) edge
+    * list (seed = minimum vertex id present). */
+  private[graft] def pprOf(e0: DataFrame, iters: Int,
+      damping: Double): DataFrame = {
     val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
@@ -1402,8 +1417,11 @@ object GraphOps {
     * unrolls all 10 rounds as MATERIALIZED CTEs (normalizing per round,
     * which lands on the same direction), rounded at 8 dp — far above the
     * engines' summation-order/scaling drift. */
-  def hits(spark: SparkSession, dir: String, iters: Int = 10): DataFrame = {
-    val inc = incidence(spark, dir)
+  def hits(spark: SparkSession, dir: String, iters: Int = 10): DataFrame =
+    hitsOf(incidence(spark, dir), iters)
+
+  /** [[hits]] over an explicit bipartite (c, p) incidence relation. */
+  private[graft] def hitsOf(inc: DataFrame, iters: Int): DataFrame = {
     // The static incidence is joined on c and on p EVERY round — shuffling
     // it 2×iters times is the dominant cost. Pre-partition it once per
     // key (two cached copies): each round's joins then align with the
