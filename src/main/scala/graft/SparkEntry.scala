@@ -1022,7 +1022,18 @@ object SparkEntry {
     * oracles are not valid there, and the gate never runs them there
     * (bench SFs are timed, not oracled).
     */
-  private val BtwUnrollDepth = 10
+  /** BFS unroll depth of the SQL-Brandes oracles (q33/q35/q36): must
+    * cover the co-purchase graph's DIAMETER at every verified SF or the
+    * oracle silently truncates shortest paths and disagrees with the
+    * (depth-unbounded) engine. Depth 10 was sized on sf0.01's dense
+    * graph (diameter 4) and was exactly the kind of scale-dependent
+    * oracle bug the round-12 sf0.1 harness run exists to catch: sf0.1's
+    * SPARSER graph (14.8k edges over 10k vertices vs sf0.01's 64.6k over
+    * 1.5k) has measured diameter 19, and the depth-10 oracle — not the
+    * engine — produced wrong betweenness there. 24 = 19 + margin; stages
+    * past the true frontier are empty and near-free, so sf0.01 cost is
+    * unchanged. */
+  private val BtwUnrollDepth = 24
 
   private def betweennessCte: String = betweennessCteFor(3, BtwUnrollDepth)
 

@@ -21,6 +21,13 @@ object TimeOne {
       // scheduling-bound (measured 17.6 s at sf10). 256 KB packs ~500
       // files/task (~1k tasks); parquet scans are unaffected (big files).
       .config("spark.sql.files.openCostInBytes", 262144L)
+      // shuffle/spill codec, env-gated (default = Spark's lz4): the
+      // capacity probes at the 50M-doc fixture write one ~38 GB-raw index
+      // shuffle whose lz4 form (~30 GB of near-random 64-bit hashes)
+      // collides with the VM's free-disk peak; zstd buys ~25% on exactly
+      // that shape for a few % CPU — the standard big-cluster trade.
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

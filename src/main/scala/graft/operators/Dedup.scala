@@ -90,6 +90,24 @@ object Dedup {
   private val prefixOrderCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  /** Cache level for the array-carrying keyed views: MEMORY_ONLY, never
+    * disk. These relations carry 1–2 KB rows (shingle sets, 128-long
+    * signatures, band explosions), and every one of them derives from a
+    * staged columnar parquet or a retained shuffle — so an evicted
+    * partition re-reads a COMPRESSED scan. The default MEMORY_AND_DISK
+    * instead writes evicted partitions back out in row format at several
+    * times the parquet bytes: at the 50M-doc fixture that is >90 GB of
+    * block spill on a ~93 GB host — the exact ENOSPC that killed q4b at
+    * sf1000p twice — to "save" a re-read of a 20 GB staged scan. When the
+    * view fits in storage memory (every fixture below sf1000p) the levels
+    * behave identically; where it doesn't, the engine degrades to
+    * recompute-from-columnar instead of dying on disk. On a real cluster
+    * the same policy holds per executor: spilling a resident index to
+    * local disk at 2-4× its columnar size is never the right trade when
+    * the columnar source is one storage round-trip away. */
+  private def viewCache(df: DataFrame): DataFrame =
+    df.persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+
   /** Per-call `.cache()`s (content groups, OPH signatures, SimHash
     * fingerprints, band tables) are not keyed views — they exist so one
     * invocation's self-joins don't recompute the build — but the returned
@@ -145,7 +163,7 @@ object Dedup {
             shingleHashes(tokensCol(col("text")), 3).as("sh"))
           .write.mode("overwrite").parquet(s"$out/shingles")
       }
-      spark.read.parquet(s"$staged/shingles").cache()
+      viewCache(spark.read.parquet(s"$staged/shingles"))
     })
   }
 
@@ -271,10 +289,11 @@ object Dedup {
     * [[shingleCache]]; dropped by [[clearCaches]]. */
   private def groupedDense(spark: SparkSession, dir: String): DataFrame =
     groupedDenseCache.computeIfAbsent((spark, dir), _ =>
-      groupedSigs(spark, dir, minhashSigCol).cache())
+      viewCache(groupedSigs(spark, dir, minhashSigCol)))
 
-  /** The corpus's content-level LSH band index — (cid, band, bh), three
-    * longs per band row — as a (session, dir)-keyed materialized view:
+  /** The corpus's content-level LSH band index — (cid, kb), two longs
+    * per band row (kb = xxhash64(band, bh), see the packing note in the
+    * builder) — as a (session, dir)-keyed materialized view:
     * the "index side" a streaming ingest probes per micro-batch
     * ([[graft.streaming.DedupStream.minhashPairsFromStream]]). Built over
     * [[groupedDense]] (so the signature pipeline is shared with the batch
@@ -291,22 +310,43 @@ object Dedup {
     * session joining against this DataFrame reads the same in-memory
     * blocks. */
   private[graft] def corpusBandIndex(spark: SparkSession, dir: String): DataFrame =
-    bandIndexCache.computeIfAbsent((spark, dir), _ =>
+    bandIndexCache.computeIfAbsent((spark, dir), _ => {
+      // partition count sized by the corpus, not the session default: the
+      // index is Bands × |contents| rows, and at 50M docs the session's 32
+      // shuffle partitions put 1.6B/32 = 50M 24-byte rows into EACH
+      // sortWithinPartitions task — a ~1.2 GB external sort per task whose
+      // spill files (≈ the whole index, again) were the third ENOSPC at
+      // sf1000p. ~8M rows (≈190 MB) per partition keeps every sort inside
+      // task execution memory; a parquet footer count prices the sizing at
+      // one metadata read. This is the knob the brief names ("size
+      // shuffle.partitions so partitions fit in executor memory at the
+      // target SF"), applied where the engine OWNS the relation.
+      val nDocs = Tables(spark, dir, "documents").count()
+      val parts = math.max(spark.sessionState.conf.numShufflePartitions,
+        math.min(20000L, Bands.toLong * nDocs / 8000000L + 1).toInt)
       bandsOf(groupedDense(spark, dir))
-        .select(col("doc_id").as("cid"), col("band"), col("bh"))
-        // partitioned + sorted on the probe keys BEFORE caching: every
-        // (band, bh) equi-probe (q4b's delta batch, qbb's micro-batches)
-        // then reuses the cached partitioning AND ordering, so the index
-        // side of the join is scan-only — only the O(delta) probe side
-        // ever shuffles. The unpartitioned form shuffled the full index
-        // per probe (24 B × Bands × |contents| = 38 GB at the 50M-doc
-        // fixture), which is what actually filled the disk in the q4b
-        // sf1000p ENOSPC: a "probe the static index" face was paying a
-        // bulk re-index per run. One extra exchange at build time, paid
-        // once per fixture.
-        .repartition(col("band"), col("bh"))
-        .sortWithinPartitions("band", "bh")
-        .cache())
+        // ONE packed 8-byte probe key instead of the (band, bh) long
+        // pair: kb = xxhash64(band, bh). Equal (band, bh) always gives
+        // equal kb, so no true pair is lost; a cross-pair hash collision
+        // only ADDS a candidate the exact-Jaccard verify rejects — the
+        // same argument as FuzzyJoin's xxhash64(variant) join key. The
+        // index row is (cid, kb) = 16 B: at Bands × |contents| rows the
+        // narrower row is a third off every byte the index ever costs —
+        // build shuffle, cached blocks, probe-side sort.
+        .select(col("doc_id").as("cid"),
+          xxhash64(col("band"), col("bh")).as("kb"))
+        // partitioned + sorted on the probe key BEFORE caching: every
+        // kb equi-probe (q4b's delta batch, qbb's micro-batches) then
+        // reuses the cached partitioning AND ordering, so the index side
+        // of the join is scan-only — only the O(delta) probe side ever
+        // shuffles. The unpartitioned form shuffled the full index per
+        // probe (the q4b sf1000p ENOSPC: a "probe the static index" face
+        // was paying a bulk re-index per run). One exchange at build
+        // time, paid once per fixture.
+        .repartition(parts, col("kb"))
+        .sortWithinPartitions("kb")
+        .transform(viewCache)
+    })
 
   /** (cid, sh) — one shingle set per distinct content, the verify-side
     * lookup paired with the narrow [[corpusBandIndex]]. A projection of
@@ -445,9 +485,10 @@ object Dedup {
     // The probe join's index side then reuses corpusBandIndex's cached
     // (band, bh) partitioning/ordering: per probe, only delta bands move.
     val deltaBands = bandsOf(deltaGroups)
+      .select(col("doc_id"), xxhash64(col("band"), col("bh")).as("kb"))
     val cand = deltaBands.as("x")
       .join(index.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
+        col("x.kb") === col("y.kb") &&
           col("x.doc_id") =!= col("y.cid"))
       .select(least(col("x.doc_id"), col("y.cid")).as("doc_a"),
         greatest(col("x.doc_id"), col("y.cid")).as("doc_b"))
@@ -455,11 +496,19 @@ object Dedup {
     // the verify only ever needs candidate-TOUCHING shingle sets: semi-
     // filter the (2 KB/row) shingle relation down to O(candidates) rows
     // before the array-carrying joins, instead of letting the verify
-    // shuffle the whole corpus's arrays for a delta-bounded pair set
+    // shuffle the whole corpus's arrays for a delta-bounded pair set.
+    // `touched` is broadcast EXPLICITLY: it is ≤ 2·|candidates| 8-byte
+    // ids of ONE ingest batch — broadcast-sized by construction — and
+    // under AQE a plain semi-join still STARTS the grp side's shuffle
+    // before the runtime stats that would convert it arrive (stages
+    // materialize bottom-up in parallel), which at the 50M-doc fixture
+    // wrote an 18.6 GB array-carrying shuffle for a filter whose other
+    // side was a few MB. Broadcast makes the semi filter a shuffle-free
+    // scan of the cached view at any corpus size.
     val touched = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
     val repPairs = verifyPairs(cand,
-      grp.join(touched, Seq("doc_id"), "left_semi"), minJaccard)
+      grp.join(broadcast(touched), Seq("doc_id"), "left_semi"), minJaccard)
     expandPairs(repPairs, grp, deltaGroups, minJaccard)
       .where(col("doc_a") >= deltaFrom || col("doc_b") >= deltaFrom)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
@@ -698,9 +747,8 @@ object Dedup {
         base.select(col("doc_id").as("cid"), col("sh"),
           array(col("doc_id")).as("members"))
       else
-        base.groupBy("sh")
-          .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members"))
-          .cache()
+        viewCache(base.groupBy("sh")
+          .agg(min("doc_id").as("cid"), collect_list("doc_id").as("members")))
     })
 
   /** (cid, o) — per content, its shingle hashes as (df, h) structs sorted
@@ -728,7 +776,7 @@ object Dedup {
           .agg(sort_array(collect_list(struct(col("df"), col("h")))).as("o"))
           .write.mode("overwrite").parquet(s"$out/prefix_order")
       }
-      spark.read.parquet(s"$staged/prefix_order").cache()
+      viewCache(spark.read.parquet(s"$staged/prefix_order"))
     })
 
   /** Filter-threshold slack: the verify rounds to 6 dp (oracle parity),

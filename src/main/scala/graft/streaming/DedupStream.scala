@@ -119,7 +119,7 @@ object DedupStream {
           .dropDuplicates("sdoc", "skey")
         val candidates = bands.as("x")
           .join(corpusIndex.as("y"),
-            col("x.band") === col("y.band") && col("x.bh") === col("y.bh"))
+            xxhash64(col("x.band"), col("x.bh")) === col("y.kb"))
           .select(col("x.doc_id").as("sdoc"), col("x.skey").as("skey"),
             col("y.cid").as("cid"))
           .distinct()
