@@ -187,21 +187,38 @@ object Bench {
       case (name, ss) if ss.forall(_ >= 0) => name -> ss.min
     }
     // final verdict: sweep verdict, with `regression` downgraded to
-    // `solo_cleared` when the solo minimum does not reproduce the flag
+    // `solo_cleared` when the solo minimum does not reproduce the flag.
+    // The solo envelope is the same TWO-SIDED shape as the sweep's: the
+    // prev round's committed sample swing on one side, the solo reps' own
+    // observed swing on the other (the solo run's analog of the sweep's
+    // warm-sample swing term). A face whose solo rep THROWS is evidence
+    // FOR trouble, not against it — it keeps a flag (`solo_error`, so the
+    // failure mode is named in the artifact) instead of being silently
+    // downgraded to non-reproduction.
     def finalVerdict(name: String, w: Double): (String, String) = {
       val (prevS, v) = verdictOf(name, w)
       if (v != "\"regression\"") (prevS, v)
       else {
         val p = prevWarm(name)
-        val solo = soloWarm.getOrElse(name, -1.0)
-        val env = math.max(1.3, prevSwing.getOrElse(name, 1.0))
-        val reproduces = solo > 0 && solo / p > env &&
-          math.abs(solo - p) >= math.max(0.25, 0.1 * p)
-        (prevS, if (reproduces) "\"regression\"" else "\"solo_cleared\"")
+        val ss = soloSamples.getOrElse(name, Nil)
+        if (ss.exists(_ < 0)) (prevS, "\"solo_error\"")
+        else {
+          val solo = soloWarm.getOrElse(name, -1.0)
+          val soloSwing =
+            if (ss.nonEmpty && ss.min > 0) ss.max / ss.min else 1.0
+          val env = math.max(
+            math.max(1.3, prevSwing.getOrElse(name, 1.0)), soloSwing)
+          val reproduces = solo > 0 && solo / p > env &&
+            math.abs(solo - p) >= math.max(0.25, 0.1 * p)
+          (prevS, if (reproduces) "\"regression\"" else "\"solo_cleared\"")
+        }
       }
     }
+    // solo_error counts as a flag: an intermittently-FAILING face is worse
+    // than a slow one, so it must not vanish from n_regression
     val nRegression = warmMin.toSeq.count { case (name, w) =>
-      finalVerdict(name, w)._2 == "\"regression\"" }
+      val fv = finalVerdict(name, w)._2
+      fv == "\"regression\"" || fv == "\"solo_error\"" }
     // The harness captures only the LAST 2000 chars of stdout and parses the
     // JSON line out of that window; 200+ entries overflow it even at 3-char
     // ids and 3 decimals (BENCH_r08.json came back "parsed": null — only the

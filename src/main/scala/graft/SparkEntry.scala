@@ -95,12 +95,19 @@ object SparkEntry {
     // DuckDB oracle sound
     "q48_cosine_neardup" -> ((s, d) => Similarity.cosineNearDups(s, d, nTables = 16)),
     "q49_ann_native" -> ((s, d) => Similarity.cosineTopKNative(s, d)),
-    "q4a_ann_ivf" -> ((s, d) => Similarity.cosineTopKIvf(s, d)),
+    "q4a_ann_ivf" ->
+      ((s, d) => Similarity.cosineTopKIvf(s, d, nCells = IvfCells,
+        kmeansIters = LloydIters)),
     // product quantization: ADC shortlist + exact re-rank. Since round 12
     // a FULL equality oracle (like q4a/q8h): the driver-side fixed-order
     // Lloyd trainers are bit-stable, so DuckDB replays the whole training
-    // loop with ordered aggregates (lloydCentsChain / pqCodebookChain)
-    "q59_ann_pq" -> ((s, d) => Similarity.cosineTopKPq(s, d)),
+    // loop with ordered aggregates (lloydCentsChain / pqCodebookChain).
+    // Geometry comes from the shared PqM/PqK/LloydIters vals — the SAME
+    // vals the oracle SQL interpolates, so engine call and oracle
+    // constants cannot drift independently.
+    "q59_ann_pq" ->
+      ((s, d) => Similarity.cosineTopKPq(s, d, m = PqM, kCodes = PqK,
+        iters = LloydIters)),
     // the q4a/q59 tiers with the quantizer PINNED to the deterministic
     // stride-sample (kmeansIters/iters = 0). Historically these were the
     // only oracle-able tiers (the treeAggregate-era Lloyd refinement was
@@ -228,7 +235,9 @@ object SparkEntry {
     // spherical k-means corpus clustering profile (SemDeDup shape); full
     // equality oracle since round 12 — the bit-stable driver-side trainer
     // is replayed in DuckDB by lloydCentsChain's unrolled ordered-sum Lloyd
-    "q8h_kmeans_profile" -> ((s, d) => Similarity.kmeansClusterProfile(s, d)),
+    "q8h_kmeans_profile" -> ((s, d) =>
+      Similarity.kmeansClusterProfile(s, d, nCells = IvfCells,
+        iters = LloydIters)),
     // the profile with the quantizer PINNED to the stride sample (the
     // qbe/qbf discipline): the iteration-free oracle anchor
     "qbh_kmeans_pinned" -> ((s, d) =>
@@ -786,20 +795,20 @@ object SparkEntry {
       // (per-subspace argmin L2, ties to the lower codeword), the ADC
       // scores, the 50-deep shortlist, and the exact re-rank.
       ("qbf_ann_pq_rerank" ->
-        """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+        s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
           |       sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
           |     FROM embeddings),
-          |n AS (SELECT greatest(1, count(*) // 16) AS stride FROM e),
+          |n AS (SELECT greatest(1, count(*) // $PqK) AS stride FROM e),
           |init AS (SELECT CAST(row_number() OVER (ORDER BY vec_id) - 1 AS BIGINT) AS c,
           |           list_transform(v, x -> x / nrm) AS cv
-          |         FROM e, n WHERE vec_id % n.stride = 0 ORDER BY vec_id LIMIT 16),
-          |cw AS (SELECT c, mm.mm, cv[mm.mm * 8 + 1 : mm.mm * 8 + 8] AS sub
-          |       FROM init, range(8) mm(mm)),
+          |         FROM e, n WHERE vec_id % n.stride = 0 ORDER BY vec_id LIMIT $PqK),
+          |cw AS (SELECT c, mm.mm, cv[mm.mm * $PqSubdim + 1 : mm.mm * $PqSubdim + $PqSubdim] AS sub
+          |       FROM init, range($PqM) mm(mm)),
           |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e),
-          |usub AS (SELECT vec_id, mm.mm, vn[mm.mm * 8 + 1 : mm.mm * 8 + 8] AS vsub
-          |         FROM u, range(8) mm(mm)),
+          |usub AS (SELECT vec_id, mm.mm, vn[mm.mm * $PqSubdim + 1 : mm.mm * $PqSubdim + $PqSubdim] AS vsub
+          |         FROM u, range($PqM) mm(mm)),
           |dist AS (SELECT usub.vec_id, usub.mm, cw.c,
-          |           list_sum(list_transform(range(1, 9), i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) AS d
+          |           list_sum(list_transform(range(1, ${PqSubdim + 1}), i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) AS d
           |         FROM usub JOIN cw ON cw.mm = usub.mm),
           |codes AS (SELECT vec_id, mm, c FROM (
           |            SELECT *, row_number() OVER (PARTITION BY vec_id, mm ORDER BY d, c) AS r FROM dist)
@@ -830,7 +839,7 @@ object SparkEntry {
       // the REFINED quantizer; q4a = the qbe IVF tier over it; q59 = the
       // qbf PQ tier over Lloyd-refined codebooks.
       ("q8h_kmeans_profile" ->
-        s"""WITH ${lloydCentsChain(16, 5, 64)},
+        s"""WITH ${lloydCentsChain(IvfCells, LloydIters, EmbDim)},
            |sim AS (SELECT e.vec_id, c.cell, list_inner_product(e.v, c.cv) / e.nrm AS csim
            |        FROM e, cents c),
            |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r FROM sim),
@@ -843,7 +852,7 @@ object SparkEntry {
            |FROM fasg a JOIN ex ON ex.cell = a.cell
            |GROUP BY a.cell ORDER BY a.cell""".stripMargin) +
       ("q4a_ann_ivf" ->
-        s"""WITH ${lloydCentsChain(16, 5, 64)},
+        s"""WITH ${lloydCentsChain(IvfCells, LloydIters, EmbDim)},
            |sim AS (SELECT e.vec_id, c.cell, list_inner_product(e.v, c.cv) / e.nrm AS csim
            |        FROM e, cents c),
            |rk AS (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY csim DESC, cell) AS r FROM sim),
@@ -861,12 +870,12 @@ object SparkEntry {
            |            ORDER BY cosine DESC, neighbor_id) AS rank FROM s)
            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) +
       ("q59_ann_pq" ->
-        s"""WITH ${pqCodebookChain(8, 16, 5, 64)},
+        s"""WITH ${pqCodebookChain(PqM, PqK, LloydIters, EmbDim)},
            |u AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS vn FROM e),
-           |usub AS (SELECT vec_id, mm.mm, vn[mm.mm * 8 + 1 : mm.mm * 8 + 8] AS vsub
-           |         FROM u, range(8) mm(mm)),
+           |usub AS (SELECT vec_id, mm.mm, vn[mm.mm * $PqSubdim + 1 : mm.mm * $PqSubdim + $PqSubdim] AS vsub
+           |         FROM u, range($PqM) mm(mm)),
            |dist AS (SELECT usub.vec_id, usub.mm, cw.c,
-           |           list_sum(list_transform(range(1, 9), i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) AS d
+           |           list_sum(list_transform(range(1, ${PqSubdim + 1}), i -> (vsub[i] - sub[i]) * (vsub[i] - sub[i]))) AS d
            |         FROM usub JOIN cw ON cw.mm = usub.mm),
            |codes AS (SELECT vec_id, mm, c FROM (
            |            SELECT *, row_number() OVER (PARTITION BY vec_id, mm ORDER BY d, c) AS r FROM dist)
@@ -1244,6 +1253,20 @@ object SparkEntry {
     * exposure is the same class the PINNED twins (qbh/qbe) already
     * accept: an argmax could flip only on an exact dot-product tie at
     * ulp scale. */
+  /** ANN-tier geometry shared by the Spark `queries` entries AND the
+    * oracle SQL below: the q4a/q8h/q59 entries invoke
+    * [[graft.operators.Similarity]] with THESE vals, and the chain
+    * builders + the q59 body interpolate the same vals — so a change to
+    * either side cannot silently desynchronize engine defaults from
+    * oracle constants (the drift class round-12 advice flagged on q59's
+    * hardcoded `range(8)` / `mm*8` slices). */
+  private val EmbDim = 64
+  private val IvfCells = 16
+  private val LloydIters = 5
+  private val PqM = 8
+  private val PqK = 16
+  private val PqSubdim = EmbDim / PqM
+
   private def lloydCentsChain(nCells: Int, iters: Int, dim: Int): String = {
     val sampleTarget = math.max(1000L, 100L * nCells)
     val head =

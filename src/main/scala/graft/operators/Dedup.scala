@@ -507,8 +507,22 @@ object Dedup {
     // scan of the cached view at any corpus size.
     val touched = cand.select(col("doc_a").as("doc_id"))
       .union(cand.select(col("doc_b").as("doc_id"))).distinct()
+    // ... "at any corpus size" holds only while the id set is DRIVER-sized:
+    // |touched| ≤ 2·|cand|, and cand scales with collision count, not the
+    // corpus — but a skewed batch (or a caller passing a bulk cutoff) can
+    // blow past broadcast limits. Guard with a short-circuiting capped
+    // probe of cand (limit(cap+1).count() stops scanning the moment the
+    // cap is disproven — no full candidate materialization) and fall back
+    // to the shuffled left-semi above it: once the candidate id set is
+    // itself hundreds of MB, the array-carrying shuffle is the correct
+    // trade and the broadcast would only move the OOM to the driver.
+    val BroadcastCandCap = 4000000L // touched ≤ 2·4M 8-byte ids ≈ 64 MB
+    val candDriverSized =
+      cand.limit((BroadcastCandCap + 1).toInt).count() <= BroadcastCandCap
+    val touchedFilter =
+      if (candDriverSized) broadcast(touched) else touched
     val repPairs = verifyPairs(cand,
-      grp.join(broadcast(touched), Seq("doc_id"), "left_semi"), minJaccard)
+      grp.join(touchedFilter, Seq("doc_id"), "left_semi"), minJaccard)
     expandPairs(repPairs, grp, deltaGroups, minJaccard)
       .where(col("doc_a") >= deltaFrom || col("doc_b") >= deltaFrom)
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))

@@ -32,6 +32,10 @@ object GraphScale {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", false)
+      // same codec policy as TimeOne: scale runs set zstd via
+      // tools/run_scale.sh (see the note there), dev runs default lz4
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_CODEC", "lz4"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
       .getOrCreate()
