@@ -163,7 +163,10 @@ object GraphOps {
     * round N+1 doesn't re-execute rounds 1..N. */
   def componentsOfEdges(edgeDf: DataFrame): DataFrame = {
     val e = edgeDf.select("u", "v").cache()
-    val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).cache()
+    // static side cached pre-partitioned on v — the propagation joins
+    // nbrs(v) = labels(vertex) every round (see pageRankOf, same r13 fix)
+    val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
+      .repartition(staticParts(2 * e.count(), e.sparkSession), col("v")).cache()
     var labels = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("component", col("vertex"))
       .localCheckpoint()
@@ -958,6 +961,24 @@ object GraphOps {
     pageRankOf(coPurchaseEdges(spark, dir, minShared).select("u", "v"),
       iters, damping)
 
+  /** Scale-adaptive partition count for an iterative kernel's STATIC side.
+    * Two regimes, both derived from the data (never a local constant — a
+    * bare `repartition(col)` pins spark.sql.shuffle.partitions slices
+    * exempt from AQE coalescing, which at fixture scale is pure task-
+    * scheduling overhead; measured: a keyed 32-partition cache cost q88
+    * +1.3 s at sf0.1):
+    *  - size regime: ~2M directed rows (≈32–48 MB) per partition;
+    *  - parallelism regime (small graphs): up to defaultParallelism
+    *    partitions but never fewer than ~50k rows each, so a superstep
+    *    neither serializes on one core nor schedules 32 near-empty tasks.
+    * Cap 20k keeps the count sane past the third decade. */
+  private def staticParts(directedRows: Long, spark: SparkSession): Int = {
+    val bySize = directedRows / 2000000L
+    val byCpu = math.min(spark.sparkContext.defaultParallelism.toLong,
+      directedRows / 50000L)
+    math.max(1L, math.min(20000L, math.max(bySize, byCpu))).toInt
+  }
+
   /** [[pageRank]] over an explicit undirected (u, v) edge list — the
     * kernel surface ([[communitiesLpaOf]]/[[ssspOf]] discipline): any
     * edge relation, not just the co-purchase graph, and the probe surface
@@ -965,11 +986,20 @@ object GraphOps {
     * driver, not base-table rows). */
   private[graft] def pageRankOf(e0: DataFrame, iters: Int,
       damping: Double): DataFrame = {
+    val eCnt = e0.count()
     val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // iterate-vs-static discipline (the q9n lesson, r13): the static edge
+    // relation is joined on src EVERY superstep — cache it pre-partitioned
+    // on the join key so the per-round join reads the in-memory layout
+    // instead of re-exchanging the full edge list 10× (plan evidence:
+    // plans/r13/q88_pagerank superstep_{before,after}.txt); partition
+    // count derives from the edge count ([[staticParts]]), never a local
+    // constant
     val w = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src"))
       .cache()
     val n = w.select("src").distinct().count()
     // eager localCheckpoint: plan depth stays one superstep regardless of
@@ -1020,11 +1050,15 @@ object GraphOps {
     * list (seed = minimum vertex id present). */
   private[graft] def pprOf(e0: DataFrame, iters: Int,
       damping: Double): DataFrame = {
+    val eCnt = e0.count()
     val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // static side cached pre-partitioned on its per-superstep join key,
+    // scale-adaptive count (see pageRankOf — same r13 fix)
     val w = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src"))
       .cache()
     val seed = w.agg(min("src")).head.getLong(0)
     val restart = when(col("v") === seed, 1.0).otherwise(0.0)
@@ -1073,8 +1107,12 @@ object GraphOps {
 
   /** [[communitiesLpa]] over an explicit undirected edge list. */
   private[graft] def communitiesLpaOf(e0: DataFrame, iters: Int): DataFrame = {
+    // static side cached pre-partitioned on v — lpaStep joins
+    // nbrs(v) = labels(vertex) every round (see pageRankOf, same r13 fix)
+    val eCnt = e0.count()
     val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
-      .select(col("u"), col("v")).cache()
+      .select(col("u"), col("v"))
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("v")).cache()
     var labels = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .localCheckpoint()
@@ -1260,8 +1298,12 @@ object GraphOps {
         .select(col("vertex"), col("dist").cast("int").as("dist"))
         .orderBy("vertex")
     }
+    // static side cached pre-partitioned on u — ssspStep joins
+    // frontier(vertex) = nbrs(u) every round (see pageRankOf, same r13
+    // fix; the driver-tier gate just counted `cached`, reuse it)
     val nbrs = cached
-      .unionAll(cached.select(col("v").as("u"), col("u").as("v"))).cache()
+      .unionAll(cached.select(col("v").as("u"), col("u").as("v")))
+      .repartition(staticParts(2 * cached.count(), spark), col("u")).cache()
     val src = nbrs.agg(min("u")).head.getLong(0)
     var dist = spark.range(1)
       .select(lit(src).as("vertex"), lit(0).as("dist"))
@@ -1430,8 +1472,13 @@ object GraphOps {
     // TRANSPOSES (groupBy p after a c-join and vice versa), which no
     // layout can avoid. This is the iterate-vs-static discipline every
     // Pregel-style loop wants: shuffle the static side once, ever.
-    val incC = inc.repartition(col("c")).cache()
-    val incP = inc.repartition(col("p")).cache()
+    // r13: partition count derives from the incidence size (staticParts)
+    // instead of the session shuffle width — a bare repartition(col) pins
+    // spark.sql.shuffle.partitions slices exempt from AQE coalescing,
+    // which at fixture scale costs pure task scheduling (the q88 lesson)
+    val incParts = staticParts(inc.count(), inc.sparkSession)
+    val incC = inc.repartition(incParts, col("c")).cache()
+    val incP = inc.repartition(incParts, col("p")).cache()
     var hub = incC.select(col("c")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint()
     // A broadcast tier for the rank vector was measured and REJECTED —
@@ -1483,30 +1530,42 @@ object GraphOps {
   private[graft] def superstepPlans(spark: SparkSession,
       dir: String): Seq[(String, DataFrame)] = {
     val e0 = coPurchaseEdges(spark, dir, 3).select("u", "v")
+    val eCnt = e0.count()
     val e = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u").as("src"), col("v").as("dst"))
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("d"))
+    // static sides mirror the kernels' r13 shape (repartition on the
+    // per-superstep join key + cache) so the dumped plan shows the loop's
+    // steady state: the join reads the keyed InMemoryRelation with no
+    // fresh exchange above it
     val w = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src")).cache()
     val verts = w.select(col("src").as("v")).distinct()
     val pr0 = verts.select(col("v"), lit(1.0).as("r"))
     val restart = when(col("v") === 0L, 1.0).otherwise(0.0)
     val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u"), col("v"))
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("v")).cache()
+    // sssp's static side is keyed on u (frontier joins nbrs("u"))
+    val nbrsU = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
+      .select(col("u"), col("v"))
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("u")).cache()
     val labels0 = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
     val dist0 = spark.range(1)
       .select(lit(0L).as("vertex"), lit(0).as("dist"))
     val inc = incidence(spark, dir)
-    val incC = inc.repartition(col("c"))
-    val incP = inc.repartition(col("p"))
+    val incParts = staticParts(inc.count(), inc.sparkSession)
+    val incC = inc.repartition(incParts, col("c")).cache()
+    val incP = inc.repartition(incParts, col("p")).cache()
     val hub0 = incC.select(col("c")).distinct().withColumn("h", lit(1.0))
     Seq(
       "q88_pagerank superstep" -> pageRankStep(w, pr0, 1000L, 0.85),
       "qa7_ppr superstep" -> pprStep(w, pr0, verts, restart, 0.85),
       "q8j_lpa superstep" -> lpaStep(nbrs, labels0),
       "q8z_sssp superstep (distributed tier)" ->
-        ssspStep(nbrs, dist0, dist0.select(col("vertex"), col("dist"))),
+        ssspStep(nbrsU, dist0, dist0.select(col("vertex"), col("dist"))),
       "q9n_hits auth half-step" -> hitsAuthStep(incC, hub0),
       "q9n_hits hub half-step" ->
         hitsHubStep(incP, hitsAuthStep(incC, hub0)))
