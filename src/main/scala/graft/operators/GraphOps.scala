@@ -166,7 +166,7 @@ object GraphOps {
     // static side cached pre-partitioned on v — the propagation joins
     // nbrs(v) = labels(vertex) every round (see pageRankOf, same r13 fix)
     val nbrs = e.unionAll(e.select(col("v").as("u"), col("u").as("v")))
-      .repartition(staticParts(2 * e.count(), e.sparkSession), col("v")).cache()
+      .repartition(staticParts(2 * e.count(), e.sparkSession), col("v")).sortWithinPartitions("v").cache()
     var labels = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("component", col("vertex"))
       .localCheckpoint()
@@ -971,7 +971,13 @@ object GraphOps {
     *  - parallelism regime (small graphs): up to defaultParallelism
     *    partitions but never fewer than ~50k rows each, so a superstep
     *    neither serializes on one core nor schedules 32 near-empty tasks.
-    * Cap 20k keeps the count sane past the third decade. */
+    * Cap 20k keeps the count sane past the third decade.
+    *
+    * Callers also `sortWithinPartitions(key)` before caching: once the
+    * rank vector outgrows broadcast the per-superstep join is a
+    * SortMergeJoin, and a cached key-sorted layout satisfies its ordering
+    * requirement too — the big-side SORT (like the exchange) is paid once
+    * at build instead of every round. */
   private def staticParts(directedRows: Long, spark: SparkSession): Int = {
     val bySize = directedRows / 2000000L
     val byCpu = math.min(spark.sparkContext.defaultParallelism.toLong,
@@ -1000,6 +1006,7 @@ object GraphOps {
     val w = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
       .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src"))
+      .sortWithinPartitions("src")
       .cache()
     val n = w.select("src").distinct().count()
     // eager localCheckpoint: plan depth stays one superstep regardless of
@@ -1059,6 +1066,7 @@ object GraphOps {
     val w = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
       .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src"))
+      .sortWithinPartitions("src")
       .cache()
     val seed = w.agg(min("src")).head.getLong(0)
     val restart = when(col("v") === seed, 1.0).otherwise(0.0)
@@ -1112,7 +1120,7 @@ object GraphOps {
     val eCnt = e0.count()
     val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u"), col("v"))
-      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("v")).cache()
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("v")).sortWithinPartitions("v").cache()
     var labels = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
       .localCheckpoint()
@@ -1303,7 +1311,7 @@ object GraphOps {
     // fix; the driver-tier gate just counted `cached`, reuse it)
     val nbrs = cached
       .unionAll(cached.select(col("v").as("u"), col("u").as("v")))
-      .repartition(staticParts(2 * cached.count(), spark), col("u")).cache()
+      .repartition(staticParts(2 * cached.count(), spark), col("u")).sortWithinPartitions("u").cache()
     val src = nbrs.agg(min("u")).head.getLong(0)
     var dist = spark.range(1)
       .select(lit(src).as("vertex"), lit(0).as("dist"))
@@ -1477,8 +1485,8 @@ object GraphOps {
     // spark.sql.shuffle.partitions slices exempt from AQE coalescing,
     // which at fixture scale costs pure task scheduling (the q88 lesson)
     val incParts = staticParts(inc.count(), inc.sparkSession)
-    val incC = inc.repartition(incParts, col("c")).cache()
-    val incP = inc.repartition(incParts, col("p")).cache()
+    val incC = inc.repartition(incParts, col("c")).sortWithinPartitions("c").cache()
+    val incP = inc.repartition(incParts, col("p")).sortWithinPartitions("p").cache()
     var hub = incC.select(col("c")).distinct()
       .withColumn("h", lit(1.0)).localCheckpoint()
     // A broadcast tier for the rank vector was measured and REJECTED —
@@ -1540,25 +1548,25 @@ object GraphOps {
     // fresh exchange above it
     val w = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
-      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src")).cache()
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src")).sortWithinPartitions("src").cache()
     val verts = w.select(col("src").as("v")).distinct()
     val pr0 = verts.select(col("v"), lit(1.0).as("r"))
     val restart = when(col("v") === 0L, 1.0).otherwise(0.0)
     val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u"), col("v"))
-      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("v")).cache()
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("v")).sortWithinPartitions("v").cache()
     // sssp's static side is keyed on u (frontier joins nbrs("u"))
     val nbrsU = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u"), col("v"))
-      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("u")).cache()
+      .repartition(staticParts(2 * eCnt, e0.sparkSession), col("u")).sortWithinPartitions("u").cache()
     val labels0 = nbrs.select(col("u").as("vertex")).distinct()
       .withColumn("label", col("vertex"))
     val dist0 = spark.range(1)
       .select(lit(0L).as("vertex"), lit(0).as("dist"))
     val inc = incidence(spark, dir)
     val incParts = staticParts(inc.count(), inc.sparkSession)
-    val incC = inc.repartition(incParts, col("c")).cache()
-    val incP = inc.repartition(incParts, col("p")).cache()
+    val incC = inc.repartition(incParts, col("c")).sortWithinPartitions("c").cache()
+    val incP = inc.repartition(incParts, col("p")).sortWithinPartitions("p").cache()
     val hub0 = incC.select(col("c")).distinct().withColumn("h", lit(1.0))
     Seq(
       "q88_pagerank superstep" -> pageRankStep(w, pr0, 1000L, 0.85),
