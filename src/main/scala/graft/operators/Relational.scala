@@ -294,20 +294,29 @@ object Relational {
     * whole profile collapses to one constant-memory pass. */
   def columnStats(spark: SparkSession, dir: String): DataFrame = {
     val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey")
-    val aggs = cols.flatMap { c =>
-      Seq(count(lit(1)).as(s"${c}_n"),
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls"),
-        count_distinct(col(c)).as(s"${c}_ndv"),
-        r6(min(col(c)).cast("double")).as(s"${c}_min"),
-        r6(max(col(c)).cast("double")).as(s"${c}_max"),
-        r6(avg(col(c))).as(s"${c}_avg"))
-    }
-    val stackExpr = cols.map(c =>
-        s"'$c', ${c}_n, ${c}_nulls, ${c}_ndv, ${c}_min, ${c}_max, ${c}_avg")
-      .mkString(s"stack(${cols.size}, ", ", ", ")")
-    Tables(spark, dir, "lineitem")
-      .agg(aggs.head, aggs.tail: _*)
-      .selectExpr(s"$stackExpr AS (col_name, n, n_nulls, ndv, min_v, max_v, avg_v)")
+    // one narrow aggregate subtree PER COLUMN, unioned — not one wide agg
+    // reshaped with stack: four count_distincts in one Aggregate make
+    // Catalyst Expand every row ×(cols+1) into 13-wide null-padded rows
+    // feeding a single hash aggregate keyed by every column's value space
+    // at once. Per-column subtrees each scan ONE parquet column (same
+    // total I/O — the wide form read all four), expand only ×2 (distinct
+    // vs plain gid), and run as independent parallel stages. Aggregate
+    // expressions are IDENTICAL per column (avg over raw rows, not a
+    // weighted distinct-level mean), so values — and the oracle hash —
+    // cannot move.
+    val l = Tables(spark, dir, "lineitem")
+    cols.map { c =>
+        l.select(col(c)).agg(
+          count(lit(1)).as("n"),
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as("n_nulls"),
+          count_distinct(col(c)).as("ndv"),
+          r6(min(col(c)).cast("double")).as("min_v"),
+          r6(max(col(c)).cast("double")).as("max_v"),
+          r6(avg(col(c))).as("avg_v"))
+        .select(lit(c).as("col_name"), col("n"), col("n_nulls"), col("ndv"),
+          col("min_v"), col("max_v"), col("avg_v"))
+      }
+      .reduce(_.unionAll(_))
       .orderBy("col_name")
   }
 
