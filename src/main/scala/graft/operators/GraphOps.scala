@@ -1070,7 +1070,12 @@ object GraphOps {
       .cache()
     val seed = w.agg(min("src")).head.getLong(0)
     val restart = when(col("v") === seed, 1.0).otherwise(0.0)
-    val verts = w.select(col("src").as("v")).distinct().localCheckpoint()
+    // verts is the OTHER static per-superstep join input (the left side of
+    // every round's left-outer) — checkpoint it key-sorted so the SMJ
+    // skips re-sorting it each round (localCheckpoint preserves both the
+    // partitioning and the ordering of the checkpointed plan)
+    val verts = w.select(col("src").as("v")).distinct()
+      .sortWithinPartitions("v").localCheckpoint()
     var pr = verts.select(col("v"), restart.as("r")).localCheckpoint()
     for (i <- 1 to iters) {
       val next = pprStep(w, pr, verts, restart, damping)
@@ -1549,7 +1554,7 @@ object GraphOps {
     val w = e.join(deg, "src")
       .select(col("src"), col("dst"), (lit(1.0) / col("d")).as("w"))
       .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src")).sortWithinPartitions("src").cache()
-    val verts = w.select(col("src").as("v")).distinct()
+    val verts = w.select(col("src").as("v")).distinct().sortWithinPartitions("v")
     val pr0 = verts.select(col("v"), lit(1.0).as("r"))
     val restart = when(col("v") === 0L, 1.0).otherwise(0.0)
     val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
