@@ -300,10 +300,13 @@ object Relational {
     // feeding a single hash aggregate keyed by every column's value space
     // at once. Per-column subtrees each scan ONE parquet column (same
     // total I/O — the wide form read all four), expand only ×2 (distinct
-    // vs plain gid), and run as independent parallel stages. Aggregate
-    // expressions are IDENTICAL per column (avg over raw rows, not a
-    // weighted distinct-level mean), so values — and the oracle hash —
-    // cannot move.
+    // vs plain gid), and run as independent parallel stages. avg_v is an
+    // exact decimal sum ÷ non-null count, NOT avg(double): double
+    // summation is order-dependent, the per-column plan changed the
+    // partial-aggregation order, and l_extendedprice's true mean at
+    // sf0.1 sits 1.7e-7 from a 6-decimal rounding boundary — the r13
+    // oracle-hash break. The decimal sum is order-independent and its
+    // 6-decimal rounding matches the oracle's round(avg(c), 6).
     val l = Tables(spark, dir, "lineitem")
     cols.map { c =>
         l.select(col(c)).agg(
@@ -312,7 +315,7 @@ object Relational {
           count_distinct(col(c)).as("ndv"),
           r6(min(col(c)).cast("double")).as("min_v"),
           r6(max(col(c)).cast("double")).as("max_v"),
-          r6(avg(col(c))).as("avg_v"))
+          r6(sum(col(c).cast("decimal(38,12)")).cast("double") / count(col(c))).as("avg_v"))
         .select(lit(c).as("col_name"), col("n"), col("n_nulls"), col("ndv"),
           col("min_v"), col("max_v"), col("avg_v"))
       }
