@@ -73,6 +73,27 @@ class DedupSpec extends AnyFunSuite with SparkSuite {
       "delta should see some but not all pairs")
   }
 
+  test("incremental broadcast gate: cap=0 forces the shuffled left-semi fallback") {
+    // the gate is conf-sized (graft.dedup.broadcastCandCap, default 4M);
+    // cap=0 means "no candidate set is driver-sized" — the touched-id
+    // filter must lose its broadcast hint and the results must not move.
+    val deltaFrom = 400L
+    val default = Dedup.minhashPairsIncremental(spark, sfDir, deltaFrom)
+    assert(default.queryExecution.analyzed.toString.contains("broadcast"),
+      "default path should carry the broadcast hint on the touched-id filter")
+    val defRows = default.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    spark.conf.set("graft.dedup.broadcastCandCap", "0")
+    try {
+      val fb = Dedup.minhashPairsIncremental(spark, sfDir, deltaFrom)
+      assert(!fb.queryExecution.analyzed.toString.contains("broadcast"),
+        "cap=0 must drop the broadcast hint (shuffled left-semi fallback)")
+      val fbRows = fb.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+      assert(fbRows == defRows, "fallback path changed the result")
+    } finally spark.conf.unset("graft.dedup.broadcastCandCap")
+  }
+
   test("minhash candidate generation finds all high-jaccard pairs (recall)") {
     // brute-force exact jaccard over shingle sets for pairs >= 0.5
     val sh = Tables(spark, sfDir, "documents").collect()
