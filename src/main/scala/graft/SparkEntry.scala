@@ -1932,11 +1932,18 @@ object SparkEntry {
           |      GROUP BY 1, 2 HAVING count(*) >= 3),
           |und AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
           |deg AS (SELECT src, count(*) AS d FROM und GROUP BY 1),
-          |w AS (SELECT und.src, und.dst, 1.0 / deg.d AS w FROM und JOIN deg USING (src)),
+          |w AS MATERIALIZED (
+          |  SELECT und.src, und.dst, 1.0 / deg.d AS w FROM und JOIN deg USING (src)),
           |n AS (SELECT count(DISTINCT src) AS c FROM w),
           |p0 AS (SELECT DISTINCT src AS v, 1.0 / (SELECT c FROM n) AS r FROM w)""".stripMargin
+      // every p_i MATERIALIZED (the qa7 discipline): without the hints
+      // DuckDB re-inlines w and the whole prefix chain into each level of
+      // the 10-step unroll and the sf0.1 replay spilled >72 GB (ENOSPC —
+      // the r13 gap that left q88's sf0.1 equivalence resting on
+      // engine-vs-engine bit-compare). Materialized, each level is
+      // computed once; same values, same hash.
       val steps = (1 to 10).map { i =>
-        s"""p$i AS (SELECT w.dst AS v,
+        s"""p$i AS MATERIALIZED (SELECT w.dst AS v,
            |  (1.0 - 0.85) / (SELECT c FROM n) + 0.85 * sum(p${i - 1}.r * w.w) AS r
            |  FROM w JOIN p${i - 1} ON w.src = p${i - 1}.v GROUP BY w.dst)""".stripMargin
       }.mkString(",\n")
