@@ -1069,32 +1069,51 @@ object GraphOps {
       .sortWithinPartitions("src")
       .cache()
     val seed = w.agg(min("src")).head.getLong(0)
-    val restart = when(col("v") === seed, 1.0).otherwise(0.0)
-    // verts is the OTHER static per-superstep join input (the left side of
-    // every round's left-outer) — checkpoint it key-sorted so the SMJ
-    // skips re-sorting it each round (localCheckpoint preserves both the
-    // partitioning and the ordering of the checkpointed plan)
-    val verts = w.select(col("src").as("v")).distinct()
-      .sortWithinPartitions("v").localCheckpoint()
-    var pr = verts.select(col("v"), restart.as("r")).localCheckpoint()
+    // SPARSE rank vector (r14): pr carries only vertices with NONZERO
+    // rank; zeros are restored by ONE final left-outer against the vertex
+    // set instead of the per-superstep verts-left-outer that re-streamed
+    // the full vertex relation every round (one join fewer per superstep
+    // at every scale). Bit-safety vs the dense form: each emitted vertex
+    // evaluates the SAME expression dense did (lit(1-d)*restart +
+    // lit(d)*mass), and the rows sparse drops contributed only exact-0.0
+    // terms (0.0·w inside mass sums, 0.15·0.0+0.85·0.0 rank rows) — IEEE
+    // x+0.0 = x for x ≥ 0, so no value can move. Oracle unchanged.
+    val verts = w.select(col("src").as("v")).distinct().localCheckpoint()
+    var pr = e0.sparkSession.range(1)
+      .select(lit(seed).as("v"), lit(1.0).as("r")).localCheckpoint()
     for (i <- 1 to iters) {
-      val next = pprStep(w, pr, verts, restart, damping)
+      val stepped = pprStep(w, pr, seed, damping)
+      // only superstep 1 can miss the seed (u < v edges — no self-loops —
+      // so mass(seed) needs a ranked in-neighbor, which every i ≥ 2
+      // guarantees: the seed's neighbors hold mass > 0 from round 1 on);
+      // its restart row is injected with the step's own arithmetic shape
+      val next =
+        if (i == 1) stepped.unionAll(e0.sparkSession.range(1).select(
+          lit(seed).as("v"),
+          (lit(1.0 - damping) * lit(1.0) + lit(damping) * lit(0.0)).as("r")))
+        else stepped
       pr = if (i % 2 == 0 || i == iters) next.localCheckpoint() else next
     }
     w.unpersist()
-    pr.select(col("v"), round(col("r"), 8).as("rank")).orderBy("v")
+    verts.join(pr.withColumnRenamed("r", "pr_r"), Seq("v"), "left_outer")
+      .select(col("v"),
+        round(coalesce(col("pr_r"), lit(0.0)), 8).as("rank"))
+      .orderBy("v")
   }
 
-  /** One personalized-PageRank superstep — [[personalizedPageRank]]'s loop
-    * body, factored for [[superstepPlans]]. */
-  private def pprStep(w: DataFrame, pr: DataFrame, verts: DataFrame,
-      restart: Column, damping: Double): DataFrame = {
-    val mass = w.join(pr, w("src") === pr("v"))
+  /** One SPARSE personalized-PageRank superstep — mass flows only from
+    * ranked vertices and only vertices RECEIVING mass emit a row (the
+    * seed's round-1 restart row is the caller's job; from round 2 on the
+    * seed always receives mass from its own round-1-ranked neighbors).
+    * [[personalizedPageRank]]'s loop body, factored for
+    * [[superstepPlans]]. */
+  private def pprStep(w: DataFrame, pr: DataFrame, seed: Long,
+      damping: Double): DataFrame =
+    w.join(pr, w("src") === pr("v"))
       .groupBy(col("dst").as("nv")).agg(sum(col("r") * col("w")).as("m"))
-    verts.join(mass, verts("v") === mass("nv"), "left_outer")
-      .select(col("v"), (lit(1.0 - damping) * restart +
-        lit(damping) * coalesce(col("m"), lit(0.0))).as("r"))
-  }
+      .select(col("nv").as("v"),
+        (lit(1.0 - damping) * when(col("nv") === seed, 1.0).otherwise(0.0) +
+          lit(damping) * col("m")).as("r"))
 
   /** Community detection via synchronous label propagation (LPA) — the
     * DISTRIBUTED community tier next to [[communities]]' exact
@@ -1556,7 +1575,6 @@ object GraphOps {
       .repartition(staticParts(2 * eCnt, e0.sparkSession), col("src")).sortWithinPartitions("src").cache()
     val verts = w.select(col("src").as("v")).distinct().sortWithinPartitions("v")
     val pr0 = verts.select(col("v"), lit(1.0).as("r"))
-    val restart = when(col("v") === 0L, 1.0).otherwise(0.0)
     val nbrs = e0.unionAll(e0.select(col("v").as("u"), col("u").as("v")))
       .select(col("u"), col("v"))
       .repartition(staticParts(2 * eCnt, e0.sparkSession), col("v")).sortWithinPartitions("v").cache()
@@ -1575,7 +1593,7 @@ object GraphOps {
     val hub0 = incC.select(col("c")).distinct().withColumn("h", lit(1.0))
     Seq(
       "q88_pagerank superstep" -> pageRankStep(w, pr0, 1000L, 0.85),
-      "qa7_ppr superstep" -> pprStep(w, pr0, verts, restart, 0.85),
+      "qa7_ppr superstep" -> pprStep(w, pr0, 0L, 0.85),
       "q8j_lpa superstep" -> lpaStep(nbrs, labels0),
       "q8z_sssp superstep (distributed tier)" ->
         ssspStep(nbrsU, dist0, dist0.select(col("vertex"), col("dist"))),
