@@ -31,6 +31,12 @@ object TimeOne {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")
+      // A/B probe hook: SPARK_GRAFT_EXTRA_CONF="k=v;k2=v2" sets arbitrary
+      // session confs so a config hypothesis can be measured without
+      // editing this file per experiment
+      .config(sys.env.getOrElse("SPARK_GRAFT_EXTRA_CONF", "").split(";")
+        .filter(_.contains("="))
+        .map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val picked = SparkEntry.queries.toSeq.sortBy(_._1)
